@@ -1,0 +1,633 @@
+"""Relational operator pack — SURVEY.md §2.B, one judge-facing query each.
+
+Each operator the reference executes against PostgreSQL (or documents as its
+query surface) is re-expressed as an idiomatic Spark DataFrame plan with a
+DuckDB oracle. Reference citations are on each function.
+
+Numeric policy (oracle hash-compat): money arithmetic is done in exact
+DECIMAL (order-independent, engine-independent), then the final value is
+rounded and cast to DOUBLE so Spark and DuckDB emit bit-identical values with
+identical schemas. Counts stay BIGINT. Every computed column is aliased the
+same in the DataFrame plan and the SQL text.
+
+Scale notes: dimension tables (region/nation/supplier, inline band dims) are
+explicitly ``broadcast()``; fact-fact joins shuffle on their natural keys;
+window top-1-per-group partitions by the group key (no global sort). All
+expressions are JVM-side builtins — zero Python UDFs in this module — so every
+plan stays inside WholeStageCodegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+from .registry import query
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+DEC = "decimal(18,2)"
+DEC4 = "decimal(18,4)"
+
+
+def _dec(c: str | Column, typ: str = DEC) -> Column:
+    col = F.col(c) if isinstance(c, str) else c
+    return col.cast(typ)
+
+
+def _money(col: Column, scale: int = 2) -> Column:
+    """Exact-decimal result -> rounded double (engine-stable output)."""
+    return F.round(col, scale).cast("double")
+
+
+# ---------------------------------------------------------------------------
+# B14/B17/B22 — aggregation pack: TPC-H Q1 "pricing summary" shape.
+# Reference: GROUP BY + COUNT/MAX aggregates (lib04_Update_Table_Data.py:165-171),
+# cast-at-query-time (doc/Data_Format.md:222).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "pricing_summary",
+    oracle="""
+    SELECT
+      l_returnflag,
+      l_linestatus,
+      CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_qty,
+      CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_base_price,
+      CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                     * (1 - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE) AS sum_disc_price,
+      CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                     * (1 - CAST(l_discount AS DECIMAL(18,4)))
+                     * (1 + CAST(l_tax AS DECIMAL(18,4)))), 2) AS DOUBLE) AS sum_charge,
+      COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    price = _dec("l_extendedprice")
+    disc = _dec("l_discount", DEC4)
+    tax = _dec("l_tax", DEC4)
+    return (
+        li.filter(F.col("l_shipdate") <= F.expr("timestamp'1998-09-02 00:00:00'"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _money(F.sum(_dec("l_quantity"))).alias("sum_qty"),
+            _money(F.sum(price)).alias("sum_base_price"),
+            _money(F.sum(price * (F.lit(1) - disc))).alias("sum_disc_price"),
+            _money(F.sum(price * (F.lit(1) - disc) * (F.lit(1) + tax))).alias("sum_charge"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# B5/B6 — projection + compound filter + ILIKE.
+# Reference: WHERE surveyid='x' AND filecode ILIKE '%ir%' (lib03:83-103).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "projection_filter_ilike",
+    oracle="""
+    SELECT p_partkey, p_name, p_brand, p_size
+    FROM part
+    WHERE p_type ILIKE '%econ%' AND (p_size >= 10 OR p_brand = 'Brand#13')
+    """,
+)
+def projection_filter_ilike(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    return part.filter(
+        F.col("p_type").ilike("%econ%") & ((F.col("p_size") >= 10) | (F.col("p_brand") == "Brand#13"))
+    ).select("p_partkey", "p_name", "p_brand", "p_size")
+
+
+# ---------------------------------------------------------------------------
+# B7 — distinct. Reference: SELECT DISTINCT surveyid (lib03:67).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "distinct_values",
+    oracle="SELECT DISTINCT c_mktsegment, c_nationkey FROM customer",
+)
+def distinct_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "customer").select("c_mktsegment", "c_nationkey").distinct()
+
+
+# ---------------------------------------------------------------------------
+# B8 — 3-way UNION DISTINCT survey-presence probe (01 nb raw :1243-1250).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "union_distinct",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    UNION
+    SELECT s_nationkey AS nationkey FROM supplier
+    UNION
+    SELECT n_nationkey AS nationkey FROM nation
+    """,
+)
+def union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    n = load_table(spark, sf_dir, "nation").select(F.col("n_nationkey").alias("nationkey"))
+    return c.union(s).union(n).distinct()
+
+
+# ---------------------------------------------------------------------------
+# B9 — inner equi-join (01 nb raw :1225; lib04:308-324). Broadcast small dim.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "join_inner",
+    oracle="""
+    SELECT n_name, COUNT(*) AS n_customers,
+           CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_acctbal
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey, "inner")
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            _money(F.sum(_dec("c_acctbal"))).alias("total_acctbal"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# B10 — anti-join (LEFT JOIN + IS NULL idiom, doc/04_Stage_Readme.txt:38-56;
+# pandas ~isin anti-joins lib04:377-378). Customers with no orders.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "join_anti",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    WHERE o_orderkey IS NULL
+    """,
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+# ---------------------------------------------------------------------------
+# B12 — semi-join (survey presence via isin, 01 nb raw :1340).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "join_semi",
+    oracle="""
+    SELECT c_custkey, c_mktsegment
+    FROM customer
+    WHERE c_custkey IN (
+      SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+    )
+    """,
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.expr("timestamp'1997-01-01 00:00:00'")
+    )
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_mktsegment")
+
+
+# ---------------------------------------------------------------------------
+# B11/A21 — full outer join with provenance indicator (metadata diff,
+# 03 nb raw :824-833: merge(how='outer', indicator=True)).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "join_full_outer_indicator",
+    oracle="""
+    WITH cn AS (SELECT DISTINCT c_nationkey AS k FROM customer),
+         sn AS (SELECT DISTINCT s_nationkey AS k FROM supplier)
+    SELECT COALESCE(cn.k, sn.k) AS nationkey,
+           CASE WHEN cn.k IS NOT NULL AND sn.k IS NOT NULL THEN 'both'
+                WHEN cn.k IS NOT NULL THEN 'left_only'
+                ELSE 'right_only' END AS presence
+    FROM cn FULL OUTER JOIN sn ON cn.k = sn.k
+    """,
+)
+def join_full_outer_indicator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cn = (
+        load_table(spark, sf_dir, "customer")
+        .select(F.col("c_nationkey").alias("ck"))
+        .distinct()
+        .withColumn("in_c", F.lit(1))
+    )
+    sn = (
+        load_table(spark, sf_dir, "supplier")
+        .select(F.col("s_nationkey").alias("sk"))
+        .distinct()
+        .withColumn("in_s", F.lit(1))
+    )
+    joined = cn.join(sn, cn.ck == sn.sk, "full_outer")
+    return joined.select(
+        F.coalesce("ck", "sk").alias("nationkey"),
+        F.when(F.col("in_c").isNotNull() & F.col("in_s").isNotNull(), "both")
+        .when(F.col("in_c").isNotNull(), "left_only")
+        .otherwise("right_only")
+        .alias("presence"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# B16/A20 — top-1 per group window (latest version per (surveyid, filetype),
+# lib03:32-51; 03 nb cell 38). Latest order per customer here.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "top1_per_group",
+    oracle="""
+    SELECT o_custkey, o_orderkey AS latest_orderkey, o_orderdate AS latest_orderdate
+    FROM (
+      SELECT o_custkey, o_orderkey, o_orderdate,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+      FROM orders
+    ) t WHERE rn = 1
+    """,
+)
+def top1_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_orderdate"), F.desc("o_orderkey"))
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_custkey",
+            F.col("o_orderkey").alias("latest_orderkey"),
+            F.col("o_orderdate").alias("latest_orderdate"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# B14/B15/A32 — GROUP BY ... HAVING count(*)>n duplicate finder
+# (03 nb raw :993-1006: dup detection grouped then thresholded).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_having",
+    oracle="""
+    SELECT o_custkey, COUNT(*) AS n_orders,
+           CAST(ROUND(MAX(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS max_price
+    FROM orders
+    GROUP BY o_custkey
+    HAVING COUNT(*) > 3
+    """,
+)
+def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            _money(F.max(_dec("o_totalprice"))).alias("max_price"),
+        )
+        .filter(F.col("n_orders") > 3)
+    )
+
+
+# ---------------------------------------------------------------------------
+# B17 — string-function pack: lower/upper/substring/split/trim/length/
+# concat/contains (citations inline in SURVEY.md §2.B B17).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "string_pack",
+    oracle="""
+    SELECT p_partkey,
+           lower(p_brand) AS brand_lower,
+           upper(p_type) AS type_upper,
+           substr(p_name, 1, 8) AS name_prefix,
+           split_part(p_type, ' ', 1) AS type_head,
+           length(p_name) AS name_len,
+           concat(p_brand, ':', p_type) AS brand_type,
+           (p_name LIKE '%green%') AS has_green
+    FROM part
+    WHERE contains(p_type, 'STANDARD')
+    """,
+)
+def string_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    return p.filter(F.col("p_type").contains("STANDARD")).select(
+        "p_partkey",
+        F.lower("p_brand").alias("brand_lower"),
+        F.upper("p_type").alias("type_upper"),
+        F.substring("p_name", 1, 8).alias("name_prefix"),
+        F.split_part(F.col("p_type"), F.lit(" "), F.lit(1)).alias("type_head"),
+        F.length("p_name").alias("name_len"),
+        F.concat_ws(":", "p_brand", "p_type").alias("brand_type"),
+        F.col("p_name").like("%green%").alias("has_green"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# B18/B19 — CASE WHEN harmonization + COALESCE across sources
+# (README.md:123-127: the cross-survey harmonization idiom).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "case_coalesce_harmonize",
+    oracle="""
+    SELECT c_custkey,
+           CASE WHEN o_orderstatus = 'F' THEN 'finished'
+                WHEN o_orderstatus = 'O' THEN 'open'
+                WHEN o_orderstatus = 'P' THEN 'pending'
+                ELSE 'unknown' END AS status_desc,
+           COALESCE(o_orderpriority, 'NONE') AS priority,
+           COALESCE(NULLIF(c_mktsegment, 'BUILDING'), 'DEFAULT') AS segment_harmonized
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    """,
+)
+def case_coalesce_harmonize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    j = c.join(o, c.c_custkey == o.o_custkey, "left_outer")
+    return j.select(
+        "c_custkey",
+        F.when(F.col("o_orderstatus") == "F", "finished")
+        .when(F.col("o_orderstatus") == "O", "open")
+        .when(F.col("o_orderstatus") == "P", "pending")
+        .otherwise("unknown")
+        .alias("status_desc"),
+        F.coalesce("o_orderpriority", F.lit("NONE")).alias("priority"),
+        F.coalesce(F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")), F.lit("DEFAULT")).alias(
+            "segment_harmonized"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# B21/A24 — map/JSON packing + field extraction (jsonb tables,
+# lib04:446-506; doc/Data_Format.md:218-220). The map is built Spark-side
+# (the reference's dict->json pack) and a field extracted back out; the oracle
+# reads the equivalent JSON path from the raw props column.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "map_pack_extract",
+    oracle="""
+    SELECT event_id,
+           json_extract_string(props, '$.k') AS k_value,
+           event_type
+    FROM events
+    WHERE json_extract_string(props, '$.k') IS NOT NULL
+    """,
+)
+def map_pack_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    packed = ev.withColumn(
+        "data",
+        F.map_from_arrays(
+            F.array(F.lit("k"), F.lit("type")),
+            F.array(F.get_json_object("props", "$.k"), F.col("event_type")),
+        ),
+    )
+    return packed.filter(F.col("data")["k"].isNotNull()).select(
+        "event_id",
+        F.col("data")["k"].alias("k_value"),
+        F.col("data")["type"].alias("event_type"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# B22 — cast-at-query-time (all storage is varchar; doc/Data_Format.md:222).
+# JSON string field -> int -> aggregate.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "cast_at_query",
+    oracle="""
+    SELECT event_type,
+           SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           COUNT(*) AS n
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def cast_at_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.withColumn("k", F.get_json_object("props", "$.k").cast("bigint"))
+        .groupBy("event_type")
+        .agg(F.sum("k").alias("sum_k"), F.count(F.lit(1)).alias("n"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# B23 — label/metadata search (find columns whose label contains 'malaria',
+# doc/Data_Format.md:204-209) -> find parts whose name contains a word.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "label_search",
+    oracle="""
+    SELECT DISTINCT p_brand
+    FROM part
+    WHERE contains(p_name, 'red') AND regexp_matches(p_type, '^(STANDARD|LARGE)')
+    """,
+)
+def label_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    return (
+        p.filter(F.col("p_name").contains("red") & F.col("p_type").rlike("^(STANDARD|LARGE)"))
+        .select("p_brand")
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# B24 — sort + limit (ORDER BY ... LIMIT; spec sort DAT_Parser.py:48).
+# Deterministic: unique tie-break key in the sort.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "sort_limit",
+    oracle="""
+    SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey ASC
+    LIMIT 10
+    """,
+)
+def sort_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .select("o_orderkey", F.col("o_totalprice").cast("double").alias("o_totalprice"))
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.B tail — range join: decode values against un-expanded (min,max) domains
+# (value BETWEEN vmin AND vmax; DCF_Parser.py:290-335 interval semantics).
+# The band dim is tiny -> broadcast; Catalyst turns this into a
+# BroadcastNestedLoopJoin which is the right physical plan for band joins.
+# ---------------------------------------------------------------------------
+
+_BANDS = [
+    ("negative", -100000.0, 0.0),
+    ("low", 0.0, 2500.0),
+    ("mid", 2500.0, 7500.0),
+    ("high", 7500.0, 100000.0),
+]
+
+
+@query(
+    "range_join_decode",
+    oracle="""
+    WITH bands(band, lo, hi) AS (
+      VALUES ('negative', -100000.0, 0.0),
+             ('low', 0.0, 2500.0),
+             ('mid', 2500.0, 7500.0),
+             ('high', 7500.0, 100000.0)
+    )
+    SELECT band, COUNT(*) AS n_customers
+    FROM customer JOIN bands ON c_acctbal >= lo AND c_acctbal < hi
+    GROUP BY band
+    """,
+)
+def range_join_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    bands = spark.createDataFrame(_BANDS, ["band", "lo", "hi"])
+    return (
+        c.join(
+            F.broadcast(bands),
+            (F.col("c_acctbal") >= F.col("lo")) & (F.col("c_acctbal") < F.col("hi")),
+        )
+        .groupBy("band")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# B13 — row-index (*ROWID*) join (DCF_Parser.py:582-583: relations that join
+# on row occurrence number). Pair the i-th lineitem of each order in
+# linenumber order with the i-th in shipdate order.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "rowid_join",
+    oracle="""
+    WITH a AS (
+      SELECT l_orderkey, l_linenumber,
+             ROW_NUMBER() OVER (PARTITION BY l_orderkey
+                                ORDER BY l_linenumber, l_partkey, l_suppkey) AS rid
+      FROM lineitem
+    ), b AS (
+      SELECT l_orderkey, l_partkey,
+             ROW_NUMBER() OVER (PARTITION BY l_orderkey
+                                ORDER BY l_shipdate, l_linenumber, l_partkey, l_suppkey) AS rid
+      FROM lineitem
+    )
+    SELECT a.l_orderkey, a.rid AS rowid, a.l_linenumber, b.l_partkey AS shipped_partkey
+    FROM a JOIN b ON a.l_orderkey = b.l_orderkey AND a.rid = b.rid
+    """,
+)
+def rowid_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    wa = Window.partitionBy("l_orderkey").orderBy("l_linenumber", "l_partkey", "l_suppkey")
+    wb = Window.partitionBy("l_orderkey").orderBy(
+        "l_shipdate", "l_linenumber", "l_partkey", "l_suppkey"
+    )
+    a = li.select("l_orderkey", "l_linenumber", F.row_number().over(wa).alias("rid"))
+    b = li.select(
+        F.col("l_orderkey").alias("b_orderkey"),
+        "l_partkey",
+        F.row_number().over(wb).alias("b_rid"),
+    )
+    return a.join(
+        b, (a.l_orderkey == b.b_orderkey) & (a.rid == b.b_rid), "inner"
+    ).select(
+        "l_orderkey",
+        F.col("rid").alias("rowid"),
+        "l_linenumber",
+        F.col("l_partkey").alias("shipped_partkey"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# B20 — flagship multi-way cross-level join + conditional agg
+# (README.md:90-127: child⋈household⋈member joins with groupBy + SUM(CASE)).
+# lineitem⋈orders⋈customer⋈nation⋈region transposes the same shape.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "flagship_cross_level",
+    oracle="""
+    SELECT n_name, o_orderpriority,
+           COUNT(*) AS n_lineitems,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                          * (1 - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE) AS revenue,
+           SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS n_returned,
+           SUM(CASE WHEN l_quantity >= 25 THEN 1 ELSE 0 END) AS n_bulk
+    FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation   ON c_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA' AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+    GROUP BY n_name, o_orderpriority
+    """,
+)
+def flagship_cross_level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.expr("timestamp'1996-01-01 00:00:00'")
+    )
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    joined = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    revenue = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount", DEC4))
+    return joined.groupBy("n_name", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_lineitems"),
+        _money(F.sum(revenue)).alias("revenue"),
+        F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).alias("n_returned"),
+        F.sum(F.when(F.col("l_quantity") >= 25, 1).otherwise(0)).alias("n_bulk"),
+    )
