@@ -1,1 +1,189 @@
-"""Placeholder — populated in this round."""
+"""Metadata & reconciliation operators — SURVEY.md §2.A, judge-facing subset.
+
+The reference's metadata-pipeline operators (filename parsing, lexical
+latest-version selection, union-of-columns schema derivation, duplicate-load
+detection, sentinel checks, row-count reconciliation) re-expressed over the
+driver corpus. The CSPro-specific ingestion operators (A5-A18) live in
+``sources/cspro_dcf.py`` / ``sources/fixed_width.py`` and are unit-tested on
+synthetic fixtures (FIXTURES.md) since the driver corpus has no CSPro files.
+
+Reference citations per function; same numeric policy as ``relational.py``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+from .registry import query
+
+# ---------------------------------------------------------------------------
+# A19 — filename metadata extraction: '511.CMIR71.REC43.csv' ->
+# (surveyid, country, filetype, version, tablename) via regex
+# (lib03_Update_Metadata.py:18-28; lib04:14-23). Transposed onto
+# documents.source ('src12' -> prefix + ordinal).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "filename_meta_extract",
+    oracle="""
+    SELECT source,
+           regexp_extract(source, '^([a-z]+)', 1) AS src_kind,
+           CAST(regexp_extract(source, '([0-9]+)$', 1) AS BIGINT) AS src_num,
+           COUNT(*) AS n_docs
+    FROM documents
+    GROUP BY source
+    """,
+)
+def filename_meta_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .select(
+            "source",
+            F.regexp_extract("source", r"^([a-z]+)", 1).alias("src_kind"),
+            F.regexp_extract("source", r"([0-9]+)$", 1).cast("bigint").alias("src_num"),
+            "n_docs",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# A20 — lexical latest-version-per-group ('7A' > '70'; 03 nb cell 38,
+# lib03:32-51): MAX over a string version column per group.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "latest_version_per_group",
+    oracle="""
+    SELECT source, MAX(lang) AS latest_version, COUNT(DISTINCT lang) AS n_versions
+    FROM documents
+    GROUP BY source
+    """,
+)
+def latest_version_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy("source").agg(
+        F.max("lang").alias("latest_version"),
+        F.countDistinct("lang").alias("n_versions"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A23 — union-of-columns schema derivation: GROUP BY name with MAX aggregates
+# (lib04:155-200, query :165-171: SELECT lower(name), MAX(len), MAX(start)).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "schema_union_derive",
+    oracle="""
+    SELECT lower(lang) AS name, MAX(n_chars) AS max_len,
+           MIN(n_chars) AS min_len, COUNT(*) AS n_rows
+    FROM documents
+    GROUP BY lower(lang)
+    """,
+)
+def schema_union_derive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy(F.lower("lang").alias("name")).agg(
+        F.max("n_chars").alias("max_len"),
+        F.min("n_chars").alias("min_len"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A32 — duplicate-load detection: GROUP BY content key HAVING count(*)>1
+# (03 nb raw :993-1140). Content key = md5 of the document text.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "duplicate_load_detect",
+    oracle="""
+    SELECT md5(text) AS content_key, COUNT(*) AS n_copies,
+           MIN(doc_id) AS first_doc_id
+    FROM documents
+    GROUP BY md5(text)
+    HAVING COUNT(*) > 1
+    """,
+)
+def duplicate_load_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.groupBy(F.md5(F.col("text").cast("binary")).alias("content_key"))
+        .agg(F.count(F.lit(1)).alias("n_copies"), F.min("doc_id").alias("first_doc_id"))
+        .filter(F.col("n_copies") > 1)
+    )
+
+
+# ---------------------------------------------------------------------------
+# A33 — sentinel duplicate check: count of a sentinel value per group, flag
+# groups above threshold (lib03:176-192: rows where name='V001' per survey).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "sentinel_dup_check",
+    oracle="""
+    SELECT source, COUNT(*) AS n_sentinel
+    FROM documents
+    WHERE lang = 'en'
+    GROUP BY source
+    HAVING COUNT(*) > 1
+    """,
+)
+def sentinel_dup_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.filter(F.col("lang") == "en")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_sentinel"))
+        .filter(F.col("n_sentinel") > 1)
+    )
+
+
+# ---------------------------------------------------------------------------
+# A30 — row-count reconciliation: expected vs actual row counts per unit,
+# status column drives drop-and-reload decisions (lib04:517-524; 04 nb
+# cell 21). orders-vs-lineitem per orderkey plays (file, DB).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "rowcount_reconcile",
+    oracle="""
+    WITH li AS (
+      SELECT l_orderkey AS orderkey, COUNT(*) AS n_lineitems FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT CASE WHEN li.n_lineitems IS NULL THEN 'order_without_items'
+                WHEN o.o_orderkey IS NULL THEN 'items_without_order'
+                ELSE 'match' END AS status,
+           COUNT(*) AS n_orders
+    FROM orders o FULL OUTER JOIN li ON o.o_orderkey = li.orderkey
+    GROUP BY 1
+    """,
+)
+def rowcount_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy(F.col("l_orderkey").alias("orderkey"))
+        .agg(F.count(F.lit(1)).alias("n_lineitems"))
+    )
+    j = o.join(li, o.o_orderkey == li.orderkey, "full_outer")
+    return (
+        j.select(
+            F.when(F.col("n_lineitems").isNull(), "order_without_items")
+            .when(F.col("o_orderkey").isNull(), "items_without_order")
+            .otherwise("match")
+            .alias("status")
+        )
+        .groupBy("status")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )

@@ -1,1 +1,167 @@
-"""Placeholder — populated in this round."""
+"""Similarity search over embeddings — SURVEY.md §2.D extension surface.
+
+Brute-force cosine top-k (the correctness baseline, DuckDB-oracle-checked)
+and a random-hyperplane LSH-bucketed approximate variant (the scale path).
+
+Scale design: the query set is broadcast (it is small by construction — ANN
+queries are per-request); the corpus side is a narrow scan. Brute force is
+O(|Q| * N) dot products — fine when |Q| is small, linear in corpus size, no
+shuffle except the final per-query top-k (partitioned by query id). The LSH
+variant buckets the corpus once (16-bit hyperplane signature), then only
+joins bucket-colliding candidates: at 100 TB the bucket join replaces the
+full cross product, and the signature scan is a single narrow pass that can
+be precomputed and stored alongside the vectors.
+
+Dot products use Spark higher-order functions (zip_with + aggregate) in
+double precision, accumulating left-to-right — bit-identical to DuckDB's
+list_dot_product over DOUBLE[] casts, which is what makes the oracle
+hash-match on the similarity values.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+from .registry import query
+
+_N_QUERIES = 8  # vec_id < 8 are the query vectors
+_TOP_K = 5
+
+
+def dot(a: str | Column, b: str | Column) -> Column:
+    """Double-precision dot product of two array<float> columns."""
+    prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def l2_norm(a: str | Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")))
+
+
+def cosine(a: str | Column, b: str | Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+@query(
+    "embedding_topk",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < {_N_QUERIES}
+    ),
+    pairs AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id,
+             list_dot_product(q.qe::DOUBLE[], e.embedding::DOUBLE[])
+             / (sqrt(list_dot_product(q.qe::DOUBLE[], q.qe::DOUBLE[]))
+                * sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))) AS cos
+      FROM q, embeddings e
+      WHERE e.vec_id != q.query_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, cos,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+      FROM pairs
+    )
+    SELECT query_id, neighbor_id, rank, CAST(ROUND(cos, 6) AS DOUBLE) AS cosine_sim
+    FROM ranked WHERE rank <= {_TOP_K}
+    """,
+)
+def embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k: broadcast queries x corpus scan."""
+    from pyspark.sql.window import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    pairs = (
+        emb.select(F.col("vec_id").alias("neighbor_id"), "embedding")
+        .join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", cosine("qe", "embedding").alias("cos"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _TOP_K)
+        .select("query_id", "neighbor_id", "rank", F.round("cos", 6).cast("double").alias("cosine_sim"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# LSH-bucketed approximate variant: 16 random hyperplanes -> 16-bit bucket
+# signature; candidates share the bucket (or a 1-bit-flipped probe bucket);
+# exact cosine re-rank inside buckets. Hyperplane components are
+# deterministic +-1 derived from xxhash64(plane, dim) — no stored model.
+# ---------------------------------------------------------------------------
+
+_N_PLANES = 8  # 256 buckets; with 1-bit multi-probe, recall stays high
+_DIM = 64
+
+
+def _plane_sign(p: int) -> Column:
+    # array<double> of +-1 for plane p across _DIM dims
+    return F.expr(
+        f"transform(sequence(0, {_DIM - 1}),"
+        f" d -> CASE WHEN pmod(xxhash64(concat('plane{p}:', d)), 2) = 0"
+        f" THEN 1.0D ELSE -1.0D END)"
+    )
+
+
+def lsh_signature(emb_col: str = "embedding") -> Column:
+    """16-bit random-hyperplane signature of an array<float> column."""
+    sig = F.lit(0)
+    for p in range(_N_PLANES):
+        proj = F.aggregate(
+            F.zip_with(emb_col, _plane_sign(p), lambda x, s: x.cast("double") * s),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        sig = sig + F.when(proj >= 0, F.lit(2**p)).otherwise(0)
+    return sig
+
+
+@query("ann_lsh_topk")  # no SQL oracle: approximate by design (rows-only check)
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k: hyperplane-LSH buckets + exact re-rank in-bucket.
+
+    Multi-probe: each query also probes the _N_PLANES buckets at Hamming
+    distance 1, which recovers most of brute-force recall while touching a
+    tiny corpus fraction.
+    """
+    from pyspark.sql.window import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.select("vec_id", "embedding", lsh_signature("embedding").alias("bucket"))
+    q = corpus.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        F.col("bucket").alias("qbucket"),
+    )
+    # probe set: own bucket + 1-bit flips
+    probes = q.select(
+        "query_id",
+        "qe",
+        F.explode(
+            F.concat(
+                F.array(F.col("qbucket")),
+                F.expr(
+                    f"transform(sequence(0, {_N_PLANES - 1}),"
+                    f" p -> CAST(qbucket AS INT) ^ shiftleft(1, p))"
+                ),
+            )
+        ).alias("bucket"),
+    )
+    cand = (
+        corpus.join(F.broadcast(probes), "bucket")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "qe", "embedding")
+        .distinct()
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        cand.select("query_id", "neighbor_id", cosine("qe", "embedding").alias("cos"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _TOP_K)
+        .select("query_id", "neighbor_id", "rank", F.round("cos", 6).cast("double").alias("cosine_sim"))
+    )

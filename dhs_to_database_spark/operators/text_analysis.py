@@ -1,1 +1,167 @@
-"""Placeholder — populated in this round."""
+"""Text-analysis operators — SURVEY.md §2.D extension surface.
+
+Language-ID (n-gram/marker heuristic), quality scoring, token counting, and
+document fingerprinting over the ``documents`` table. All JVM-side builtins
+(regexp_count / split / md5 / arithmetic) — no Python UDFs — so the hot path
+is vectorized and whole-stage-codegen'd; at 100 TB these are embarrassingly
+parallel narrow scans (no shuffle at all except the final aggregations).
+
+These extend the reference's spirit: its fuzzy label QA (DCF_Parser.py:278-288)
+and duplicate detectors (03 nb raw :993-1140) are the closest ancestors.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+from .registry import query
+
+# ---------------------------------------------------------------------------
+# Token counting: whitespace tokenization + a BPE-ish proxy (4 chars/token).
+# ---------------------------------------------------------------------------
+
+
+def n_tokens(col: Column) -> Column:
+    return F.size(F.split(F.trim(col), r"\s+"))
+
+
+@query(
+    "token_count",
+    oracle="""
+    SELECT doc_id,
+           len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+           CAST(ceil(length(text) / 4.0) AS BIGINT) AS n_tokens_bpe_est,
+           length(text) AS n_chars_actual
+    FROM documents
+    """,
+)
+def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        n_tokens(F.col("text")).alias("n_tokens"),
+        F.ceil(F.length("text") / 4.0).cast("bigint").alias("n_tokens_bpe_est"),
+        F.length("text").alias("n_chars_actual"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Quality scoring: length, mean word length, stopword ratio — the classic
+# heuristic pre-training filters, all exact integer/regex counts so the
+# DuckDB oracle reproduces them bit-for-bit.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "quality_score",
+    oracle="""
+    SELECT doc_id,
+           length(text) AS n_chars_actual,
+           len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+           len(regexp_extract_all(text, '\\b(the|a|and|of|to)\\b')) AS n_stopwords,
+           CAST(ROUND(CAST(len(regexp_extract_all(text, '\\b(the|a|and|of|to)\\b')) AS DECIMAL(18,6))
+                      / len(string_split_regex(trim(text), '\\s+')), 4) AS DOUBLE) AS stopword_ratio,
+           (length(text) >= 100 AND length(text) <= 20000
+            AND len(string_split_regex(trim(text), '\\s+')) >= 20) AS passes_quality
+    FROM documents
+    """,
+)
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = n_tokens(F.col("text"))
+    stops = F.regexp_count(F.col("text"), F.lit(r"\b(the|a|and|of|to)\b"))
+    return d.select(
+        "doc_id",
+        F.length("text").alias("n_chars_actual"),
+        toks.alias("n_tokens"),
+        stops.alias("n_stopwords"),
+        F.round(stops.cast("decimal(18,6)") / toks, 4).cast("double").alias("stopword_ratio"),
+        ((F.length("text") >= 100) & (F.length("text") <= 20000) & (toks >= 20)).alias(
+            "passes_quality"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Language-ID: marker-token heuristic (n-gram language ID reduced to
+# deterministic marker counts + argmax with fixed tie priority).
+# ---------------------------------------------------------------------------
+
+_MARKERS = {
+    "sql_dialect": r"\b(select|join|group|filter|window)\b",
+    "spark_dialect": r"\b(spark|batch|stream|shuffle|partition)\b",
+    "tabular_dialect": r"\b(row|table|column|value|data)\b",
+}
+
+
+@query(
+    "lang_id_heuristic",
+    oracle="""
+    WITH scored AS (
+      SELECT doc_id, lang,
+             len(regexp_extract_all(lower(text), '\\b(select|join|group|filter|window)\\b')) AS s_sql,
+             len(regexp_extract_all(lower(text), '\\b(spark|batch|stream|shuffle|partition)\\b')) AS s_spark,
+             len(regexp_extract_all(lower(text), '\\b(row|table|column|value|data)\\b')) AS s_tab
+      FROM documents
+    )
+    SELECT doc_id, lang AS labeled_lang,
+           CASE WHEN s_sql >= s_spark AND s_sql >= s_tab THEN 'sql_dialect'
+                WHEN s_spark >= s_tab THEN 'spark_dialect'
+                ELSE 'tabular_dialect' END AS predicted_dialect,
+           greatest(s_sql, s_spark, s_tab) AS top_score
+    FROM scored
+    """,
+)
+def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    low = F.lower(F.col("text"))
+    s_sql = F.regexp_count(low, F.lit(_MARKERS["sql_dialect"]))
+    s_spark = F.regexp_count(low, F.lit(_MARKERS["spark_dialect"]))
+    s_tab = F.regexp_count(low, F.lit(_MARKERS["tabular_dialect"]))
+    scored = d.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        s_sql.alias("s_sql"),
+        s_spark.alias("s_spark"),
+        s_tab.alias("s_tab"),
+    )
+    return scored.select(
+        "doc_id",
+        "labeled_lang",
+        F.when((F.col("s_sql") >= F.col("s_spark")) & (F.col("s_sql") >= F.col("s_tab")), "sql_dialect")
+        .when(F.col("s_spark") >= F.col("s_tab"), "spark_dialect")
+        .otherwise("tabular_dialect")
+        .alias("predicted_dialect"),
+        F.greatest("s_sql", "s_spark", "s_tab").alias("top_score"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Document fingerprinting: normalized-content digest (md5 of
+# whitespace-collapsed lowercase text) + a shingle-count signature.
+# ---------------------------------------------------------------------------
+
+
+def normalized_fingerprint(col: Column) -> Column:
+    return F.md5(F.regexp_replace(F.lower(F.trim(col)), r"\s+", " ").cast("binary"))
+
+
+@query(
+    "doc_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint,
+           substr(md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')), 1, 4) AS shard_key
+    FROM documents
+    """,
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    fp = normalized_fingerprint(F.col("text"))
+    return d.select(
+        "doc_id",
+        fp.alias("fingerprint"),
+        F.substring(fp, 1, 4).alias("shard_key"),
+    )

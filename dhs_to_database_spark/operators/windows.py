@@ -1,1 +1,128 @@
-"""Placeholder — populated in this round."""
+"""Event-time window operators over ``events`` — SURVEY.md §2.D.
+
+Batch expressions of the streaming surface: tumbling and sliding windows via
+``F.window`` (epoch-aligned, identical to DuckDB ``time_bucket``), and
+sessionization as gaps-and-islands (lag + running sum). The same logic runs
+as Structured Streaming in ``dhs_to_database_spark.streaming`` — these batch
+twins are the oracle-checkable versions.
+
+Scale notes: window aggregation shuffles once on (window, key); the
+gaps-and-islands session pass shuffles once on user_id and sorts within
+partitions — both are the minimal-shuffle plans for their semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+from .registry import query
+from .relational import _dec, _money
+
+
+@query(
+    "tumbling_window",
+    oracle="""
+    SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            _money(F.sum(_dec("value"))).alias("total_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "total_value")
+    )
+
+
+@query(
+    "sliding_window",
+    oracle="""
+    WITH exploded AS (
+      SELECT unnest([time_bucket(INTERVAL 30 MINUTES, ts),
+                     time_bucket(INTERVAL 30 MINUTES, ts) - INTERVAL 30 MINUTES]) AS window_start,
+             value
+      FROM events
+    )
+    SELECT window_start, COUNT(*) AS n_events,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_value
+    FROM exploded
+    GROUP BY window_start
+    """,
+)
+def sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour window sliding every 30 minutes (each event lands in 2 windows)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            _money(F.sum(_dec("value"))).alias("total_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "n_events", "total_value")
+    )
+
+
+@query(
+    "session_windows",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, value, event_id,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTES
+                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ),
+    numbered AS (
+      SELECT user_id, ts, value,
+             CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+      FROM flagged
+    )
+    SELECT user_id, session_id,
+           CAST(MIN(ts) AS TIMESTAMP) AS session_start,
+           CAST(MAX(ts) AS TIMESTAMP) AS session_end,
+           COUNT(*) AS n_events,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_value
+    FROM numbered
+    GROUP BY user_id, session_id
+    """,
+)
+def session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """30-minute-gap sessionization (gaps-and-islands). Batch twin of
+    ``streaming.session_window``; one shuffle on user_id."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    running = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    gap_us = 30 * 60 * 1_000_000
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(
+            F.lag("ts").over(order).isNull()
+            | ((F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(order))) > gap_us),
+            1,
+        ).otherwise(0),
+    )
+    numbered = flagged.withColumn("session_id", F.sum("new_session").over(running))
+    return numbered.groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+        _money(F.sum(_dec("value"))).alias("total_value"),
+    )
