@@ -1,0 +1,173 @@
+"""Incremental load + schema evolution — SURVEY.md §2.A A21-A30, Spark-first.
+
+The reference evolves PostgreSQL tables so each holds the union of all
+surveys' columns for a record type (create table / add column / widen
+varchar / pack into JSONB; lib04_Update_Table_Data.py). In Spark the same
+guarantees come from: union-of-columns schema derivation (a groupBy-max over
+the spec), parquet ``mergeSchema`` on read, dynamic partition overwrite for
+idempotent per-survey drop-and-reload, and ``MapType`` packing for wide /
+country-specific tables. Column *widening* is a no-op (Spark strings are
+unbounded) and survives only as a validation query.
+
+All citations into /root/reference/DHS_To_Database/.
+"""
+
+from __future__ import annotations
+
+from itertools import chain
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# JSON/map packing policy (lib04:12, :140-152)
+MAX_FIRST_CLASS_COLUMNS = 500
+_CS_LABEL_MARKERS = ("cs:", "country specific")
+
+# join-key heuristic (lib04:124-137)
+_KEY_EXACT = {"surveyid", "caseid", "mcaseid", "hhid"}
+
+
+def is_key_column(name: str) -> bool:
+    """The reference's index/join-key heuristic (lib04:124-137): name
+    contains 'idx', starts with 'ix', or is one of the well-known keys."""
+    low = name.lower()
+    return low in _KEY_EXACT or "idx" in low or low.startswith("ix")
+
+
+def should_pack_as_map(n_columns: int, record_label: str | None) -> bool:
+    """JSON-table decision (lib04:140-152): >500 columns or a
+    country-specific record label."""
+    if n_columns > MAX_FIRST_CLASS_COLUMNS:
+        return True
+    low = (record_label or "").lower()
+    return any(low.startswith(m) or m in low for m in _CS_LABEL_MARKERS)
+
+
+def union_of_columns_schema(items_df: DataFrame, record_name: str) -> DataFrame:
+    """Union-of-columns schema for one record type across surveys
+    (lib04:155-200, query :165-171): one row per column with the widest
+    Len, ordered by position. All storage is string-typed
+    (doc/Data_Format.md:222)."""
+    return (
+        items_df.filter(
+            (F.lower("RecordName") == record_name.lower())
+            & (F.col("ItemType") != "RecordDesciption")
+        )
+        .groupBy(F.lower("Name").alias("name"))
+        .agg(
+            F.max("ItemType").alias("itemtype"),
+            F.max(F.col("Len").cast("int")).alias("max_len"),
+            F.max(F.col("Start").cast("int")).alias("max_start"),
+        )
+        .orderBy("max_start")
+    )
+
+
+def pack_wide_table(df: DataFrame, key_columns: list[str] | None = None) -> DataFrame:
+    """Pack non-key columns into one ``data`` map<string,string> column
+    (lib04:446-506 packs dict->json; MapType is the Spark-native jsonb).
+    ``F.to_json(col('data'))`` round-trips to the reference's jsonb text."""
+    keys = key_columns if key_columns is not None else [c for c in df.columns if is_key_column(c)]
+    payload = [c for c in df.columns if c not in keys]
+    kv = list(chain.from_iterable((F.lit(c), F.col(c).cast("string")) for c in payload))
+    return df.select(*keys, F.create_map(*kv).alias("data"))
+
+
+def unpack_map_field(df: DataFrame, field: str) -> DataFrame:
+    """Extract one packed field back out (doc/Data_Format.md:220, B21)."""
+    return df.withColumn(field, F.col("data")[field])
+
+
+def align_to_union_schema(df: DataFrame, all_columns: list[str]) -> DataFrame:
+    """Reconcile a survey's frame to the union schema: missing columns
+    become NULL (the reference's ADD COLUMN, lib04:331-342/345-383);
+    ordering is normalized so unions are positional-safe."""
+    present = set(df.columns)
+    cols = [
+        F.col(c) if c in present else F.lit(None).cast("string").alias(c) for c in all_columns
+    ]
+    return df.select(*cols)
+
+
+def overwrite_survey_partition(
+    spark: SparkSession, df: DataFrame, dest: str, surveyid: str
+) -> None:
+    """Idempotent per-survey drop-and-reload (A22; lib03:316-363,
+    lib04:509-541): dynamic partition overwrite replaces exactly the
+    ``surveyid=<x>`` partition, leaving other surveys untouched."""
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    (
+        df.withColumn("surveyid", F.lit(surveyid))
+        .write.mode("overwrite")
+        .partitionBy("surveyid")
+        .parquet(dest)
+    )
+
+
+def read_evolved(spark: SparkSession, dest: str) -> DataFrame:
+    """Read a table whose per-partition schemas may differ (mergeSchema:
+    the Spark-native union-of-columns, doc/Data_Format.md:212-217)."""
+    return spark.read.option("mergeSchema", "true").parquet(dest)
+
+
+def spec_diff(left: DataFrame, right: DataFrame, keys: list[str]) -> DataFrame:
+    """Metadata diff via full outer join with provenance indicator
+    (A21; 03 nb raw :824-860: merge(indicator=True)). Any row not 'both'
+    means the survey's spec changed -> drop-and-reload."""
+    lk = [F.col(f"l.{k}") for k in keys]
+    rk = [F.col(f"r.{k}") for k in keys]
+    cond = None
+    for a, b in zip(lk, rk):
+        c = a.eqNullSafe(b)
+        cond = c if cond is None else (cond & c)
+    l = left.alias("l")
+    r = right.alias("r")
+    return l.join(r, cond, "full_outer").select(
+        *[F.coalesce(a, b).alias(k) for k, a, b in zip(keys, lk, rk)],
+        F.when(lk[0].isNotNull() & rk[0].isNotNull(), "both")
+        .when(lk[0].isNotNull(), "left_only")
+        .otherwise("right_only")
+        .alias("_merge"),
+    )
+
+
+def validate_widths(df: DataFrame, items_df: DataFrame, record_name: str) -> DataFrame:
+    """The reference's VARCHAR widening (A27, lib04:294-328) as a pure
+    validation: actual max length per column vs the spec's widest Len.
+    Returns columns where data exceeds spec (should be empty)."""
+    spec = union_of_columns_schema(items_df, record_name)
+    actuals = [
+        F.max(F.length(F.col(c))).alias(c) for c in df.columns if c not in ("surveyid",)
+    ]
+    melted = df.agg(*actuals)
+    rows = melted.collect()[0].asDict() if actuals else {}
+    actual_df = df.sparkSession.createDataFrame(
+        [(k.lower(), int(v) if v is not None else 0) for k, v in rows.items()],
+        ["name", "actual_len"],
+    )
+    return (
+        actual_df.join(spec, "name", "inner")
+        .filter(F.col("actual_len") > F.col("max_len"))
+        .select("name", "actual_len", "max_len")
+    )
+
+
+def rowcount_reconcile_per_survey(loaded: DataFrame, expected: DataFrame) -> DataFrame:
+    """A30 (lib04:517-524): loaded-vs-expected row counts per surveyid;
+    any 'expected > loaded' row triggers drop-and-reload upstream."""
+    lc = loaded.groupBy("surveyid").agg(F.count(F.lit(1)).alias("loaded_rows"))
+    ec = expected.groupBy("surveyid").agg(F.count(F.lit(1)).alias("expected_rows"))
+    return (
+        lc.join(ec, "surveyid", "full_outer")
+        .select(
+            "surveyid",
+            F.coalesce("loaded_rows", F.lit(0)).alias("loaded_rows"),
+            F.coalesce("expected_rows", F.lit(0)).alias("expected_rows"),
+        )
+        .withColumn(
+            "status",
+            F.when(F.col("loaded_rows") == F.col("expected_rows"), "match")
+            .when(F.col("loaded_rows") < F.col("expected_rows"), "reload_needed")
+            .otherwise("extra_rows"),
+        )
+    )

@@ -1,0 +1,99 @@
+"""Unit tests for fixed-width DAT demux (SURVEY.md §2.A A14-A17)."""
+
+from __future__ import annotations
+
+import pytest
+
+from dhs_to_database_spark.sources.cspro_dcf import parse_dcf_text
+from dhs_to_database_spark.sources.fixed_width import (
+    demux_dat,
+    demux_to_parquet,
+    spec_from_items,
+    unknown_tags,
+)
+from tests.fixtures_cspro import DAT_LINES, DCF_TEXT
+
+
+@pytest.fixture(scope="module")
+def dat_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("dat")
+    (d / "511.TESTFC.DAT").write_text("\n".join(DAT_LINES) + "\n")
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def spec():
+    return spec_from_items(parse_dcf_text("511.TESTFC", DCF_TEXT).items)
+
+
+def test_spec_compilation(spec):
+    assert (spec.rt_start, spec.rt_len) == (16, 3)
+    assert set(spec.records) == {"H00", "H01", "H4A"}
+    rech1 = spec.records["H01"]
+    assert rech1.record_name == "RECH1"
+    # sorted by Start; id item first
+    assert [f.name for f in rech1.fields] == ["CASEID", "HVIDX", "HV105", "HV438"]
+
+
+def test_demux_tables_and_columns(spark, dat_dir, spec):
+    tables = demux_dat(spark, dat_dir, spec)
+    assert set(tables) == {"RECH0", "RECH1", "RECH4A"}
+    rech0 = tables["RECH0"].collect()
+    assert len(rech0) == 2
+    assert tables["RECH1"].count() == 3
+    assert tables["RECH4A"].count() == 1
+    assert tables["RECH0"].columns == ["surveyid", "CASEID", "HV006", "HV015"]
+
+
+def test_caseid_not_trimmed_other_fields_trimmed(spark, dat_dir, spec):
+    """The whitespace-significant-keys invariant (DAT_Parser.py:87-105):
+    CASEID keeps its fixed-width padding, other fields are trimmed."""
+    rows = {r["CASEID"]: r for r in demux_dat(spark, dat_dir, spec)["RECH0"].collect()}
+    assert "       1   901 " in rows  # 15 chars incl. trailing pad
+    r1 = rows["       1   901 "]
+    assert r1["HV006"] == "3"  # '3 ' trimmed -> '3'
+    assert r1["HV015"] == "1"
+    r2 = rows["       2   902 "]
+    assert r2["HV006"] == "12"
+    assert r2["HV015"] == "9"
+
+
+def test_surveyid_from_filename(spark, dat_dir, spec):
+    rows = demux_dat(spark, dat_dir, spec)["RECH1"].select("surveyid").distinct().collect()
+    assert [r["surveyid"] for r in rows] == ["511"]
+
+
+def test_unknown_record_type_skipped(spark, dat_dir, spec):
+    """A17: lines with unknown tags are dropped but countable."""
+    unk = unknown_tags(spark, dat_dir, spec).collect()
+    assert len(unk) == 1
+    assert unk[0]["record_type"] == "XXX"
+    assert unk[0]["n_lines"] == 1
+    total = sum(df.count() for df in demux_dat(spark, dat_dir, spec).values())
+    assert total == len(DAT_LINES) - 1
+
+
+def test_demux_to_parquet_partitioned(spark, dat_dir, spec, tmp_path):
+    out = demux_to_parquet(spark, dat_dir, spec, str(tmp_path / "tables"))
+    rech1 = spark.read.parquet(out["RECH1"])
+    assert rech1.count() == 3
+    assert "surveyid=511" in str(
+        [p for p in (tmp_path / "tables" / "RECH1").iterdir()]
+    )
+    # idempotent overwrite: writing again doesn't duplicate
+    demux_to_parquet(spark, dat_dir, spec, str(tmp_path / "tables"))
+    assert spark.read.parquet(out["RECH1"]).count() == 3
+
+
+def test_padded_key_joins(spark, dat_dir, spec):
+    """FIXTURES.md: joins on untrimmed keys must work across tables."""
+    tables = demux_dat(spark, dat_dir, spec)
+    j = tables["RECH0"].join(tables["RECH1"], ["surveyid", "CASEID"], "inner")
+    assert j.count() == 3
+    # hvidx join RECH1 <-> RECH4A per the declared relation
+    j2 = tables["RECH1"].join(
+        tables["RECH4A"],
+        (tables["RECH1"]["CASEID"] == tables["RECH4A"]["CASEID"])
+        & (tables["RECH1"]["HVIDX"] == tables["RECH4A"]["IDXH4"]),
+    )
+    assert j2.count() == 1
