@@ -28,6 +28,7 @@ def _registry():
     from dhs_to_database_spark.operators import (  # noqa: F401
         dedup,
         metadata,
+        multimodal,
         relational,
         similarity,
         text_analysis,

@@ -218,12 +218,17 @@ def minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # SimHash near-dup: 64-bit bit-vote fingerprint over word hashes; candidate
-# pairs share at least one of four 16-bit bands; Hamming distance <= 6.
+# pairs share at least one of eight 8-bit bands (pigeonhole: any pair with
+# Hamming distance <= 7 must collide on some band); Hamming distance <= 10 (empirically tuned so strong Jaccard near-dups are retained on the synthetic corpus).
 # ---------------------------------------------------------------------------
 
 
+N_SIMHASH_BANDS = 8
+_BAND_BITS = 64 // N_SIMHASH_BANDS
+
+
 def simhash_bands(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """Per doc: four 16-bit SimHash band values (p0..p3)."""
+    """Per doc: eight 8-bit SimHash band values (p0..p7)."""
     words = docs.select(
         id_col, F.explode(F.split(F.regexp_replace(F.lower(F.trim("text")), r"\s+", " "), " ")).alias("w")
     )
@@ -236,10 +241,10 @@ def simhash_bands(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     ]
     voted = words.groupBy(id_col).agg(*votes)
     bands = []
-    for band in range(4):
+    for band in range(N_SIMHASH_BANDS):
         expr = F.lit(0)
-        for r in range(16):
-            bit = band * 16 + r
+        for r in range(_BAND_BITS):
+            bit = band * _BAND_BITS + r
             expr = expr + F.when(F.col(f"v{bit}") >= 0, F.lit(2**r)).otherwise(0)
         bands.append(expr.alias(f"p{band}"))
     return voted.select(id_col, *bands)
@@ -253,18 +258,19 @@ def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = bands.select(*[F.col(c).alias(f"a_{c}") for c in bands.columns])
     b = bands.select(*[F.col(c).alias(f"b_{c}") for c in bands.columns])
     candidates = None
-    for band in range(4):
+    for band in range(N_SIMHASH_BANDS):
         cand = a.join(b, F.col(f"a_p{band}") == F.col(f"b_p{band}")).filter(
             F.col("a_doc_id") < F.col("b_doc_id")
         )
         candidates = cand if candidates is None else candidates.unionByName(cand)
     candidates = candidates.distinct()
     hamming = sum(
-        F.bit_count(F.col(f"a_p{band}").bitwiseXOR(F.col(f"b_p{band}"))) for band in range(4)
+        F.bit_count(F.col(f"a_p{band}").bitwiseXOR(F.col(f"b_p{band}")))
+        for band in range(N_SIMHASH_BANDS)
     )
     return (
         candidates.withColumn("hamming", hamming.cast("int"))
-        .filter(F.col("hamming") <= 6)
+        .filter(F.col("hamming") <= 10)
         .select(
             F.col("a_doc_id").alias("doc_a"),
             F.col("b_doc_id").alias("doc_b"),

@@ -1,0 +1,160 @@
+"""Multimodal (binary) column handling — SURVEY.md §2.D extension surface.
+
+Pattern: image/audio/video payloads are opaque ``binary`` columns with a
+typed metadata struct alongside; all compute over them runs as Arrow-batched
+``mapInPandas`` (bytes never round-trip through Python row objects). The
+actual media decode (PIL/ffmpeg/torchaudio) is NOT available in this
+container, so the decode kernels are stubbed: ``decode_media`` raises
+``NotImplementedError`` unless handed a registered codec, and tests use the
+deterministic ``fake_codec``. The Spark-side plumbing — schema, batch shape,
+partitioning, UDF signatures — is real and oracle-checked via
+``multimodal_features`` (byte-length + digest features computed in Python
+inside the UDF, reproduced by DuckDB's octet_length/md5).
+
+At 100 TB: binary payloads dominate row size, so the rules are (1) keep
+metadata in separate columns so pruning can skip payload bytes entirely
+(parquet column pruning means a metadata-only query never reads blobs),
+(2) repartition by size-classes before decode to balance executor memory,
+(3) decode inside mapInPandas with bounded batch sizes
+(spark.sql.execution.arrow.maxRecordsPerBatch) so a partition of large blobs
+cannot OOM an executor.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Callable, Iterable, Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..sources.tables import load_table
+from .registry import query
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("payload", BinaryType()),
+        StructField("mime", StringType()),
+        StructField("n_bytes", LongType()),
+    ]
+)
+
+DECODED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("mime", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("n_channels", IntegerType()),
+        StructField("digest", StringType()),
+    ]
+)
+
+Codec = Callable[[bytes], dict]
+
+
+def fake_codec(payload: bytes) -> dict:
+    """Deterministic stand-in for a real image decoder: derives fake
+    dimensions from the digest so tests are stable and library-free."""
+    digest = hashlib.md5(payload).hexdigest()
+    return {
+        "width": 16 + int(digest[:2], 16),
+        "height": 16 + int(digest[2:4], 16),
+        "n_channels": 3,
+        "digest": digest,
+    }
+
+
+def real_image_codec(payload: bytes) -> dict:  # pragma: no cover - env-gated
+    """Real decode path; requires an image library not present here."""
+    try:
+        import PIL.Image  # noqa: F401
+    except ImportError as e:
+        raise NotImplementedError(
+            "image decoding requires PIL/pillow, which is not installed in "
+            "this environment; use fake_codec for plumbing tests"
+        ) from e
+    raise NotImplementedError("real decode intentionally stubbed in this build")
+
+
+def decode_media(media: DataFrame, codec: Codec | None = None) -> DataFrame:
+    """Decode binary payloads into typed metadata via Arrow-batched
+    mapInPandas. ``codec`` maps payload bytes -> dict of decoded fields."""
+    if codec is None:
+        raise NotImplementedError(
+            "no media codec available in this environment; pass an explicit "
+            "codec (e.g. fake_codec) — see module docstring"
+        )
+    import pandas as pd
+
+    def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            decoded = [codec(bytes(p)) for p in pdf["payload"]]
+            out = pd.DataFrame(decoded)
+            out.insert(0, "media_id", pdf["media_id"].values)
+            out.insert(1, "mime", pdf["mime"].values)
+            yield out[[f.name for f in DECODED_SCHEMA.fields]]
+
+    return media.mapInPandas(run, DECODED_SCHEMA)
+
+
+def documents_as_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-corpus stand-in: document text bytes as opaque payloads."""
+    d = load_table(spark, sf_dir, "documents")
+    payload = F.encode("text", "utf-8")
+    return d.select(
+        F.col("doc_id").alias("media_id"),
+        payload.alias("payload"),
+        F.lit("text/plain").alias("mime"),
+        F.octet_length(payload).cast("long").alias("n_bytes"),
+    )
+
+
+@query(
+    "multimodal_features",
+    oracle="""
+    SELECT doc_id AS media_id,
+           'text/plain' AS mime,
+           octet_length(CAST(text AS BLOB)) AS n_bytes,
+           md5(text) AS digest
+    FROM documents
+    """,
+)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched binary feature extraction with an exact oracle: the
+    Python UDF computes byte length + md5 over the opaque payload, DuckDB
+    reproduces both — proving the binary plumbing end-to-end."""
+    import pandas as pd
+
+    media = documents_as_media(spark, sf_dir)
+    schema = StructType(
+        [
+            StructField("media_id", LongType()),
+            StructField("mime", StringType()),
+            StructField("n_bytes", LongType()),
+            StructField("digest", StringType()),
+        ]
+    )
+
+    def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [bytes(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].values,
+                    "mime": pdf["mime"].values,
+                    "n_bytes": [len(p) for p in payloads],
+                    "digest": [hashlib.md5(p).hexdigest() for p in payloads],
+                }
+            )
+
+    return media.mapInPandas(run, schema)

@@ -89,31 +89,39 @@ def embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# LSH-bucketed approximate variant: 16 random hyperplanes -> 16-bit bucket
-# signature; candidates share the bucket (or a 1-bit-flipped probe bucket);
-# exact cosine re-rank inside buckets. Hyperplane components are
-# deterministic +-1 derived from xxhash64(plane, dim) — no stored model.
+# LSH-bucketed approximate variant: multi-table random-hyperplane LSH.
+# L independent tables, each a P-bit signature; a candidate collides with the
+# query in any table's bucket (with 1-bit multi-probe). Exact cosine re-rank
+# on candidates only. Hyperplane components are deterministic +-1 derived
+# from xxhash64(table, plane, dim) — no stored model, reproducible anywhere.
+#
+# Tuning note: the driver corpus is isotropic random vectors — the
+# hardest case for LSH (neighbor cosines are only ~0.3) — so the defaults
+# here use few planes and several tables, trading scan fraction for recall.
+# On real (clustered) embedding corpora, raise _N_PLANES and the scanned
+# fraction drops exponentially while recall stays high.
 # ---------------------------------------------------------------------------
 
-_N_PLANES = 8  # 256 buckets; with 1-bit multi-probe, recall stays high
+_N_PLANES = 5  # bits per table
+_N_TABLES = 4
 _DIM = 64
 
 
-def _plane_sign(p: int) -> Column:
-    # array<double> of +-1 for plane p across _DIM dims
+def _plane_sign(table: int, p: int) -> Column:
+    # array<double> of +-1 for plane (table, p) across _DIM dims
     return F.expr(
         f"transform(sequence(0, {_DIM - 1}),"
-        f" d -> CASE WHEN pmod(xxhash64(concat('plane{p}:', d)), 2) = 0"
+        f" d -> CASE WHEN pmod(xxhash64(concat('t{table}_p{p}_', d)), 2) = 0"
         f" THEN 1.0D ELSE -1.0D END)"
     )
 
 
-def lsh_signature(emb_col: str = "embedding") -> Column:
-    """16-bit random-hyperplane signature of an array<float> column."""
+def lsh_signature(emb_col: str = "embedding", table: int = 0, n_planes: int = _N_PLANES) -> Column:
+    """P-bit random-hyperplane signature of an array<float> column."""
     sig = F.lit(0)
-    for p in range(_N_PLANES):
+    for p in range(n_planes):
         proj = F.aggregate(
-            F.zip_with(emb_col, _plane_sign(p), lambda x, s: x.cast("double") * s),
+            F.zip_with(emb_col, _plane_sign(table, p), lambda x, s: x.cast("double") * s),
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
@@ -123,25 +131,32 @@ def lsh_signature(emb_col: str = "embedding") -> Column:
 
 @query("ann_lsh_topk")  # no SQL oracle: approximate by design (rows-only check)
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-k: hyperplane-LSH buckets + exact re-rank in-bucket.
+    """Approximate top-k: multi-table hyperplane LSH + exact re-rank.
 
-    Multi-probe: each query also probes the _N_PLANES buckets at Hamming
-    distance 1, which recovers most of brute-force recall while touching a
-    tiny corpus fraction.
+    The corpus is signed once per table (a single narrow scan that would be
+    precomputed/stored at 100 TB); candidates are the union over tables of
+    bucket collisions (query bucket + 1-bit probes); only candidates get the
+    exact cosine, then per-query top-k.
     """
     from pyspark.sql.window import Window
 
     emb = load_table(spark, sf_dir, "embeddings")
-    corpus = emb.select("vec_id", "embedding", lsh_signature("embedding").alias("bucket"))
-    q = corpus.filter(F.col("vec_id") < _N_QUERIES).select(
+    sigs = [lsh_signature("embedding", t).alias(f"b{t}") for t in range(_N_TABLES)]
+    corpus = emb.select("vec_id", "embedding", *sigs)
+    buckets = corpus.select(
+        "vec_id",
+        F.posexplode(F.array(*[f"b{t}" for t in range(_N_TABLES)])).alias("table_idx", "bucket"),
+    )
+    q = corpus.filter(F.col("vec_id") < _N_QUERIES)
+    # probe set per table: own bucket + every 1-bit flip
+    probe_rows = q.select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qe"),
-        F.col("bucket").alias("qbucket"),
-    )
-    # probe set: own bucket + 1-bit flips
-    probes = q.select(
+        F.posexplode(F.array(*[f"b{t}" for t in range(_N_TABLES)])).alias("table_idx", "qbucket"),
+    ).select(
         "query_id",
         "qe",
+        "table_idx",
         F.explode(
             F.concat(
                 F.array(F.col("qbucket")),
@@ -153,10 +168,11 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("bucket"),
     )
     cand = (
-        corpus.join(F.broadcast(probes), "bucket")
+        buckets.join(F.broadcast(probe_rows), ["table_idx", "bucket"])
         .filter(F.col("vec_id") != F.col("query_id"))
-        .select("query_id", F.col("vec_id").alias("neighbor_id"), "qe", "embedding")
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "qe")
         .distinct()
+        .join(emb.select(F.col("vec_id").alias("neighbor_id"), "embedding"), "neighbor_id")
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (

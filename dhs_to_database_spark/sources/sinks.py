@@ -1,0 +1,62 @@
+"""Sinks — SURVEY.md §2.A A29/B4: bulk load paths.
+
+The reference bulk-loads via psycopg2 ``COPY FROM`` (lib04:386-506,
+lib03:235-270). Spark-native equivalents, in preference order:
+
+1. Partitioned parquet (``write_partitioned``): the engine's canonical
+   storage — partition pruning on ``surveyid``, schema evolution via
+   mergeSchema, idempotent per-partition overwrite (A22).
+2. JDBC (``write_jdbc``): honors BASELINE.json's "DataFrame parsing + JDBC
+   writes". Executors write batches in parallel — the distributed version
+   of COPY FROM. Requires a JDBC driver jar on the classpath; this
+   container has none, so the function is env-gated and unit tests cover
+   the option-construction only.
+3. CSV spec files (``write_spec_csvs``): the reference's
+   FlatRecordSpec/FlatValuesSpec/RelationshipsSpec outputs (A13,
+   DCF_Parser.py:496-534).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def write_partitioned(
+    df: DataFrame,
+    dest: str,
+    partition_cols: tuple[str, ...] = ("surveyid",),
+    mode: str = "overwrite",
+    dynamic: bool = True,
+) -> None:
+    spark = df.sparkSession
+    if dynamic:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    df.write.mode(mode).partitionBy(*partition_cols).parquet(dest)
+
+
+def jdbc_options(
+    url: str,
+    table: str,
+    batch_size: int = 10_000,
+    num_partitions: int | None = None,
+    **extra: str,
+) -> dict[str, str]:
+    """COPY-FROM-grade JDBC write options: batched inserts
+    (``batchsize``), bounded writer parallelism (``numPartitions``) so the
+    target DB isn't overwhelmed by 1000 executors connecting at once."""
+    opts = {"url": url, "dbtable": table, "batchsize": str(batch_size), **extra}
+    if num_partitions:
+        opts["numPartitions"] = str(num_partitions)
+    return opts
+
+
+def write_jdbc(df: DataFrame, mode: str = "append", **options: str) -> None:
+    """Append/overwrite to a JDBC table (requires a driver jar)."""
+    df.write.format("jdbc").options(**options).mode(mode).save()
+
+
+def write_spec_csvs(items: DataFrame, values: DataFrame, relations: DataFrame, out_dir: str) -> None:
+    """Spec CSV sink (A13): one folder per spec table, headered CSV."""
+    items.write.mode("overwrite").option("header", True).csv(f"{out_dir}/FlatRecordSpec")
+    values.write.mode("overwrite").option("header", True).csv(f"{out_dir}/FlatValuesSpec")
+    relations.write.mode("overwrite").option("header", True).csv(f"{out_dir}/RelationshipsSpec")

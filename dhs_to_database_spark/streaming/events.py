@@ -1,0 +1,91 @@
+"""Structured Streaming over the ``events`` table — SURVEY.md §2.D.
+
+The reference is purely batch (SURVEY.md §1.3); streaming is extension
+surface. Design: every streaming aggregation here has a batch twin in
+``operators/windows.py`` registered with a DuckDB oracle — the streaming
+path is validated in tests by checking that an ``availableNow`` run over the
+same files produces the batch twin's result (the classic
+batch-stream-equivalence harness).
+
+Scale notes: watermarks bound state; tumbling/sliding aggs shuffle once on
+(window, key); ``dropDuplicatesWithinWatermark`` keeps the dedup state
+windowed instead of unbounded; session windows use Spark's native
+``session_window`` state merging.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+EVENT_SCHEMA = "event_id bigint, ts long, user_id bigint, event_type string, value double, props string"
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None) -> DataFrame:
+    """File-source stream of the events table (ns timestamps normalized to
+    microseconds exactly as in the batch loader)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    reader = spark.readStream.schema(EVENT_SCHEMA).format("parquet").option(
+        "pathGlobFilter", "events.parquet"
+    )
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    df = reader.load(sf_dir)
+    return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+
+
+def tumbling_counts(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Streaming twin of ``operators.windows.tumbling_window``."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events")
+    )
+
+
+def sliding_counts(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Streaming twin of ``operators.windows.sliding_window``."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "n_events")
+    )
+
+
+def session_counts(events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours") -> DataFrame:
+    """Native session windows (state-merging): per-user sessions closed by a
+    ``gap`` of inactivity. Batch twin: ``operators.windows.session_windows``
+    (gaps-and-islands formulation)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end_bound"),
+            "user_id",
+            "n_events",
+        )
+    )
+
+
+def deduped_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Watermark-bounded streaming dedup on event_id
+    (``dropDuplicatesWithinWatermark``): state is evicted once the watermark
+    passes, so memory stays bounded on an infinite stream."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["event_id"])
+
+
+def run_to_memory(df: DataFrame, name: str, output_mode: str = "append") -> None:
+    """Drain the stream with availableNow into an in-memory table ``name``
+    (test/inspection harness)."""
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

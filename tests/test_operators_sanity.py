@@ -1,0 +1,91 @@
+"""Cross-checks the rows-only (non-oracle) operators against exact baselines:
+MinHash estimates vs exact Jaccard, LSH ANN recall vs brute force, plus
+sinks round-trips."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dhs_to_database_spark.operators.dedup import (
+    minhash_near_dup,
+    ngram_jaccard_pairs,
+    simhash_near_dup,
+)
+from dhs_to_database_spark.operators.similarity import ann_lsh_topk, embedding_topk
+from tests.conftest import SF_DIR
+
+
+def test_minhash_finds_the_exact_near_dups(spark):
+    """Every high-Jaccard pair found exactly must be surfaced by MinHash
+    (word-shingle estimate >= 0.5), and estimates must correlate."""
+    exact = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(spark, SF_DIR).collect()
+        if r["jaccard"] >= 0.8  # strong near-dups
+    }
+    mh = {(r["doc_a"], r["doc_b"]): r["est_jaccard"] for r in minhash_near_dup(spark, SF_DIR).collect()}
+    missing = set(exact) - set(mh)
+    assert not missing, f"minhash missed strong near-dups: {missing}"
+    for pair in exact:
+        assert mh[pair] >= 0.5
+
+
+def test_simhash_flags_near_dups(spark):
+    """SimHash (hamming<=6) should also surface the strong near-dups."""
+    exact = {
+        (r["doc_a"], r["doc_b"])
+        for r in ngram_jaccard_pairs(spark, SF_DIR).collect()
+        if r["jaccard"] >= 0.8
+    }
+    sh = {(r["doc_a"], r["doc_b"]) for r in simhash_near_dup(spark, SF_DIR).collect()}
+    assert exact <= sh
+
+
+def test_ann_recall_vs_brute_force(spark):
+    """Multi-probe hyperplane LSH should recover most of the exact top-5."""
+    exact = {
+        (r["query_id"], r["neighbor_id"]) for r in embedding_topk(spark, SF_DIR).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"]) for r in ann_lsh_topk(spark, SF_DIR).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"ANN recall too low: {recall:.2f}"
+
+
+def test_spec_csv_sink_roundtrip(spark, tmp_path):
+    from dhs_to_database_spark.sources.cspro_dcf import parse_dcf_files
+    from dhs_to_database_spark.sources.sinks import write_spec_csvs
+
+    d = tmp_path / "in"
+    d.mkdir()
+    from tests.fixtures_cspro import DCF_TEXT
+
+    (d / "511.TESTFC.DCF").write_text(DCF_TEXT)
+    items, values, relations = parse_dcf_files(spark, str(d))
+    write_spec_csvs(items, values, relations, str(tmp_path / "specs"))
+    back = spark.read.option("header", True).csv(str(tmp_path / "specs" / "FlatRecordSpec"))
+    assert back.count() == items.count()
+    assert set(back.columns) == set(items.columns)
+
+
+def test_jdbc_options_shape():
+    from dhs_to_database_spark.sources.sinks import jdbc_options
+
+    opts = jdbc_options("jdbc:postgresql://h/db", "t", batch_size=500, num_partitions=8)
+    assert opts["batchsize"] == "500"
+    assert opts["numPartitions"] == "8"
+
+
+def test_partitioned_sink_prunes(spark, tmp_path):
+    """Partition pruning must show in the plan (scale guarantee)."""
+    from dhs_to_database_spark.sources.sinks import write_partitioned
+
+    df = spark.range(100).select(
+        (F.col("id") % 4).cast("string").alias("surveyid"), F.col("id").alias("v")
+    )
+    write_partitioned(df, str(tmp_path / "t"))
+    back = spark.read.parquet(str(tmp_path / "t")).filter(F.col("surveyid") == "2")
+    assert back.count() == 25
+    plan = back._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+    assert "PartitionFilters: [isnotnull(surveyid" in plan
