@@ -45,7 +45,13 @@ def main() -> None:
     spark = get_spark("bench")
     qs = em.queries()
 
-    # Warm up JVM/codegen/parquet footer caches with a trivial action.
+    # Warm up JVM/codegen/parquet footer caches: touch every input table
+    # once so measured times reflect steady-state execution, not first-read
+    # footer parsing or JIT warmup.
+    from dhs_to_database_spark.sources.tables import TABLE_NAMES, load_table
+
+    for t in TABLE_NAMES:
+        load_table(spark, sf_dir, t).count()
     qs["sort_limit"](spark, sf_dir).collect()
 
     timings: dict[str, float] = {}

@@ -51,15 +51,15 @@ from .text_analysis import normalized_fingerprint
     """,
 )
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window
-
+    # keep-first == MIN(doc_id) per fingerprint: a partial-aggregated
+    # groupBy (map-side combine) instead of a window sort — one small
+    # shuffle on the 16-byte digest, no per-partition ordering.
     d = load_table(spark, sf_dir, "documents")
     fp = normalized_fingerprint(F.col("text"))
-    w = Window.partitionBy("fingerprint").orderBy("doc_id")
     return (
         d.select("doc_id", fp.alias("fingerprint"))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
+        .groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("doc_id"))
         .select("doc_id", "fingerprint")
     )
 
@@ -156,12 +156,18 @@ def word_shingles(text_col: str = "text", n: int = 3) -> Column:
 
 
 def minhash_signatures(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """One row per doc: ``sig`` = array of _N_HASHES minhash components."""
-    sh = docs.select(id_col, F.explode(word_shingles("text", 3)).alias("sh")).distinct()
-    mins = [
-        F.min(F.xxhash64(F.concat(F.lit(f"seed{i}:"), F.col("sh")))).alias(f"h{i}")
-        for i in range(_N_HASHES)
-    ]
+    """One row per doc: ``sig`` = array of _N_HASHES minhash components.
+
+    The permutation family is ``g_i = xxhash64(i, xxhash64(shingle))``: the
+    string is hashed ONCE, then each permutation re-hashes only the 8-byte
+    long (cheap, ANSI-safe — long multiply would overflow-throw under ANSI).
+    No pre-aggregation ``distinct``: MIN is duplicate-insensitive, so
+    duplicate shingles cost nothing and we save a full shuffle; the only
+    shuffle is the partial-aggregated groupBy(doc)."""
+    sh = docs.select(id_col, F.explode(word_shingles("text", 3)).alias("sh")).select(
+        id_col, F.xxhash64("sh").alias("h")
+    )
+    mins = [F.min(F.xxhash64(F.lit(i), F.col("h"))).alias(f"h{i}") for i in range(_N_HASHES)]
     agg = sh.groupBy(id_col).agg(*mins)
     return agg.select(id_col, F.array(*[f"h{i}" for i in range(_N_HASHES)]).alias("sig"))
 
