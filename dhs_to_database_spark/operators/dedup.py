@@ -172,28 +172,20 @@ def minhash_signatures(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return agg.select(id_col, F.array(*[f"h{i}" for i in range(_N_HASHES)]).alias("sig"))
 
 
-@query("minhash_near_dup")  # no SQL oracle: xxhash64 is Spark-specific (rows-only check)
-def minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
-    sigs = minhash_signatures(d.select("doc_id", "text"))
+def bucket_pairs(buckets: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(band_idx, band_val, id) rows -> distinct candidate pairs (doc_a < doc_b).
 
-    rows_per_band = _N_HASHES // _N_BANDS
-    band_cols = [
-        F.hash(*[F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)]).alias(f"b{b}")
-        for b in range(_N_BANDS)
-    ]
-    banded = sigs.select("doc_id", *band_cols)
-    buckets = banded.select(
-        "doc_id",
-        F.posexplode(F.array(*[f"b{b}" for b in range(_N_BANDS)])).alias("band_idx", "band_val"),
-    )
-    # bucket join -> candidate pairs (sorted ids, distinct across bands)
+    One shuffle on the bucket key, pair generation inside each bucket via
+    higher-order array functions (no self-join). At 100 TB a hot bucket is
+    the quadratic risk; cap/salt pathological buckets upstream (stop-shingle
+    removal) — same failure mode as the equivalent self-join formulation.
+    """
     grouped = (
         buckets.groupBy("band_idx", "band_val")
-        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
         .filter(F.size("ids") > 1)
     )
-    pairs = (
+    return (
         grouped.select(
             F.explode(
                 F.expr(
@@ -206,6 +198,27 @@ def minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p.doc_a", "p.doc_b")
         .distinct()
     )
+
+
+@query("minhash_near_dup")  # no SQL oracle: xxhash64 is Spark-specific (rows-only check)
+def minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    # Persist the signature table: it feeds banding AND both verification
+    # joins; without it Spark recomputes the shingle-explode + 32-way agg
+    # three times. At 100 TB this is a stored/materialized signature table
+    # (compute once per corpus, reuse across dedup runs).
+    sigs = minhash_signatures(d.select("doc_id", "text")).persist()
+
+    rows_per_band = _N_HASHES // _N_BANDS
+    band_cols = [
+        F.hash(*[F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)]).alias(f"b{b}")
+        for b in range(_N_BANDS)
+    ]
+    buckets = sigs.select("doc_id", *band_cols).select(
+        "doc_id",
+        F.posexplode(F.array(*[f"b{b}" for b in range(_N_BANDS)])).alias("band_idx", "band_val"),
+    )
+    pairs = bucket_pairs(buckets)
     # verify candidates against full signatures (estimated Jaccard)
     sa = sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
     sb = sigs.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
@@ -259,27 +272,123 @@ def simhash_bands(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
 @query("simhash_near_dup")  # no SQL oracle: xxhash64 is Spark-specific (rows-only check)
 def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    bands = simhash_bands(d.select("doc_id", "text"))
+    # Persist: the band table feeds candidate generation and the two
+    # Hamming-verification joins (previously 8 self-joins recomputed the
+    # 64-vote aggregation 16 times). Same candidate semantics — a pair is a
+    # candidate iff it collides on >= 1 band — via one posexplode + bucket
+    # pass instead of 8 unioned equi-joins.
+    bands = simhash_bands(d.select("doc_id", "text")).persist()
 
+    buckets = bands.select(
+        "doc_id",
+        F.posexplode(F.array(*[f"p{b}" for b in range(N_SIMHASH_BANDS)])).alias(
+            "band_idx", "band_val"
+        ),
+    )
+    pairs = bucket_pairs(buckets)
     a = bands.select(*[F.col(c).alias(f"a_{c}") for c in bands.columns])
     b = bands.select(*[F.col(c).alias(f"b_{c}") for c in bands.columns])
-    candidates = None
-    for band in range(N_SIMHASH_BANDS):
-        cand = a.join(b, F.col(f"a_p{band}") == F.col(f"b_p{band}")).filter(
-            F.col("a_doc_id") < F.col("b_doc_id")
-        )
-        candidates = cand if candidates is None else candidates.unionByName(cand)
-    candidates = candidates.distinct()
     hamming = sum(
         F.bit_count(F.col(f"a_p{band}").bitwiseXOR(F.col(f"b_p{band}")))
         for band in range(N_SIMHASH_BANDS)
     )
     return (
-        candidates.withColumn("hamming", hamming.cast("int"))
+        pairs.join(a, pairs.doc_a == a.a_doc_id)
+        .join(b, pairs.doc_b == b.b_doc_id)
+        .withColumn("hamming", hamming.cast("int"))
         .filter(F.col("hamming") <= 10)
-        .select(
-            F.col("a_doc_id").alias("doc_a"),
-            F.col("b_doc_id").alias("doc_b"),
-            "hamming",
-        )
+        .select("doc_a", "doc_b", "hamming")
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-dup: exact all-pairs cosine over the embeddings
+# table (DuckDB-oracle-checked). The quadratic all-pairs is the verification
+# baseline; the scale path is LSH bucketing (similarity.ann_lsh_topk's
+# hyperplane signatures) so only bucket-colliding pairs get the exact
+# cosine — identical to the MinHash->verify split above.
+# ---------------------------------------------------------------------------
+
+_COSINE_DUP_THRESHOLD = 0.35
+
+
+_N_COSINE_BLOCKS = 8
+
+
+def blocked_allpairs_cosine(
+    spark: SparkSession, emb: DataFrame, threshold: float, n_blocks: int = _N_COSINE_BLOCKS
+) -> DataFrame:
+    """All-pairs cosine >= threshold via block-decomposed GEMM.
+
+    Classic sqrt-decomposition for distributed all-pairs: assign each vector
+    to one of B blocks, replicate each row to the B unordered block-pairs it
+    participates in (replication factor B = sqrt of the group count), and
+    compute each block-pair's full similarity matrix with one vectorized
+    numpy matmul inside ``applyInPandas``. Each unordered vector pair lands
+    in exactly one block-pair group, so no dedup pass is needed. Shuffle
+    volume is N*B rows; per-task memory is 2N/B vectors — tune B so a
+    block-pair fits an executor. This is the Arrow/Pandas-UDF slow-path
+    escape hatch used deliberately: a dense gram matrix is the one workload
+    where numpy beats JVM whole-stage codegen by orders of magnitude.
+    """
+    import pandas as pd
+
+    e = emb.select("vec_id", "embedding", (F.col("vec_id") % n_blocks).alias("blk"))
+    pair_keys = spark.createDataFrame(
+        [(i, j) for i in range(n_blocks) for j in range(i, n_blocks)], "i int, j int"
+    )
+    rep = e.join(
+        F.broadcast(pair_keys), (F.col("blk") == F.col("i")) | (F.col("blk") == F.col("j"))
+    )
+
+    def gram(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        i, j = key
+        ids = pdf["vec_id"].to_numpy()
+        m = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+        m /= np.linalg.norm(m, axis=1, keepdims=True)
+        in_i = (ids % n_blocks) == i
+        if i == j:
+            a_idx = np.arange(len(ids))
+            b_idx = a_idx
+        else:
+            a_idx = np.flatnonzero(in_i)
+            b_idx = np.flatnonzero(~in_i)
+        sims = m[a_idx] @ m[b_idx].T
+        aa, bb = np.nonzero(sims >= threshold)
+        da, db = ids[a_idx[aa]], ids[b_idx[bb]]
+        # diagonal group: each unordered pair appears twice plus self-pairs —
+        # keep one order; cross-block: exactly once — keep all, normalize order
+        keep = (da < db) if i == j else (da != db)
+        return pd.DataFrame(
+            {
+                "doc_a": np.minimum(da, db)[keep],
+                "doc_b": np.maximum(da, db)[keep],
+                "cosine_sim": np.round(sims[aa, bb][keep], 6),
+            }
+        )
+
+    return rep.groupBy("i", "j").applyInPandas(
+        gram, schema="doc_a bigint, doc_b bigint, cosine_sim double"
+    )
+
+
+@query(
+    "embedding_cosine_near_dup",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding FROM embeddings),
+    pairs AS (
+      SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+             list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+             / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+                * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) AS cos
+      FROM e a JOIN e b ON a.vec_id < b.vec_id
+    )
+    SELECT doc_a, doc_b, CAST(ROUND(cos, 6) AS DOUBLE) AS cosine_sim
+    FROM pairs WHERE cos >= {_COSINE_DUP_THRESHOLD}
+    """,
+)
+def embedding_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return blocked_allpairs_cosine(spark, emb, _COSINE_DUP_THRESHOLD)
