@@ -147,12 +147,25 @@ _N_BANDS = 8  # 4 rows per band
 
 
 def word_shingles(text_col: str = "text", n: int = 3) -> Column:
-    """Array of ``n``-word shingles of a text column (named by ``text_col``)."""
-    words = f"split(regexp_replace(lower(trim({text_col})), '\\\\s+', ' '), ' ')"
+    """Array of ``n``-word shingles of an ALREADY-TOKENIZED array column.
+
+    ``text_col`` must name an ``array<string>`` column (see
+    ``tokenize_words``). Tokenization is deliberately a separate projection:
+    an expression inlined into a higher-order-function lambda is re-evaluated
+    per element (no common-subexpression elimination across lambda bodies),
+    which made the original one-shot form re-run the regexp split once per
+    shingle — 6x slower on the bench corpus.
+    """
     return F.expr(
-        f"transform(sequence(1, greatest(size({words}) - {n - 1}, 1)),"
-        f" i -> concat_ws(' ', slice({words}, i, {n})))"
+        f"transform(sequence(1, greatest(size({text_col}) - {n - 1}, 1)),"
+        f" i -> concat_ws(' ', slice({text_col}, i, {n})))"
     )
+
+
+def tokenize_words(col: Column | str) -> Column:
+    """Whitespace tokenization with the corpus normalization rule."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(F.regexp_replace(F.lower(F.trim(c)), r"\s+", " "), " ")
 
 
 def minhash_signatures(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -164,8 +177,10 @@ def minhash_signatures(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     No pre-aggregation ``distinct``: MIN is duplicate-insensitive, so
     duplicate shingles cost nothing and we save a full shuffle; the only
     shuffle is the partial-aggregated groupBy(doc)."""
-    sh = docs.select(id_col, F.explode(word_shingles("text", 3)).alias("sh")).select(
-        id_col, F.xxhash64("sh").alias("h")
+    sh = (
+        docs.select(id_col, tokenize_words("text").alias("ws"))
+        .select(id_col, F.explode(word_shingles("ws", 3)).alias("sh"))
+        .select(id_col, F.xxhash64("sh").alias("h"))
     )
     mins = [F.min(F.xxhash64(F.lit(i), F.col("h"))).alias(f"h{i}") for i in range(_N_HASHES)]
     agg = sh.groupBy(id_col).agg(*mins)
@@ -248,9 +263,7 @@ _BAND_BITS = 64 // N_SIMHASH_BANDS
 
 def simhash_bands(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Per doc: eight 8-bit SimHash band values (p0..p7)."""
-    words = docs.select(
-        id_col, F.explode(F.split(F.regexp_replace(F.lower(F.trim("text")), r"\s+", " "), " ")).alias("w")
-    )
+    words = docs.select(id_col, F.explode(tokenize_words("text")).alias("w"))
     h = F.xxhash64("w")
     votes = [
         F.sum(

@@ -562,26 +562,41 @@ def range_join_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def rowid_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window
-
+    # Row-index joins pair the i-th row of one ordering with the i-th of
+    # another WITHIN a group. Instead of two windows + a self-join (two
+    # shuffles + sort-merge, with the scan run twice), do it in ONE shuffle:
+    # collect both orderings per group as sorted struct arrays and zip them
+    # positionally. Safe because *ROWID* groups are bounded (lineitems per
+    # order <= 7 here; CSPro record occurrences per case similarly small) —
+    # the arrays stay tiny however large the table grows, and the single
+    # groupBy gets map-side partial aggregation.
     li = load_table(spark, sf_dir, "lineitem")
-    wa = Window.partitionBy("l_orderkey").orderBy("l_linenumber", "l_partkey", "l_suppkey")
-    wb = Window.partitionBy("l_orderkey").orderBy(
-        "l_shipdate", "l_linenumber", "l_partkey", "l_suppkey"
+    grouped = li.groupBy("l_orderkey").agg(
+        F.array_sort(
+            F.collect_list(F.struct("l_linenumber", "l_partkey", "l_suppkey"))
+        ).alias("by_line"),
+        F.array_sort(
+            F.collect_list(F.struct("l_shipdate", "l_linenumber", "l_partkey", "l_suppkey"))
+        ).alias("by_ship"),
     )
-    a = li.select("l_orderkey", "l_linenumber", F.row_number().over(wa).alias("rid"))
-    b = li.select(
-        F.col("l_orderkey").alias("b_orderkey"),
-        "l_partkey",
-        F.row_number().over(wb).alias("b_rid"),
-    )
-    return a.join(
-        b, (a.l_orderkey == b.b_orderkey) & (a.rid == b.b_rid), "inner"
-    ).select(
+    zipped = grouped.select(
         "l_orderkey",
-        F.col("rid").alias("rowid"),
-        "l_linenumber",
-        F.col("l_partkey").alias("shipped_partkey"),
+        F.posexplode(
+            F.zip_with(
+                "by_line",
+                "by_ship",
+                lambda x, y: F.struct(
+                    x["l_linenumber"].alias("l_linenumber"),
+                    y["l_partkey"].alias("shipped_partkey"),
+                ),
+            )
+        ).alias("pos", "p"),
+    )
+    return zipped.select(
+        "l_orderkey",
+        (F.col("pos") + 1).cast("int").alias("rowid"),
+        F.col("p.l_linenumber").alias("l_linenumber"),
+        F.col("p.shipped_partkey").alias("shipped_partkey"),
     )
 
 
