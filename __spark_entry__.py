@@ -34,6 +34,7 @@ def _registry():
         text_analysis,
         windows,
     )
+    from dhs_to_database_spark.streaming import stateful  # noqa: F401
 
     return registry
 

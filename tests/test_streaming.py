@@ -77,3 +77,61 @@ def test_dedup_within_watermark(spark, events_stream):
     run_to_memory(deduped_stream(events_stream), "t_dedup")
     n = spark.table("t_dedup").count()
     assert n == _batch_events(spark).select("event_id").distinct().count()
+
+
+def test_stateful_sessionizer_matches_batch_islands(spark, events_stream):
+    """applyInPandasWithState sessionizer vs the batch gaps-and-islands
+    twin. Sessions closed in-batch are always emitted; each user's trailing
+    open session is emitted only if its event-time timeout fired before the
+    stream drained — so: emitted ⊆ batch, and the difference is confined to
+    last-sessions-per-user, and every non-last session must be emitted."""
+    from pyspark.sql.window import Window
+
+    from dhs_to_database_spark.streaming.stateful import GAP_US, session_paths
+
+    run_to_memory(session_paths(events_stream), "t_paths")
+    emitted = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"],
+         round(r["total_value"], 6), r["first_type"], r["last_type"])
+        for r in spark.table("t_paths").collect()
+    }
+
+    e = _batch_events(spark).withColumn("us", F.unix_micros("ts"))
+    w = Window.partitionBy("user_id").orderBy("us", "event_type", "value")
+    flagged = e.withColumn(
+        "new_s",
+        (F.coalesce(F.col("us") - F.lag("us").over(w), F.lit(0)) > GAP_US).cast("int"),
+    ).withColumn("sess", F.sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    ordkey = F.struct("us", "event_type", "value")
+    batch = (
+        flagged.groupBy("user_id", "sess")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("total_value"),
+            F.min_by("event_type", ordkey).alias("first_type"),
+            F.max_by("event_type", ordkey).alias("last_type"),
+        )
+    )
+    rows = batch.collect()
+    batch_all = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"],
+         round(r["total_value"], 6), r["first_type"], r["last_type"])
+        for r in rows
+    }
+    last_per_user = {}
+    for r in rows:
+        cur = last_per_user.get(r["user_id"])
+        if cur is None or r["session_start"] > cur["session_start"]:
+            last_per_user[r["user_id"]] = r
+    last_set = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"],
+         round(r["total_value"], 6), r["first_type"], r["last_type"])
+        for r in last_per_user.values()
+    }
+    assert emitted <= batch_all, f"spurious sessions: {sorted(emitted - batch_all)[:3]}"
+    assert batch_all - emitted <= last_set
+    assert batch_all - last_set <= emitted, (
+        f"missing closed sessions: {sorted((batch_all - last_set) - emitted)[:3]}"
+    )
