@@ -646,3 +646,81 @@ def flagship_cross_level(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).alias("n_returned"),
         F.sum(F.when(F.col("l_quantity") >= 25, 1).otherwise(0)).alias("n_bulk"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Extension: as-of join (SURVEY.md §2.B tail note — interval/temporal
+# semantics the reference's data model implies but Spark lacks natively).
+# For each purchase event, the most recent view (ts <= purchase ts) by the
+# same user. Implemented as union + ordered window with last(ignoreNulls):
+# ONE shuffle on user_id, no join, no per-key explode — the scale-correct
+# formulation (a range self-join would be quadratic in events-per-user).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "asof_join",
+    oracle="""
+    WITH p AS (
+      SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'
+    ), v AS (
+      SELECT user_id, ts AS view_ts, value AS view_value
+      FROM events WHERE event_type = 'view'
+    )
+    SELECT p.event_id, p.user_id, p.ts, p.value, v.view_ts, v.view_value
+    FROM p ASOF LEFT JOIN v
+      ON p.user_id = v.user_id AND p.ts >= v.view_ts
+    """,
+)
+def asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "view")
+    )
+    # marker orders views before purchases on (impossible-here) ts ties,
+    # matching ASOF's inclusive p.ts >= v.ts
+    u = e.select(
+        "user_id",
+        "ts",
+        (F.col("event_type") == "purchase").cast("int").alias("is_p"),
+        "event_id",
+        "value",
+        F.when(F.col("event_type") == "view", F.col("ts")).alias("v_ts"),
+        F.when(F.col("event_type") == "view", F.col("value")).alias("v_val"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_p")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        u.withColumn("view_ts", F.last("v_ts", ignorenulls=True).over(w))
+        .withColumn("view_value", F.last("v_val", ignorenulls=True).over(w))
+        .filter(F.col("is_p") == 1)
+        .select("event_id", "user_id", "ts", "value", "view_ts", "view_value")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Extension: hierarchical rollup (subtotals + grand total in one pass) —
+# Spark computes all grouping sets in a single shuffle with partial aggs.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "rollup_agg",
+    oracle="""
+    SELECT o_orderpriority, o_orderstatus,
+           COUNT(*) AS n_orders,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_price
+    FROM orders
+    GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+    """,
+)
+def rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.rollup("o_orderpriority", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        _money(F.sum(_dec("o_totalprice"))).alias("total_price"),
+    )
