@@ -27,6 +27,9 @@ BENCH_QUERIES = [
     "dedup_exact",
     "minhash_near_dup",
     "embedding_topk",
+    "embedding_cosine_near_dup",
+    "asof_join",
+    "rollup_agg",
     "token_count",
     "tumbling_window",
 ]
