@@ -35,6 +35,7 @@ BENCH_QUERIES = [
     "asof_join",
     "rollup_agg",
     "token_count",
+    "winnowing_fingerprint",
     "tumbling_window",
 ]
 
