@@ -158,3 +158,81 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return media.mapInPandas(run, schema)
+
+
+# ---------------------------------------------------------------------------
+# Frame sampling: a "video" payload is a sequence of fixed-width frames;
+# sample every Nth frame and fingerprint it. Plumbing is the point: the
+# explode-to-frames shape (media row -> frame rows), deterministic frame
+# addressing, and a digest per sampled frame — all JVM-side (sequence +
+# posexplode + substring + md5), zero Python. Frames here are
+# _FRAME_CHARS-char chunks of the text payload (a deterministic fake; a
+# real video codec would slice byte ranges the same way).
+# ---------------------------------------------------------------------------
+
+_FRAME_CHARS = 256
+_FRAME_EVERY = 4
+
+
+@query(
+    "frame_sample",
+    oracle=f"""
+    WITH f AS (
+      SELECT doc_id AS media_id,
+             unnest(range(0, CAST(ceil(length(text) / {_FRAME_CHARS}.0) AS BIGINT))) AS frame_idx,
+             text
+      FROM documents
+    )
+    SELECT media_id, frame_idx,
+           md5(substr(text, CAST(frame_idx * {_FRAME_CHARS} + 1 AS BIGINT), {_FRAME_CHARS})) AS frame_digest
+    FROM f WHERE frame_idx % {_FRAME_EVERY} = 0
+    """,
+)
+def frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    n_frames = F.ceil(F.length("text") / F.lit(float(_FRAME_CHARS))).cast("bigint")
+    frames = d.select(
+        F.col("doc_id").alias("media_id"),
+        "text",
+        F.explode(F.sequence(F.lit(0), n_frames - 1)).alias("frame_idx"),
+    ).filter(F.col("frame_idx") % _FRAME_EVERY == 0)
+    return frames.select(
+        "media_id",
+        "frame_idx",
+        F.md5(
+            F.encode(
+                F.expr(f"substring(text, CAST(frame_idx * {_FRAME_CHARS} + 1 AS INT), {_FRAME_CHARS})"),
+                "utf-8",
+            )
+        ).alias("frame_digest"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Resize: decoded-dimension transform (aspect-preserving fit into a square
+# box). Runs on the decode output, so the payload bytes are read once; the
+# arithmetic is deterministic so tests pin it without a real image library.
+# ---------------------------------------------------------------------------
+
+
+def resize_media(decoded: DataFrame, max_dim: int = 64) -> DataFrame:
+    """Aspect-preserving resize plan over decoded metadata: the longer side
+    becomes ``max_dim`` (never upscales), the shorter side scales
+    proportionally (floor, min 1). A real pipeline would apply the same
+    scale to the pixel buffer inside the decode mapInPandas; the dimension
+    arithmetic — the schema contract downstream models consume — is
+    identical."""
+    # pin the longer side to the box and derive the shorter side from it:
+    # short*new_long/long is exact-enough in double for realistic dims,
+    # whereas floor(long * (max_dim/long)) hits 63.999.. -> 63 artifacts
+    long_side = F.greatest("width", "height").cast("long")
+    short_side = F.least("width", "height").cast("long")
+    new_long = F.least(F.lit(max_dim).cast("long"), long_side)
+    new_short = F.greatest(
+        F.lit(1).cast("long"), F.floor(short_side * new_long / long_side).cast("long")
+    )
+    new_w = F.when(F.col("width") >= F.col("height"), new_long).otherwise(new_short)
+    new_h = F.when(F.col("width") >= F.col("height"), new_short).otherwise(new_long)
+    return decoded.withColumn("resized_width", new_w.cast("int")).withColumn(
+        "resized_height", new_h.cast("int")
+    )

@@ -44,3 +44,25 @@ def test_decode_with_fake_codec_is_deterministic(spark):
         )
         assert got["digest"] == hashlib.md5(payload).hexdigest()
         assert got["n_channels"] == 3
+
+
+def test_resize_dimension_contract(spark):
+    from dhs_to_database_spark.operators.multimodal import resize_media
+
+    media = documents_as_media(spark, SF_DIR).limit(20)
+    decoded = decode_media(media, fake_codec)
+    rows = resize_media(decoded, max_dim=64).collect()
+    assert rows
+    for r in rows:
+        w, h, rw, rh = r["width"], r["height"], r["resized_width"], r["resized_height"]
+        assert max(rw, rh) <= 64
+        assert rw <= w and rh <= h  # never upscale
+        if max(w, h) > 64:
+            assert max(rw, rh) == 64  # longer side fits the box exactly
+        else:
+            assert (rw, rh) == (w, h)  # small images untouched
+        # aspect preserved: short side derived from the pinned long side
+        new_long = min(64, max(w, h))
+        new_short = max(1, min(w, h) * new_long // max(w, h))
+        want = (new_long, new_short) if w >= h else (new_short, new_long)
+        assert (rw, rh) == want
