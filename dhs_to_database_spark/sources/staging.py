@@ -1,0 +1,161 @@
+"""Download staging: zip extraction, manifest parsing, reconciliation —
+SURVEY.md §2.A A1-A4, A18, A31.
+
+Reference behavior (lib02_Unzip_And_Organise_Downloads.py):
+- A1 ``unzip_and_sort`` (:8-30): extract zip members flat, prefix
+  ``<surveyid>.`` onto each filename, skip members already extracted
+  (A18 idempotency).
+- A2 ``parse_download_spec`` (:33-46): the DHS download manager writes one
+  URL per line; the query string carries Filename/Ctry_Code/surv_id.
+- A3 ``organise_batch_downloaded`` (:49-76): case-insensitive ``*.zip``
+  listing, then both anti-joins — files on disk missing from the manifest,
+  and manifest entries never downloaded.
+- A31 encoding-fallback read (04 nb raw :440-444): retry cp1252 on
+  UnicodeDecodeError.
+
+Spark split: zip extraction is driver/worker *file prep* (not a dataframe
+op — at scale it runs inside ``binaryFile``-sourced tasks or an external
+unpack step); manifest parsing and reconciliation are real DataFrame jobs
+(str_to_map over the query string; left-anti joins).
+"""
+
+from __future__ import annotations
+
+import os
+import zipfile
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------------------
+# A1 + A18 — zip extract with surveyid prefix, idempotent per member.
+# ---------------------------------------------------------------------------
+
+
+def stage_zip(zip_path: str, survey_num: str, out_folder: str) -> list[str]:
+    """Extract a survey zip flat into ``out_folder/<survey_num>/``, naming
+    each member ``<survey_num>.<basename>``; members whose target already
+    exists are skipped (idempotent re-runs). Returns all target paths."""
+    if ".zip" not in zip_path.lower():
+        raise ValueError(f"not a zip file: {zip_path!r}")
+    out_dir = Path(out_folder) / survey_num
+    out_dir.mkdir(parents=True, exist_ok=True)
+    staged: list[str] = []
+    with zipfile.ZipFile(zip_path) as zf:
+        for member in zf.namelist():
+            if member.endswith("/"):
+                continue
+            target = out_dir / f"{survey_num}.{member.split('/')[-1]}"
+            if not target.exists():
+                with zf.open(member) as src, open(target, "wb") as dst:
+                    dst.write(src.read())
+            staged.append(str(target))
+    return staged
+
+
+# ---------------------------------------------------------------------------
+# A2 — download-manifest parse (one URL per line, query-string params).
+# ---------------------------------------------------------------------------
+
+
+def parse_download_manifest(spark: SparkSession, path: str) -> DataFrame:
+    """URL lines -> (filename, country, surveyid); filename uppercased (the
+    manifest and the filesystem disagree on case)."""
+    lines = spark.read.text(path)
+    params = F.expr("str_to_map(split(value, '\\\\?')[1], '&', '=')")
+    return (
+        lines.select(params.alias("p"))
+        .select(
+            F.upper(F.col("p")["Filename"]).alias("filename"),
+            F.upper(F.col("p")["Ctry_Code"]).alias("country"),
+            F.col("p")["surv_id"].alias("surveyid"),
+        )
+        .filter(F.col("filename").isNotNull())
+    )
+
+
+# ---------------------------------------------------------------------------
+# A3 — case-insensitive zip listing + both-direction reconciliation.
+# ---------------------------------------------------------------------------
+
+
+def list_zips(spark: SparkSession, folder: str) -> DataFrame:
+    """All ``*.zip`` files in ``folder`` (case-insensitive), one row each."""
+    names = [
+        f for f in os.listdir(folder)
+        if os.path.isfile(os.path.join(folder, f)) and f.lower().endswith(".zip")
+    ]
+    if not names:
+        return spark.createDataFrame([], "filename string, path string")
+    return spark.createDataFrame(
+        [(n.upper(), os.path.join(folder, n)) for n in names], "filename string, path string"
+    )
+
+
+def reconcile_downloads(
+    manifest: DataFrame, on_disk: DataFrame
+) -> tuple[DataFrame, DataFrame]:
+    """(manifest entries never downloaded, files on disk with no manifest
+    entry) — the reference's two skip-with-warning lists (lib02:66-75)."""
+    not_downloaded = manifest.join(on_disk, "filename", "left_anti")
+    unknown_files = on_disk.join(manifest, "filename", "left_anti")
+    return not_downloaded, unknown_files
+
+
+def stage_batch(
+    spark: SparkSession, manifest_path: str, downloads_folder: str, staging_folder: str
+) -> list[str]:
+    """Batch mode: stage every on-disk zip the manifest knows, keyed to its
+    manifest surveyid (EP1 in SURVEY.md §3)."""
+    manifest = parse_download_manifest(spark, manifest_path)
+    disk = list_zips(spark, downloads_folder)
+    known = {r["filename"]: r["surveyid"] for r in manifest.collect()}
+    staged: list[str] = []
+    for row in disk.collect():
+        sid = known.get(row["filename"])
+        if sid is None:
+            continue  # unknown file; surfaced by reconcile_downloads
+        staged.extend(stage_zip(row["path"], sid, os.path.join(staging_folder, "downloaded")))
+    return staged
+
+
+def stage_manual(spark: SparkSession, downloads_folder: str, staging_folder: str) -> list[str]:
+    """Manual mode: surveyid is the filename's first dot-component
+    (lib02:79-92)."""
+    disk = list_zips(spark, downloads_folder)
+    staged: list[str] = []
+    for row in disk.collect():
+        sid = os.path.basename(row["path"]).split(".")[0]
+        staged.extend(stage_zip(row["path"], sid, os.path.join(staging_folder, "downloaded")))
+    return staged
+
+
+# ---------------------------------------------------------------------------
+# A31 — encoding-fallback read.
+# ---------------------------------------------------------------------------
+
+
+def sniff_encoding(path: str, encodings: tuple[str, ...] = ("utf-8", "cp1252"), probe_bytes: int = 1 << 20) -> str:
+    """First encoding that cleanly decodes the file's leading bytes (the
+    reference retries the whole read on UnicodeDecodeError; at scale we
+    sniff a bounded prefix on the driver and let executors decode)."""
+    with open(path, "rb") as f:
+        head = f.read(probe_bytes)
+    for enc in encodings:
+        try:
+            head.decode(enc)
+            return enc
+        except UnicodeDecodeError:
+            continue
+    return encodings[-1]  # cp1252 maps every byte; same terminal fallback as the reference
+
+
+def read_csv_with_fallback(spark: SparkSession, path: str, **options) -> DataFrame:
+    enc = sniff_encoding(path)
+    if enc not in ("utf-8", "us-ascii", "iso-8859-1"):
+        # Spark 4 whitelists charsets; cp1252 needs the legacy JVM-charset
+        # behavior (set on the live session — the driver's won't have it)
+        spark.conf.set("spark.sql.legacy.javaCharsets", "true")
+    return spark.read.options(encoding=enc, **options).csv(path)
