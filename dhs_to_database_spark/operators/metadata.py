@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..sources.tables import load_table
+from ..sources.tables import TABLE_NAMES, load_table
 from .registry import query
 
 # ---------------------------------------------------------------------------
@@ -187,3 +187,33 @@ def rowcount_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("status")
         .agg(F.count(F.lit(1)).alias("n_orders"))
     )
+
+
+# ---------------------------------------------------------------------------
+# B25 — DDL-as-data / catalog introspection. The reference interrogates
+# information_schema.columns/tables before every load (lib04:46-66,
+# :209-212, :370-375); Spark's catalog is the same metadata surfaced as
+# API. Catalog metadata is driver-side by nature — the DataFrame here is
+# built from spark.catalog.listColumns, then compared against DuckDB's
+# information_schema over the identically-registered views.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "catalog_introspect",
+    oracle=f"""
+    SELECT table_name, column_name, CAST(ordinal_position AS BIGINT) AS ordinal
+    FROM information_schema.columns
+    WHERE table_name IN ({", ".join(repr(t) for t in TABLE_NAMES)})
+    """,
+)
+def catalog_introspect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    rows = [
+        (t, c.name, i + 1)
+        for t in TABLE_NAMES
+        for i, c in enumerate(spark.catalog.listColumns(t))
+    ]
+    return spark.createDataFrame(rows, "table_name string, column_name string, ordinal bigint")
