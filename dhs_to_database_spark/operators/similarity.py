@@ -181,3 +181,94 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= _TOP_K)
         .select("query_id", "neighbor_id", "rank", F.round("cos", 6).cast("double").alias("cosine_sim"))
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF-Flat ANN: coarse quantizer -> inverted cells -> multi-probe + exact
+# re-rank. The second classic ANN scale path next to hyperplane LSH: at
+# 100 TB the cell assignment is a stored column (cluster once, reuse), a
+# query touches n_probe/n_cells of the corpus, and cells give Spark a
+# natural partition/bucket key so a probe is a partition-pruned scan.
+# Centroids here are a deterministic id-stride sample (k-means iterations
+# would refine them; on an isotropic benchmark corpus they add nothing and
+# cost a cluster pass — on real clustered embeddings swap in
+# pyspark.ml.clustering.KMeans and keep everything downstream unchanged).
+# ---------------------------------------------------------------------------
+
+_IVF_CELLS = 32
+_IVF_PROBES = 10
+
+
+def ivf_assign(emb: DataFrame, centroids: "list[tuple[int, list[float]]]") -> DataFrame:
+    """Add the nearest-centroid ``cell`` id to every vector (vectorized
+    numpy over Arrow batches; at scale this runs once and is stored)."""
+    import pandas as pd
+
+    def assign(batches):
+        import numpy as np
+
+        cm = np.stack([np.asarray(c, dtype=np.float64) for _, c in centroids])
+        cm /= np.linalg.norm(cm, axis=1, keepdims=True)
+        cell_ids = np.asarray([cid for cid, _ in centroids])
+        for pdf in batches:
+            m = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            m /= np.linalg.norm(m, axis=1, keepdims=True)
+            best = (m @ cm.T).argmax(axis=1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "embedding": pdf["embedding"],
+                    "cell": cell_ids[best],
+                }
+            )
+
+    return emb.select("vec_id", "embedding").mapInPandas(
+        assign, schema="vec_id bigint, embedding array<float>, cell bigint"
+    )
+
+
+@query("ann_ivf_topk")  # approximate: rows-only check; recall pinned in tests
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    # deterministic coarse centroids: every (N // _IVF_CELLS)-th vector
+    n = emb.count()
+    stride = max(n // _IVF_CELLS, 1)
+    centroid_rows = (
+        emb.filter((F.col("vec_id") % stride == 0) & (F.col("vec_id") < stride * _IVF_CELLS))
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    centroids = [(i, list(r["embedding"])) for i, r in enumerate(centroid_rows)]
+
+    assigned = ivf_assign(emb, centroids).persist()
+
+    # probe list per query: the _IVF_PROBES nearest cells by centroid cosine
+    q = assigned.filter(F.col("vec_id") < _N_QUERIES).select("vec_id", "embedding")
+    cdf = spark.createDataFrame(
+        [(cid, vec) for cid, vec in centroids], "cell bigint, centroid array<float>"
+    )
+    qc = q.crossJoin(F.broadcast(cdf)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        "cell",
+        cosine("embedding", "centroid").alias("ccos"),
+    )
+    wp = Window.partitionBy("query_id").orderBy(F.desc("ccos"), F.asc("cell"))
+    probes = qc.withColumn("p", F.row_number().over(wp)).filter(F.col("p") <= _IVF_PROBES)
+
+    cand = (
+        assigned.join(F.broadcast(probes.select("query_id", "qe", "cell")), "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "qe", F.col("vec_id").alias("neighbor_id"), "embedding")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        cand.select("query_id", "neighbor_id", cosine("qe", "embedding").alias("cos"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _TOP_K)
+        .select(
+            "query_id", "neighbor_id", "rank", F.round("cos", 6).cast("double").alias("cosine_sim")
+        )
+    )

@@ -89,3 +89,18 @@ def test_partitioned_sink_prunes(spark, tmp_path):
     assert back.count() == 25
     plan = back._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
     assert "PartitionFilters: [isnotnull(surveyid" in plan
+
+
+def test_ivf_recall_vs_brute_force(spark):
+    """IVF multi-probe should recover most of the exact top-5 (probing
+    10/32 cells on an isotropic corpus — the ANN worst case)."""
+    from dhs_to_database_spark.operators.similarity import ann_ivf_topk
+
+    exact = {
+        (r["query_id"], r["neighbor_id"]) for r in embedding_topk(spark, SF_DIR).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"]) for r in ann_ivf_topk(spark, SF_DIR).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"IVF recall too low: {recall:.2f}"
