@@ -106,7 +106,13 @@ def overwrite_survey_partition(
 
 def read_evolved(spark: SparkSession, dest: str) -> DataFrame:
     """Read a table whose per-partition schemas may differ (mergeSchema:
-    the Spark-native union-of-columns, doc/Data_Format.md:212-217)."""
+    the Spark-native union-of-columns, doc/Data_Format.md:212-217).
+
+    Partition-column type inference is disabled for the read: ``surveyid``
+    is a STRING everywhere in this engine (the reference's all-varchar rule,
+    doc/Data_Format.md:222) and inference would silently turn a directory of
+    numeric survey ids into ints, breaking joins against the string keys."""
+    spark.conf.set("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
     return spark.read.option("mergeSchema", "true").parquet(dest)
 
 

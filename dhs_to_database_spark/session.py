@@ -43,6 +43,9 @@ def get_spark(app_name: str = "dhs_to_database_spark", cpus: int | None = None) 
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # surveyid partition dirs must stay STRING (the reference's
+        # all-varchar rule) — inference would coerce numeric ids to int
+        .config("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
         # events.parquet carries TIMESTAMP(NANOS); Spark reads it as raw
         # nanos-since-epoch long, converted back to a timestamp in load_events.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
