@@ -217,3 +217,41 @@ def catalog_introspect(spark: SparkSession, sf_dir: str) -> DataFrame:
         for i, c in enumerate(spark.catalog.listColumns(t))
     ]
     return spark.createDataFrame(rows, "table_name string, column_name string, ordinal bigint")
+
+
+# ---------------------------------------------------------------------------
+# A10 (query surface) — fuzzy label similarity. The reference warns when a
+# valueset label drifts from its item label (difflib ratio > 0.7,
+# DCF_Parser.py:278-288); the set-based version is an edit-distance QA scan:
+# flag part names whose type string is suspiciously similar/dissimilar.
+# levenshtein is a JVM builtin — the scan stays in whole-stage codegen.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "label_similarity",
+    oracle="""
+    SELECT p_partkey, p_name, p_type,
+           levenshtein(p_name, p_type) AS edit_dist,
+           CAST(ROUND(1.0 - CAST(levenshtein(p_name, p_type) AS DECIMAL(18,6))
+                            / greatest(length(p_name), length(p_type)), 4) AS DOUBLE)
+             AS similarity
+    FROM part
+    WHERE p_partkey < 200
+    """,
+)
+def label_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") < 200)
+    dist = F.levenshtein("p_name", "p_type")
+    sim = F.round(
+        F.lit(1.0)
+        - dist.cast("decimal(18,6)") / F.greatest(F.length("p_name"), F.length("p_type")),
+        4,
+    ).cast("double")
+    return p.select(
+        "p_partkey",
+        "p_name",
+        "p_type",
+        dist.alias("edit_dist"),
+        sim.alias("similarity"),
+    )
