@@ -89,3 +89,34 @@ def run_to_memory(df: DataFrame, name: str, output_mode: str = "append") -> None
         .start()
     )
     q.awaitTermination()
+
+
+def stream_to_partitioned(
+    df: DataFrame,
+    dest: str,
+    checkpoint: str,
+    partition_cols: tuple[str, ...] = ("event_type",),
+    available_now: bool = True,
+):
+    """Stream sink -> partitioned parquet via foreachBatch.
+
+    foreachBatch rather than the native file sink so each micro-batch can
+    use DYNAMIC partition overwrite: replaying a batch after a failure
+    rewrites exactly the partitions it touches (idempotent restarts, the
+    streaming analogue of the reference's drop-and-reload A22), while the
+    checkpoint guarantees each source file is processed once. The native
+    file sink can only append, which duplicates rows on replay.
+    """
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        batch_df.write.mode("overwrite").partitionBy(*partition_cols).parquet(dest)
+
+    writer = df.writeStream.foreachBatch(write_batch).option("checkpointLocation", checkpoint)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    q = writer.start()
+    if available_now:
+        q.awaitTermination()
+    return q

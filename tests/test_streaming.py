@@ -135,3 +135,21 @@ def test_stateful_sessionizer_matches_batch_islands(spark, events_stream):
     assert batch_all - last_set <= emitted, (
         f"missing closed sessions: {sorted((batch_all - last_set) - emitted)[:3]}"
     )
+
+
+def test_stream_to_partitioned_sink(spark, events_stream, tmp_path):
+    from dhs_to_database_spark.streaming.events import stream_to_partitioned
+
+    dest = str(tmp_path / "events_out")
+    ckpt = str(tmp_path / "ckpt")
+    stream_to_partitioned(events_stream, dest, ckpt)
+    out = spark.read.parquet(dest)
+    batch = _batch_events(spark)
+    assert out.count() == batch.count()
+    # partition layout by event_type, content preserved
+    got = {r["event_type"]: r["n"] for r in out.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()}
+    want = {r["event_type"]: r["n"] for r in batch.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert got == want
+    # restart with same checkpoint: no new data -> no duplication
+    stream_to_partitioned(events_stream, dest, ckpt)
+    assert spark.read.parquet(dest).count() == batch.count()
