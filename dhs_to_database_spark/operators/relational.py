@@ -724,3 +724,62 @@ def rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         _money(F.sum(_dec("o_totalprice"))).alias("total_price"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Extension: multiset set-ops (EXCEPT ALL / INTERSECT ALL). Not in the
+# reference's SQL surface (SURVEY.md §2.B tail note) but part of any
+# complete relational engine; Spark plans both as aggregation+generate
+# (sum of per-side counts), one shuffle each.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "except_intersect_all",
+    oracle="""
+    WITH cur AS (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'),
+         done AS (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+    SELECT 'only_open' AS side, o_custkey, COUNT(*) AS n FROM (
+      SELECT o_custkey FROM cur EXCEPT ALL SELECT o_custkey FROM done
+    ) GROUP BY o_custkey
+    UNION ALL
+    SELECT 'both' AS side, o_custkey, COUNT(*) AS n FROM (
+      SELECT o_custkey FROM cur INTERSECT ALL SELECT o_custkey FROM done
+    ) GROUP BY o_custkey
+    """,
+)
+def except_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    cur = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    done = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    only_open = (
+        cur.exceptAll(done)
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("only_open").alias("side"), "o_custkey", "n")
+    )
+    both = (
+        cur.intersectAll(done)
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("both").alias("side"), "o_custkey", "n")
+    )
+    return only_open.unionByName(both)
+
+
+# ---------------------------------------------------------------------------
+# Extension: approximate distinct-count sketch (HyperLogLog++). THE
+# cardinality primitive at 100 TB — one narrow scan, constant memory per
+# group, mergeable partial sketches. Approximate by construction, so it
+# registers rows-only; the accuracy contract (rsd) is pinned by a unit
+# test against exact counts.
+# ---------------------------------------------------------------------------
+
+
+@query("approx_distinct_customers")  # approximate: rows-only check
+def approx_distinct_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.approx_count_distinct("o_custkey", rsd=0.02).alias("n_customers_approx"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )

@@ -104,3 +104,24 @@ def test_ivf_recall_vs_brute_force(spark):
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.5, f"IVF recall too low: {recall:.2f}"
+
+
+def test_approx_distinct_within_rsd(spark):
+    """HLL++ estimate must sit within a few rsd of the exact count."""
+    from dhs_to_database_spark.operators.relational import approx_distinct_customers
+    from dhs_to_database_spark.sources.tables import load_table
+
+    got = {
+        r["o_orderpriority"]: r["n_customers_approx"]
+        for r in approx_distinct_customers(spark, SF_DIR).collect()
+    }
+    exact = {
+        r["o_orderpriority"]: r["n"]
+        for r in load_table(spark, SF_DIR, "orders")
+        .groupBy("o_orderpriority")
+        .agg(F.countDistinct("o_custkey").alias("n"))
+        .collect()
+    }
+    assert set(got) == set(exact)
+    for k, est in got.items():
+        assert abs(est - exact[k]) / exact[k] <= 0.08, (k, est, exact[k])
