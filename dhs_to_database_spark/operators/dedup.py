@@ -73,11 +73,14 @@ _JACCARD_LIMIT = 200  # bounded all-pairs slice; the scale path is MinHash
 _JACCARD_THRESHOLD = 0.5
 
 
-def char_shingles(t: Column, n: int = 4) -> Column:
-    """Array of character n-grams of ``t`` (expects length(t) >= n)."""
-    return F.expr(f"transform(sequence(1, length(t) - {n - 1}), i -> substring(t, i, {n}))").alias(
-        "shingles"
-    )
+def char_shingles(col_name: str = "t", n: int = 4) -> Column:
+    """Array of character n-grams of the column NAMED ``col_name`` (expects
+    length >= n). Takes a name, not a Column: the expression must reference
+    the column by name inside the lambda."""
+    return F.expr(
+        f"transform(sequence(1, length({col_name}) - {n - 1}),"
+        f" i -> substring({col_name}, i, {n}))"
+    ).alias("shingles")
 
 
 @query(
@@ -111,7 +114,7 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.filter((F.col("doc_id") < _JACCARD_LIMIT) & (F.length("text") >= 4))
         .select("doc_id", F.lower("text").alias("t"))
     )
-    sh = docs.select("doc_id", F.explode(char_shingles(F.col("t"))).alias("sh")).distinct()
+    sh = docs.select("doc_id", F.explode(char_shingles("t")).alias("sh")).distinct()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "sh")
     b = sh.select(F.col("doc_id").alias("doc_b"), "sh")

@@ -189,7 +189,10 @@ _FRAME_EVERY = 4
     """,
 )
 def frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    # empty docs have zero frames: without the guard, sequence(0, -1)
+    # counts DOWN ([0, -1]) and would emit a phantom frame the oracle's
+    # empty range(0, 0) does not
+    d = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
     n_frames = F.ceil(F.length("text") / F.lit(float(_FRAME_CHARS))).cast("bigint")
     frames = d.select(
         F.col("doc_id").alias("media_id"),

@@ -126,12 +126,15 @@ def spec_diff(left: DataFrame, right: DataFrame, keys: list[str]) -> DataFrame:
     for a, b in zip(lk, rk):
         c = a.eqNullSafe(b)
         cond = c if cond is None else (cond & c)
-    l = left.alias("l")
-    r = right.alias("r")
+    # presence markers, NOT key nullness: the join is null-safe, so a key
+    # value may legitimately be NULL on a present row — key nullness would
+    # misclassify such rows
+    l = left.withColumn("__l__", F.lit(True)).alias("l")
+    r = right.withColumn("__r__", F.lit(True)).alias("r")
     return l.join(r, cond, "full_outer").select(
         *[F.coalesce(a, b).alias(k) for k, a, b in zip(keys, lk, rk)],
-        F.when(lk[0].isNotNull() & rk[0].isNotNull(), "both")
-        .when(lk[0].isNotNull(), "left_only")
+        F.when(F.col("l.__l__").isNotNull() & F.col("r.__r__").isNotNull(), "both")
+        .when(F.col("l.__l__").isNotNull(), "left_only")
         .otherwise("right_only")
         .alias("_merge"),
     )
@@ -149,7 +152,7 @@ def validate_widths(df: DataFrame, items_df: DataFrame, record_name: str) -> Dat
     rows = melted.collect()[0].asDict() if actuals else {}
     actual_df = df.sparkSession.createDataFrame(
         [(k.lower(), int(v) if v is not None else 0) for k, v in rows.items()],
-        ["name", "actual_len"],
+        "name string, actual_len bigint",  # explicit: empty lists can't infer
     )
     return (
         actual_df.join(spec, "name", "inner")

@@ -40,6 +40,10 @@ def salted_join(
     """
     if not on:
         raise ValueError("salted_join needs at least one join column")
+    if how.replace("outer", "").strip("_") in ("right", "full", ""):
+        # replicating the small side breaks right/full outer semantics:
+        # an unmatched small-side row would surface once per salt
+        raise ValueError(f"salted_join preserves inner/left/semi/anti only, not {how!r}")
     big_s = big.withColumn(SALT_COL, (F.rand(seed=42) * n_salts).cast("int"))
     small_s = small.withColumn(
         SALT_COL, F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))

@@ -200,7 +200,7 @@ def parse_dcf_text(
     relation = _RelationState()
 
     def close_chunk(lineno: int) -> None:
-        nonlocal skipping, chunk, pending_values, pending_ranges
+        nonlocal skipping, chunk, chunk_type, pending_values, pending_ranges
         nonlocal level_name, level_label, file_zero_fill, file_dec_char
         nonlocal record_name, record_label, record_type_value
         if skipping:
@@ -327,6 +327,10 @@ def parse_dcf_text(
                 emitted["FileCode"] = filecode
                 out.relations.append(emitted)
         chunk = {}
+        # a close consumes the section: consecutive blank lines (or a
+        # trailing blank line followed by the EOF close) must be no-ops,
+        # not a replay of the section-close side effects
+        chunk_type = "None"
 
     for lineno, raw in enumerate(text.splitlines(), start=1):
         line = raw.rstrip("\r\n")
@@ -490,10 +494,10 @@ def parse_dcf_files(
 
 def _decode_bytes(content: bytes) -> str:
     """Decode with a light-weight sniff (reference uses chardet, A4): try
-    UTF-8 (with BOM), fall back to cp1252 which never fails."""
-    for enc in ("utf-8-sig", "utf-8"):
-        try:
-            return content.decode(enc)
-        except UnicodeDecodeError:
-            continue
-    return content.decode("cp1252", errors="replace")
+    UTF-8 (utf-8-sig also strips a BOM when present; it accepts exactly the
+    byte strings plain utf-8 accepts), fall back to cp1252 which never
+    fails."""
+    try:
+        return content.decode("utf-8-sig")
+    except UnicodeDecodeError:
+        return content.decode("cp1252", errors="replace")

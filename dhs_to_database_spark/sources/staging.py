@@ -143,11 +143,17 @@ def sniff_encoding(path: str, encodings: tuple[str, ...] = ("utf-8", "cp1252"), 
     sniff a bounded prefix on the driver and let executors decode)."""
     with open(path, "rb") as f:
         head = f.read(probe_bytes)
+    truncated = len(head) == probe_bytes
     for enc in encodings:
         try:
             head.decode(enc)
             return enc
-        except UnicodeDecodeError:
+        except UnicodeDecodeError as e:
+            # a multi-byte char straddling the probe boundary is not a
+            # decode failure — accept the encoding rather than mojibake
+            # the whole file through a laxer fallback
+            if truncated and e.start >= len(head) - 4:
+                return enc
             continue
     return encodings[-1]  # cp1252 maps every byte; same terminal fallback as the reference
 

@@ -100,18 +100,27 @@ def stream_to_partitioned(
 ):
     """Stream sink -> partitioned parquet via foreachBatch.
 
-    foreachBatch rather than the native file sink so each micro-batch can
-    use DYNAMIC partition overwrite: replaying a batch after a failure
-    rewrites exactly the partitions it touches (idempotent restarts, the
-    streaming analogue of the reference's drop-and-reload A22), while the
-    checkpoint guarantees each source file is processed once. The native
-    file sink can only append, which duplicates rows on replay.
+    foreachBatch rather than the native file sink so replaying a batch
+    after a failure rewrites exactly the data it wrote before (idempotent
+    restarts, the streaming analogue of the reference's drop-and-reload
+    A22). The native file sink can only append, which duplicates rows on
+    replay. The physical partitioning is (partition_cols..., __batch_id__):
+    the batch id must be part of the overwrite key, because two different
+    micro-batches can both write to e.g. event_type=click — dynamic
+    overwrite on event_type alone would make batch N silently delete
+    batch N-1's rows. With the batch id in the key, a replayed batch
+    overwrites only its own partitions and distinct batches accumulate.
     """
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        batch_df.write.mode("overwrite").partitionBy(*partition_cols).parquet(dest)
+        (
+            batch_df.withColumn("__batch_id__", F.lit(batch_id))
+            .write.mode("overwrite")
+            .partitionBy(*partition_cols, "__batch_id__")
+            .parquet(dest)
+        )
 
     writer = df.writeStream.foreachBatch(write_batch).option("checkpointLocation", checkpoint)
     if available_now:

@@ -233,3 +233,17 @@ def test_parse_dcf_files_spark(spark, tmp_path):
     assert icounts["511.TESTFC"] == icounts["512.OTHERFC"] > 0
     assert relations.count() == 4  # 2 per file
     assert values.filter("Name = 'HV006'").count() == 24  # 12 per file
+
+
+def test_trailing_and_double_blank_lines_are_noops():
+    """A DCF ending in blank lines (or with doubled separators) must parse
+    identically to the canonical form — section closes may not replay."""
+    from tests.fixtures_cspro import DCF_TEXT
+
+    base = parse_dcf_text("TESTFC", DCF_TEXT)
+    trailing = parse_dcf_text("TESTFC", DCF_TEXT + "\n\n\n")
+    doubled = parse_dcf_text("TESTFC", DCF_TEXT.replace("\n\n", "\n\n\n"))
+    for variant in (trailing, doubled):
+        assert variant.items == base.items
+        assert variant.values == base.values
+        assert variant.relations == base.relations

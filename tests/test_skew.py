@@ -53,3 +53,12 @@ def test_size_class_repartition_preserves_rows(spark):
     out = repartition_by_size_class(df, "n_bytes", 8)
     assert out.count() == 1000
     assert set(out.columns) == {"id", "n_bytes"}
+
+
+def test_salted_join_rejects_outer_modes(spark):
+    import pytest
+
+    big, small = _skewed(spark)
+    for how in ("right", "full", "outer", "full_outer", "right_outer"):
+        with pytest.raises(ValueError, match="inner/left"):
+            salted_join(big, small, ["k"], how=how)

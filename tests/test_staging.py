@@ -78,3 +78,11 @@ def test_encoding_fallback(spark, tmp_path):
     u = tmp_path / "utf8.csv"
     u.write_text("name,city\nJosé,Montréal\n", encoding="utf-8")
     assert sniff_encoding(str(u)) == "utf-8"
+
+
+def test_sniff_tolerates_truncated_multibyte_at_probe_boundary(tmp_path):
+    p = tmp_path / "big_utf8.txt"
+    # valid utf-8 whose probe-sized prefix ends mid-character
+    body = ("é" * 600).encode("utf-8")  # 1200 bytes of 2-byte chars
+    p.write_bytes(body)
+    assert sniff_encoding(str(p), probe_bytes=101) == "utf-8"  # odd cut = half a char

@@ -153,3 +153,38 @@ def test_stream_to_partitioned_sink(spark, events_stream, tmp_path):
     # restart with same checkpoint: no new data -> no duplication
     stream_to_partitioned(events_stream, dest, ckpt)
     assert spark.read.parquet(dest).count() == batch.count()
+
+
+def test_stream_to_partitioned_multi_batch(spark, tmp_path):
+    """Partitions written by several micro-batches must accumulate, not
+    overwrite each other (the batch id is part of the overwrite key)."""
+    from dhs_to_database_spark.streaming.events import (
+        read_events_stream,
+        stream_to_partitioned,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    batch = _batch_events(spark)
+    # split the corpus into 3 files -> 3 micro-batches with maxFilesPerTrigger=1
+    for i in range(3):
+        batch.filter(F.col("event_id") % 3 == i).coalesce(1).write.parquet(
+            str(src / f"part{i}"), mode="overwrite"
+        )
+    paths = [str(p) for p in src.glob("part*/*.parquet")]
+    import shutil
+
+    for i, p in enumerate(paths):
+        shutil.copy(p, src / f"events{i}.parquet")
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .format("parquet")
+        .option("pathGlobFilter", "events*.parquet")
+        .option("maxFilesPerTrigger", "1")
+        .load(str(src))
+    )
+    dest = str(tmp_path / "out")
+    stream_to_partitioned(stream, dest, str(tmp_path / "ckpt"))
+    out = spark.read.parquet(dest)
+    assert out.count() == batch.count()
+    assert out.select("__batch_id__").distinct().count() == 3
