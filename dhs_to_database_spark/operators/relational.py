@@ -783,3 +783,34 @@ def approx_distinct_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("o_custkey", rsd=0.02).alias("n_customers_approx"),
         F.count(F.lit(1)).alias("n_orders"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Extension: unpivot (wide -> long). THE harmonization shape for the
+# reference's domain — a wide recode table melts to (key, variable, value)
+# rows so cross-survey meaning drift can be joined against the value_descs
+# metadata (README.md:123-127). Spark plans unpivot as Expand: one narrow
+# pass, rows multiply by the number of melted columns, no shuffle.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "unpivot_long",
+    oracle="""
+    SELECT p_partkey, variable, value FROM (
+      SELECT p_partkey, 'p_brand' AS variable, p_brand AS value FROM part
+      UNION ALL
+      SELECT p_partkey, 'p_type', p_type FROM part
+      UNION ALL
+      SELECT p_partkey, 'p_name', p_name FROM part
+    ) WHERE p_partkey < 500
+    """,
+)
+def unpivot_long(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") < 500)
+    return p.unpivot(
+        ids=["p_partkey"],
+        values=["p_brand", "p_type", "p_name"],
+        variableColumnName="variable",
+        valueColumnName="value",
+    )

@@ -126,3 +126,38 @@ def session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         _money(F.sum(_dec("value"))).alias("total_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Analytic window pack: lag/lead (neighbor deltas), ntile (equal-frequency
+# banding), cume_dist (empirical CDF) — one window partition per customer,
+# single exchange. The reference's top-1-per-group (B16) generalizes here.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "window_functions",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           lag(o_orderkey) OVER w AS prev_orderkey,
+           lead(o_orderkey) OVER w AS next_orderkey,
+           ntile(4) OVER w AS quartile,
+           CAST(ROUND(cume_dist() OVER w, 6) AS DOUBLE) AS cdist
+    FROM orders
+    WHERE o_custkey < 500
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)
+    """,
+)
+def window_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 500)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.lag("o_orderkey").over(w).alias("prev_orderkey"),
+        F.lead("o_orderkey").over(w).alias("next_orderkey"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.cume_dist().over(w), 6).cast("double").alias("cdist"),
+    )

@@ -129,3 +129,31 @@ def stream_to_partitioned(
     if available_now:
         q.awaitTermination()
     return q
+
+
+def clicks_before_purchase(events: DataFrame, lookback: str = "1 hour", watermark: str = "2 hours") -> DataFrame:
+    """Stream-stream interval self-join: each purchase paired with the same
+    user's clicks in the preceding ``lookback``. Watermarks on BOTH sides
+    bound the join state (Spark buffers each side only until the other
+    side's watermark passes the interval), so state stays finite on an
+    infinite stream — the canonical attribution-join shape."""
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select("user_id", F.col("ts").alias("purchase_ts"), "event_id", "value")
+        .withWatermark("purchase_ts", watermark)
+    )
+    return purchases.join(
+        clicks,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr(f"INTERVAL {lookback}")),
+    ).select("user_id", "event_id", "purchase_ts", "click_id", "click_ts", "value")

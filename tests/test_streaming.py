@@ -188,3 +188,31 @@ def test_stream_to_partitioned_multi_batch(spark, tmp_path):
     out = spark.read.parquet(dest)
     assert out.count() == batch.count()
     assert out.select("__batch_id__").distinct().count() == 3
+
+
+def test_stream_stream_interval_join_matches_batch(spark, events_stream):
+    from dhs_to_database_spark.streaming.events import clicks_before_purchase
+
+    run_to_memory(clicks_before_purchase(events_stream), "t_ssj")
+    got = {
+        (r["event_id"], r["click_id"]) for r in spark.table("t_ssj").collect()
+    }
+    e = _batch_events(spark)
+    c = e.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    p = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("purchase_ts"), "event_id",
+    )
+    want = {
+        (r["event_id"], r["click_id"])
+        for r in p.join(
+            c,
+            (F.col("user_id") == F.col("c_user"))
+            & (F.col("click_ts") <= F.col("purchase_ts"))
+            & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 1 hour")),
+        ).collect()
+    }
+    assert got == want
+    assert len(got) > 0
