@@ -814,3 +814,62 @@ def unpivot_long(spark: SparkSession, sf_dir: str) -> DataFrame:
         variableColumnName="variable",
         valueColumnName="value",
     )
+
+
+# ---------------------------------------------------------------------------
+# Extension: exact percentiles (sort-based within group). Spark's exact
+# `percentile` and DuckDB's quantile_cont share the same linear
+# interpolation, so the oracle hash-matches bit-for-bit. At very large
+# groups the approx_percentile sketch is the constant-memory alternative
+# (same API shape, bounded error).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "percentile_summary",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(ROUND(quantile_cont(o_totalprice, 0.5), 4) AS DOUBLE) AS median_price,
+           CAST(ROUND(quantile_cont(o_totalprice, 0.9), 4) AS DOUBLE) AS p90_price,
+           COUNT(*) AS n_orders
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def percentile_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).cast("double").alias("median_price"),
+        F.round(F.expr("percentile(o_totalprice, 0.9)"), 4).cast("double").alias("p90_price"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Extension: pivot (long -> wide). The inverse of unpivot_long; Spark's
+# .pivot with an EXPLICIT value list compiles to conditional aggregation
+# in a single shuffle — always pass the list at scale, or Spark runs an
+# extra distinct job to discover it.
+# ---------------------------------------------------------------------------
+
+_STATUSES = ["F", "O", "P"]
+
+
+@query(
+    "pivot_wide",
+    oracle=f"""
+    SELECT o_orderpriority,
+           {", ".join(f"SUM(CASE WHEN o_orderstatus = '{s}' THEN 1 ELSE 0 END) AS n_{s}" for s in _STATUSES)}
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def pivot_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    wide = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", _STATUSES)
+        .agg(F.count(F.lit(1)))
+    )
+    out = wide
+    for s in _STATUSES:
+        out = out.withColumn(f"n_{s}", F.coalesce(F.col(f"`{s}`"), F.lit(0)).cast("bigint"))
+    return out.select("o_orderpriority", *[f"n_{s}" for s in _STATUSES])
