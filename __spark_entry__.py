@@ -26,10 +26,12 @@ def _registry():
     # Importing the operator modules populates the registry.
     from dhs_to_database_spark.operators import registry  # noqa: F401
     from dhs_to_database_spark.operators import (  # noqa: F401
+        clustering,
         dedup,
         metadata,
         multimodal,
         relational,
+        sampling,
         similarity,
         text_analysis,
         windows,

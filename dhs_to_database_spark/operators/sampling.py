@@ -1,0 +1,110 @@
+"""Deterministic sampling and dataset splitting — training-data pipeline ops.
+
+A 100 TB corpus cannot be split with ``df.randomSplit`` (seed-dependent on
+partitioning, not reproducible across runs/clusters) or sampled with
+``df.sample`` (ditto). The production idiom is a CONTENT-DERIVED hash
+bucket: ``md5(key)`` -> 16-bit bucket -> threshold. Properties that matter
+at scale:
+
+- Pure narrow map: no shuffle, no state, embarrassingly parallel.
+- Stable under repartitioning, retries, and cluster size changes — the
+  same row always lands in the same split.
+- Stratified variants are just a per-stratum threshold — no per-group
+  sampling pass, no count-then-sample second scan.
+
+Ancestry in the reference: the survey/file *selection* logic (which files
+to (re)load, lib03:32-51) is the same shape — deterministic assignment
+derived from the row itself, never from run state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+from .registry import query
+
+_BUCKETS = 65536  # first 4 hex chars of md5
+
+
+def hash_bucket(key: Column, salt: str = "") -> Column:
+    """Deterministic bucket in [0, 65536) from the md5 of the key.
+
+    ``salt`` derives independent splits from the same key (e.g. one split
+    for train/test, an uncorrelated one for cross-validation folds).
+    """
+    salted = F.concat(key.cast("string"), F.lit(salt))
+    return F.conv(F.substring(F.md5(salted), 1, 4), 16, 10).cast("bigint")
+
+
+def split_assignment(key: Column, train_fraction: float, salt: str = "") -> Column:
+    """'train' / 'test' label, deterministically derived from the key."""
+    threshold = int(train_fraction * _BUCKETS)
+    return F.when(hash_bucket(key, salt) < threshold, F.lit("train")).otherwise(
+        F.lit("test")
+    )
+
+
+@query(
+    "train_test_split",
+    oracle=f"""
+    SELECT doc_id, lang,
+           CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT)
+                     < {int(0.8 * _BUCKETS)}
+                THEN 'train' ELSE 'test' END AS split
+    FROM documents
+    """,
+)
+def train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """80/20 split keyed on doc_id — reproducible on any cluster layout."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", "lang", split_assignment(F.col("doc_id"), 0.8).alias("split")
+    )
+
+
+# Per-stratum sampling fractions: downsample the over-represented language,
+# keep the rest. At 100 TB this is the "rebalance the language mix" step;
+# the fraction map is a driver-side constant compiled into the plan (a
+# CASE expression), NOT a join.
+_STRATA_FRACTIONS = {"en": 0.5}
+_DEFAULT_FRACTION = 1.0
+
+
+def stratified_sample(
+    df: DataFrame,
+    key: Column,
+    stratum: Column,
+    fractions: dict[str, float],
+    default: float = 1.0,
+    salt: str = "",
+) -> DataFrame:
+    """Keep each row iff its hash bucket clears its stratum's threshold."""
+    thresh = F.lit(int(default * _BUCKETS))
+    for value, frac in sorted(fractions.items()):
+        thresh = F.when(stratum == value, F.lit(int(frac * _BUCKETS))).otherwise(
+            thresh
+        )
+    return df.filter(hash_bucket(key, salt) < thresh)
+
+
+@query(
+    "stratified_sample_langs",
+    oracle=f"""
+    SELECT doc_id, lang
+    FROM documents
+    WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'mix'), 1, 4)) AS BIGINT)
+          < CASE WHEN lang = 'en' THEN {int(0.5 * _BUCKETS)} ELSE {_BUCKETS} END
+    """,
+)
+def stratified_sample_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return stratified_sample(
+        d,
+        F.col("doc_id"),
+        F.col("lang"),
+        _STRATA_FRACTIONS,
+        default=_DEFAULT_FRACTION,
+        salt="mix",
+    ).select("doc_id", "lang")

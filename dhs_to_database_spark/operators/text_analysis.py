@@ -239,3 +239,80 @@ def winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", "text").mapInPandas(
         winnow, schema="doc_id bigint, fp_hash bigint"
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus vocabulary stats: term frequency + document frequency. The
+# input table for tokenizer training and the df-based quality filters
+# ("drop docs dominated by top-100 stopwords"). One explode + one
+# shuffle on the term; map-side partial aggregation collapses repeated
+# terms within a partition before the exchange, so the shuffle volume is
+# ~vocabulary-sized, not corpus-sized.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "vocab_stats",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '))
+               AS term
+      FROM documents
+    )
+    SELECT term,
+           COUNT(*) AS term_freq,
+           COUNT(DISTINCT doc_id) AS doc_freq
+    FROM toks WHERE term <> ''
+    GROUP BY term
+    ORDER BY term_freq DESC, term
+    LIMIT 50
+    """,
+)
+def vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(
+            F.split(F.regexp_replace(F.lower(F.trim("text")), r"\s+", " "), " ")
+        ).alias("term"),
+    ).filter(F.col("term") != "")
+    return (
+        toks.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("term_freq"),
+            F.count_distinct("doc_id").alias("doc_freq"),
+        )
+        .orderBy(F.desc("term_freq"), "term")
+        .limit(50)
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII redaction: mask emails / long digit runs / phone-ish sequences.
+# Narrow map over the corpus (regexp_replace chain, JVM-side, zero
+# shuffle). The synthetic corpus contains no PII so this registers no
+# judge query; semantics are pinned by unit tests on crafted strings.
+# ---------------------------------------------------------------------------
+
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PHONE_RE = r"\+?\d[\d\s().-]{7,}\d"
+_LONG_DIGITS_RE = r"\d{6,}"
+
+
+def redact_pii(col: Column) -> Column:
+    """Replace emails, unbroken long digit runs (card/account numbers),
+    then separator-formatted phone-like sequences — in that order, so a
+    16-digit card is labeled <NUM>, not swallowed by the phone pattern."""
+    out = F.regexp_replace(col, _EMAIL_RE, "<EMAIL>")
+    out = F.regexp_replace(out, _LONG_DIGITS_RE, "<NUM>")
+    return F.regexp_replace(out, _PHONE_RE, "<PHONE>")
+
+
+def pii_counts(col: Column) -> Column:
+    """Struct of per-category match counts (audit metric for the scrub)."""
+    return F.struct(
+        F.regexp_count(col, F.lit(_EMAIL_RE)).alias("n_emails"),
+        F.regexp_count(col, F.lit(_PHONE_RE)).alias("n_phones"),
+        F.regexp_count(col, F.lit(_LONG_DIGITS_RE)).alias("n_digit_runs"),
+    )

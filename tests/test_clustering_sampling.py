@@ -1,0 +1,105 @@
+"""Connected components, deterministic splits, and PII redaction."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dhs_to_database_spark.operators.clustering import connected_components
+from dhs_to_database_spark.operators.sampling import (
+    hash_bucket,
+    split_assignment,
+    stratified_sample,
+)
+from dhs_to_database_spark.operators.text_analysis import pii_counts, redact_pii
+
+
+def _components(spark, edges):
+    df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    rows = connected_components(df).collect()
+    return {r["node"]: r["component"] for r in rows}
+
+
+def test_cc_chain_and_islands(spark):
+    # chain 1-2-3-4, island 7-8, edge order and direction irrelevant
+    got = _components(spark, [(2, 1), (3, 2), (3, 4), (8, 7)])
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 7: 7, 8: 7}
+
+
+def test_cc_cycle_and_bridge(spark):
+    # cycle 10-11-12-10 bridged to 1 via 12-1
+    got = _components(spark, [(10, 11), (11, 12), (12, 10), (12, 1)])
+    assert set(got.values()) == {1}
+
+
+def test_cc_long_path_converges(spark):
+    # worst case for min-propagation: a 12-node path with the min at one end
+    edges = [(i, i + 1) for i in range(12)]
+    got = _components(spark, edges)
+    assert set(got.values()) == {0}
+    assert len(got) == 13
+
+
+def test_split_deterministic_and_partition_invariant(spark):
+    df = spark.range(0, 2000).select(F.col("id"))
+    a = df.select("id", split_assignment(F.col("id"), 0.8).alias("s"))
+    b = (
+        df.repartition(17)
+        .select("id", split_assignment(F.col("id"), 0.8).alias("s"))
+    )
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    frac = a.filter("s = 'train'").count() / 2000
+    assert 0.75 < frac < 0.85
+
+
+def test_split_salt_gives_independent_assignment(spark):
+    df = spark.range(0, 2000)
+    base = df.select("id", split_assignment(F.col("id"), 0.5).alias("s"))
+    other = df.select("id", split_assignment(F.col("id"), 0.5, salt="cv").alias("s"))
+    agree = (
+        base.alias("a").join(other.alias("b"), "id").filter(F.col("a.s") == F.col("b.s"))
+    )
+    # independent hashes agree ~50% of the time, not ~100%
+    rate = agree.count() / 2000
+    assert 0.4 < rate < 0.6
+
+
+def test_stratified_sample_thresholds(spark):
+    df = spark.createDataFrame(
+        [(i, "en" if i % 2 == 0 else "fr") for i in range(2000)], "id bigint, g string"
+    )
+    out = stratified_sample(df, F.col("id"), F.col("g"), {"en": 0.25}, default=1.0)
+    en = out.filter("g = 'en'").count()
+    fr = out.filter("g = 'fr'").count()
+    assert fr == 1000  # default fraction 1.0 keeps every row
+    assert 0.17 < en / 1000 < 0.33
+
+
+def test_hash_bucket_range(spark):
+    stats = (
+        spark.range(0, 5000)
+        .select(hash_bucket(F.col("id")).alias("b"))
+        .agg(F.min("b").alias("lo"), F.max("b").alias("hi"))
+        .first()
+    )
+    assert 0 <= stats["lo"] and stats["hi"] < 65536
+
+
+def test_redact_pii(spark):
+    rows = spark.createDataFrame(
+        [
+            ("mail me at jo.doe+x@example.co.uk please",),
+            ("call +1 (415) 555-0199 now",),
+            ("card 4111111111111111 and pin 12345",),
+            ("nothing sensitive here",),
+        ],
+        "t string",
+    ).select(
+        redact_pii(F.col("t")).alias("clean"), pii_counts(F.col("t")).alias("c")
+    ).collect()
+    assert rows[0]["clean"] == "mail me at <EMAIL> please"
+    assert rows[0]["c"]["n_emails"] == 1
+    assert rows[1]["clean"] == "call <PHONE> now"
+    assert rows[1]["c"]["n_phones"] == 1
+    assert rows[2]["clean"] == "card <NUM> and pin 12345"  # 5 digits: kept
+    assert rows[2]["c"]["n_digit_runs"] == 1
+    assert rows[3]["clean"] == "nothing sensitive here"
