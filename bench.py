@@ -37,6 +37,10 @@ BENCH_QUERIES = [
     "token_count",
     "winnowing_fingerprint",
     "tumbling_window",
+    "cube_agg",
+    "vocab_stats",
+    "train_test_split",
+    "dedup_components",
 ]
 
 
