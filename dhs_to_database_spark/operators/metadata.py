@@ -255,3 +255,48 @@ def label_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         dist.alias("edit_dist"),
         sim.alias("similarity"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Row-level MERGE / upsert. Reference ancestry: drop-and-reload per
+# (surveyid, filetype) partition (lib03:316-363; lib04:509-541) — this is
+# the row-granular refinement: one anti-join + union, no full-outer join.
+# Demo: a revision batch re-prices every 100th order; merged table keeps
+# provenance of which rows the revision replaced.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "merge_upsert_orders",
+    oracle="""
+    WITH updates AS (
+      SELECT o_orderkey,
+             CAST(ROUND(CAST(o_totalprice AS DECIMAL(18,2)) * 1.1, 2) AS DOUBLE)
+               AS o_totalprice,
+             'updated' AS src
+      FROM orders WHERE o_orderkey % 100 = 0
+    )
+    SELECT b.o_orderkey, CAST(b.o_totalprice AS DOUBLE) AS o_totalprice, 'kept' AS src
+    FROM orders b LEFT JOIN updates u ON b.o_orderkey = u.o_orderkey
+    WHERE u.o_orderkey IS NULL
+    UNION ALL
+    SELECT o_orderkey, o_totalprice, src FROM updates
+    """,
+)
+def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..plans.schema_evolution import merge_upsert
+
+    o = load_table(spark, sf_dir, "orders")
+    base = o.select(
+        "o_orderkey",
+        F.col("o_totalprice").cast("double").alias("o_totalprice"),
+        F.lit("kept").alias("src"),
+    )
+    updates = o.filter(F.col("o_orderkey") % 100 == 0).select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice").cast("decimal(18,2)") * 1.1, 2)
+        .cast("double")
+        .alias("o_totalprice"),
+        F.lit("updated").alias("src"),
+    )
+    return merge_upsert(base, updates, ["o_orderkey"])

@@ -161,3 +161,41 @@ def window_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ntile(4).over(w).alias("quartile"),
         F.round(F.cume_dist().over(w), 6).cast("double").alias("cdist"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Stream-static enrichment: events joined to the customer dimension, then
+# windowed per market segment. The dimension is broadcast — in the
+# streaming twin (streaming/events.py::enriched_segment_counts) this is
+# the canonical stream-static join, re-resolved per micro-batch with NO
+# streaming state of its own; only the window agg keeps state.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "segment_window_counts",
+    oracle="""
+    SELECT time_bucket(INTERVAL 1 HOUR, e.ts) AS window_start,
+           c.c_mktsegment AS segment,
+           COUNT(*) AS n_events,
+           CAST(ROUND(SUM(CAST(e.value AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1, 2
+    """,
+)
+def segment_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), F.col("c_mktsegment").alias("segment")
+    )
+    return (
+        ev.join(F.broadcast(cust), "user_id")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "segment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            _money(F.sum(_dec("value"))).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"), "segment", "n_events", "total_value"
+        )
+    )

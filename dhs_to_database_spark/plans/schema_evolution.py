@@ -180,3 +180,23 @@ def rowcount_reconcile_per_survey(loaded: DataFrame, expected: DataFrame) -> Dat
             .otherwise("extra_rows"),
         )
     )
+
+
+def merge_upsert(base: DataFrame, updates: DataFrame, keys: list[str]) -> DataFrame:
+    """Row-level MERGE (upsert): update rows replace key-matching base rows,
+    unmatched base rows survive, new update keys are inserted.
+
+    The reference only does whole-partition drop-and-reload
+    (lib03:316-363, lib04:509-541); this is the finer-grained variant a
+    Spark pipeline uses when a survey revision touches a subset of rows.
+    Plan shape: one anti-join shuffle on the keys + a union — no window,
+    no full-outer join. With both sides bucketed on the keys the
+    anti-join is shuffle-free; at 100 TB the anti-join's right side
+    (updates) is usually small enough for a broadcast, making the whole
+    merge a narrow pass over base.
+    """
+    cols = base.columns
+    return (
+        base.join(updates.select(*keys), keys, "left_anti")
+        .unionByName(updates.select(*cols))
+    )

@@ -157,3 +157,30 @@ def clicks_before_purchase(events: DataFrame, lookback: str = "1 hour", watermar
         & (F.col("click_ts") <= F.col("purchase_ts"))
         & (F.col("click_ts") >= F.col("purchase_ts") - F.expr(f"INTERVAL {lookback}")),
     ).select("user_id", "event_id", "purchase_ts", "click_id", "click_ts", "value")
+
+
+def enriched_segment_counts(
+    events: DataFrame,
+    customer_dim: DataFrame,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-static broadcast join + windowed agg per market segment.
+
+    Streaming twin of ``operators.windows.segment_window_counts``. The
+    static side is re-resolved each micro-batch (so a refreshed dimension
+    snapshot is picked up automatically) and carries no streaming state;
+    broadcast keeps the join shuffle-free, so the only stateful operator
+    is the watermarked window aggregation.
+    """
+    dim = F.broadcast(
+        customer_dim.select(
+            F.col("c_custkey").alias("user_id"), F.col("c_mktsegment").alias("segment")
+        )
+    )
+    return (
+        events.withWatermark("ts", watermark)
+        .join(dim, "user_id")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "segment")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "segment", "n_events")
+    )

@@ -117,3 +117,16 @@ def test_rowcount_reconcile(spark):
     )
     st = {r["surveyid"]: r["status"] for r in rowcount_reconcile_per_survey(loaded, expected).collect()}
     assert st == {"511": "match", "512": "reload_needed", "513": "reload_needed"}
+
+
+def test_merge_upsert_update_keep_insert(spark):
+    from dhs_to_database_spark.plans.schema_evolution import merge_upsert
+
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k bigint, v string"
+    )
+    updates = spark.createDataFrame(
+        [(2, "B"), (9, "Z")], "k bigint, v string"
+    )
+    got = {r["k"]: r["v"] for r in merge_upsert(base, updates, ["k"]).collect()}
+    assert got == {1: "a", 2: "B", 3: "c", 9: "Z"}

@@ -216,3 +216,25 @@ def test_stream_stream_interval_join_matches_batch(spark, events_stream):
     }
     assert got == want
     assert len(got) > 0
+
+
+def test_enriched_segment_stream_matches_batch(spark, events_stream):
+    from dhs_to_database_spark.operators.windows import segment_window_counts
+    from dhs_to_database_spark.sources.tables import load_table
+    from dhs_to_database_spark.streaming.events import enriched_segment_counts
+
+    cust = load_table(spark, SF_DIR, "customer")
+    run_to_memory(
+        enriched_segment_counts(events_stream, cust), "t_seg", output_mode="complete"
+    )
+    got = {
+        (r["window_start"], r["segment"]): r["n_events"]
+        for r in spark.table("t_seg").collect()
+    }
+    want = {
+        (r["window_start"], r["segment"]): r["n_events"]
+        for r in segment_window_counts(spark, SF_DIR)
+        .select("window_start", "segment", "n_events")
+        .collect()
+    }
+    assert got == want
