@@ -41,6 +41,9 @@ BENCH_QUERIES = [
     "vocab_stats",
     "train_test_split",
     "dedup_components",
+    "top_unshipped_orders",
+    "gap_fill_hourly",
+    "segment_window_counts",
 ]
 
 

@@ -914,3 +914,50 @@ def cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_price",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Extension: the TPC-H Q3 shape — selective dim filter -> two equi-joins
+# -> grouped revenue -> global top-k. The canonical "interactive
+# analytics" pipeline: customer filter broadcast into orders, orders
+# broadcast-or-shuffled into lineitem, single agg shuffle, then a
+# driver-cheap LIMIT (TakeOrderedAndProject — no global sort at scale).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "top_unshipped_orders",
+    oracle="""
+    SELECT l.l_orderkey,
+           CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                          * (1 - CAST(l.l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE)
+             AS revenue,
+           o.o_orderdate
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+                    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND l.l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY l.l_orderkey, o.o_orderdate
+    ORDER BY revenue DESC, o.o_orderdate, l.l_orderkey
+    LIMIT 10
+    """,
+)
+def top_unshipped_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cutoff = F.expr("timestamp'1998-01-01 00:00:00'")
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
+    price = _dec("l_extendedprice")
+    disc = _dec("l_discount", DEC4)
+    return (
+        li.join(F.broadcast(o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])),
+                li["l_orderkey"] == o["o_orderkey"])
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(_money(F.sum(price * (F.lit(1) - disc))).alias("revenue"))
+        .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
+        .limit(10)
+        .select("l_orderkey", "revenue", "o_orderdate")
+    )

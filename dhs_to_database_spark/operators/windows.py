@@ -199,3 +199,64 @@ def segment_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("w.start").alias("window_start"), "segment", "n_events", "total_value"
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Time-series resample + gap fill (LOCF): per-user hourly grid with the
+# last observed value carried forward across empty hours. The
+# timescale/"hypertable rollup" family operator. Plan: one shuffle on
+# user_id for the hourly agg, a per-user sequence-explode for the grid
+# (rows ~ span-hours x users, generated, not shuffled), and ONE window
+# pass for the forward fill — the grid join stays co-partitioned with
+# the agg because both key on user_id.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "gap_fill_hourly",
+    oracle="""
+    WITH hourly AS (
+      SELECT user_id, time_bucket(INTERVAL 1 HOUR, ts) AS h,
+             last(value ORDER BY ts, event_id) AS v
+      FROM events GROUP BY 1, 2
+    ),
+    bounds AS (SELECT user_id, min(h) AS h0, max(h) AS h1 FROM hourly GROUP BY user_id),
+    grid AS (
+      SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+      FROM bounds
+    )
+    SELECT g.user_id, g.h AS hour,
+           CAST(hourly.v IS NULL AS BOOLEAN) AS filled,
+           last_value(hourly.v IGNORE NULLS) OVER (
+             PARTITION BY g.user_id ORDER BY g.h
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value
+    FROM grid g LEFT JOIN hourly ON g.user_id = hourly.user_id AND g.h = hourly.h
+    """,
+)
+def gap_fill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.expr("max_by(value, struct(ts, event_id))").alias("v"))
+    bounds = hourly.groupBy("user_id").agg(
+        F.min("h").alias("h0"), F.max("h").alias("h1")
+    )
+    grid = bounds.select(
+        "user_id", F.explode(F.expr("sequence(h0, h1, interval 1 hour)")).alias("h")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        grid.join(hourly, ["user_id", "h"], "left")
+        .select(
+            "user_id",
+            F.col("h").alias("hour"),
+            F.col("v").isNull().alias("filled"),
+            F.last("v", ignorenulls=True).over(w).alias("value"),
+        )
+    )
