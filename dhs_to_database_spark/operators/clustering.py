@@ -58,6 +58,7 @@ def connected_components(
         .distinct()
         .withColumn("component", F.col("node"))
     )
+    converged = False
     for _ in range(max_iter):
         # Min component among neighbours, then fold into own label.
         nbr_min = (
@@ -87,7 +88,17 @@ def connected_components(
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        # Returning partial labels would let a dedup pipeline keep several
+        # "representatives" of one duplicate group with no signal — fail
+        # loudly instead. Propagation advances one hop per superstep, so
+        # max_iter bounds the reachable graph diameter.
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} iterations; "
+            "the graph has a longer path than max_iter — raise max_iter"
+        )
     return labels
 
 

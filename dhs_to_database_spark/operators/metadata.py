@@ -294,9 +294,17 @@ def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     updates = o.filter(F.col("o_orderkey") % 100 == 0).select(
         "o_orderkey",
-        F.round(F.col("o_totalprice").cast("decimal(18,2)") * 1.1, 2)
+        # decimal literal, not Python 1.1: a float operand would coerce the
+        # decimal back to double and the "exact DECIMAL" policy would be lost
+        F.round(
+            F.col("o_totalprice").cast("decimal(18,2)")
+            * F.lit("1.1").cast("decimal(2,1)"),
+            2,
+        )
         .cast("double")
         .alias("o_totalprice"),
         F.lit("updated").alias("src"),
     )
-    return merge_upsert(base, updates, ["o_orderkey"])
+    # o_orderkey is unique in orders, so update keys are unique by
+    # construction — skip the eager validation job.
+    return merge_upsert(base, updates, ["o_orderkey"], validate_unique=False)

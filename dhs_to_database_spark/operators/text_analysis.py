@@ -310,9 +310,15 @@ def redact_pii(col: Column) -> Column:
 
 
 def pii_counts(col: Column) -> Column:
-    """Struct of per-category match counts (audit metric for the scrub)."""
+    """Struct of per-category REPLACEMENT counts — each pattern is counted
+    on the text with the earlier categories already masked, mirroring
+    ``redact_pii``'s application order, so the counts tie out exactly with
+    the substitutions made (a 16-digit card counts once, as a digit run,
+    never also as a phone)."""
+    after_email = F.regexp_replace(col, _EMAIL_RE, "<EMAIL>")
+    after_digits = F.regexp_replace(after_email, _LONG_DIGITS_RE, "<NUM>")
     return F.struct(
         F.regexp_count(col, F.lit(_EMAIL_RE)).alias("n_emails"),
-        F.regexp_count(col, F.lit(_PHONE_RE)).alias("n_phones"),
-        F.regexp_count(col, F.lit(_LONG_DIGITS_RE)).alias("n_digit_runs"),
+        F.regexp_count(after_email, F.lit(_LONG_DIGITS_RE)).alias("n_digit_runs"),
+        F.regexp_count(after_digits, F.lit(_PHONE_RE)).alias("n_phones"),
     )

@@ -182,7 +182,12 @@ def rowcount_reconcile_per_survey(loaded: DataFrame, expected: DataFrame) -> Dat
     )
 
 
-def merge_upsert(base: DataFrame, updates: DataFrame, keys: list[str]) -> DataFrame:
+def merge_upsert(
+    base: DataFrame,
+    updates: DataFrame,
+    keys: list[str],
+    validate_unique: bool = True,
+) -> DataFrame:
     """Row-level MERGE (upsert): update rows replace key-matching base rows,
     unmatched base rows survive, new update keys are inserted.
 
@@ -194,8 +199,27 @@ def merge_upsert(base: DataFrame, updates: DataFrame, keys: list[str]) -> DataFr
     anti-join is shuffle-free; at 100 TB the anti-join's right side
     (updates) is usually small enough for a broadcast, making the whole
     merge a narrow pass over base.
+
+    ``validate_unique`` enforces standard MERGE semantics: duplicate keys
+    in ``updates`` raise (they would silently land as duplicate rows in
+    the target). The check is an eager aggregation over ``updates`` only
+    — cheap next to the merge itself; pass ``False`` when uniqueness is
+    guaranteed by construction.
     """
     cols = base.columns
+    if validate_unique:
+        dups = (
+            updates.groupBy(*keys)
+            .count()
+            .filter(F.col("count") > 1)
+            .limit(1)
+            .count()
+        )
+        if dups:
+            raise ValueError(
+                f"merge_upsert: updates contain duplicate keys on {keys}; "
+                "MERGE requires at most one source row per key"
+            )
     return (
         base.join(updates.select(*keys), keys, "left_anti")
         .unionByName(updates.select(*cols))

@@ -103,3 +103,22 @@ def test_redact_pii(spark):
     assert rows[2]["clean"] == "card <NUM> and pin 12345"  # 5 digits: kept
     assert rows[2]["c"]["n_digit_runs"] == 1
     assert rows[3]["clean"] == "nothing sensitive here"
+
+
+def test_cc_raises_on_non_convergence(spark):
+    import pytest as _pytest
+
+    df = spark.createDataFrame(
+        [(i, i + 1) for i in range(8)], "src bigint, dst bigint"
+    )
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(df, max_iter=2)
+
+
+def test_pii_counts_no_double_count(spark):
+    rows = spark.createDataFrame(
+        [("card 4111111111111111",), ("jo12345678@example.com",)], "t string"
+    ).select(pii_counts(F.col("t")).alias("c")).collect()
+    card, email = rows[0]["c"], rows[1]["c"]
+    assert (card["n_emails"], card["n_digit_runs"], card["n_phones"]) == (0, 1, 0)
+    assert (email["n_emails"], email["n_digit_runs"], email["n_phones"]) == (1, 0, 0)

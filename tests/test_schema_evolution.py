@@ -130,3 +130,14 @@ def test_merge_upsert_update_keep_insert(spark):
     )
     got = {r["k"]: r["v"] for r in merge_upsert(base, updates, ["k"]).collect()}
     assert got == {1: "a", 2: "B", 3: "c", 9: "Z"}
+
+
+def test_merge_upsert_rejects_duplicate_update_keys(spark):
+    import pytest as _pytest
+
+    from dhs_to_database_spark.plans.schema_evolution import merge_upsert
+
+    base = spark.createDataFrame([(1, "a")], "k bigint, v string")
+    updates = spark.createDataFrame([(2, "B"), (2, "B2")], "k bigint, v string")
+    with _pytest.raises(ValueError, match="duplicate keys"):
+        merge_upsert(base, updates, ["k"])
