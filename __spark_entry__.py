@@ -30,6 +30,7 @@ def _registry():
         dedup,
         metadata,
         multimodal,
+        ranking,
         relational,
         sampling,
         similarity,

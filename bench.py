@@ -44,6 +44,8 @@ BENCH_QUERIES = [
     "top_unshipped_orders",
     "gap_fill_hourly",
     "segment_window_counts",
+    "decile_stats",
+    "funnel_stages",
 ]
 
 

@@ -122,3 +122,21 @@ def test_pii_counts_no_double_count(spark):
     card, email = rows[0]["c"], rows[1]["c"]
     assert (card["n_emails"], card["n_digit_runs"], card["n_phones"]) == (0, 1, 0)
     assert (email["n_emails"], email["n_digit_runs"], email["n_phones"]) == (1, 0, 0)
+
+
+def test_global_rank_exact_and_ntile_remainder(spark):
+    from dhs_to_database_spark.operators.ranking import exact_ntile, global_rank
+
+    df = spark.range(0, 1007).select((F.col("id") * 37 % 1007).alias("k"))
+    ranked = global_rank(df, ["k"], rank_name="r", num_partitions=7)
+    rows = ranked.orderBy("k").collect()
+    assert [row["r"] for row in rows] == list(range(1, 1008))
+    # SQL-standard ntile with N % n != 0: first N%n buckets get +1 row
+    counts = (
+        ranked.withColumn("b", exact_ntile("r", 10, 1007))
+        .groupBy("b")
+        .count()
+        .orderBy("b")
+        .collect()
+    )
+    assert [c["count"] for c in counts] == [101] * 7 + [100] * 3
