@@ -965,3 +965,53 @@ def top_unshipped_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(10)
         .select("l_orderkey", "revenue", "o_orderdate")
     )
+
+
+# ---------------------------------------------------------------------------
+# Extension: top-k per group (generalizes B16's top-1). Rank window
+# partitioned by the group key — no global sort; with a large k per
+# group, the aggregate-then-slice via sort_array(collect_list)[0:k] trades
+# the window sort for an array build (rowid_join uses that form).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "topk_per_group",
+    oracle="""
+    SELECT lang, doc_id, n_chars
+    FROM (
+      SELECT lang, doc_id, n_chars,
+             row_number() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS rn
+      FROM documents
+    ) t WHERE rn <= 3
+    """,
+)
+def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(F.desc("n_chars"), "doc_id")
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("lang", "doc_id", "n_chars")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Extension: approximate percentiles (Greenwald-Khanna sketch). The
+# constant-memory, single-pass companion to percentile_summary's exact
+# sort-based form — the right default at 100 TB. No oracle: DuckDB's
+# quantile sketch differs; accuracy is pinned by a unit test against the
+# exact percentile at the configured relative error.
+# ---------------------------------------------------------------------------
+
+
+@query("approx_percentile_orders")  # rows-only: sketch is engine-specific
+def approx_percentile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.expr("approx_percentile(o_totalprice, 0.5, 1000)").alias("median_est"),
+        F.expr("approx_percentile(o_totalprice, 0.9, 1000)").alias("p90_est"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )

@@ -272,3 +272,31 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id", "neighbor_id", "rank", F.round("cos", 6).cast("double").alias("cosine_sim")
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-label centroids (long format: one row per label x dimension). The
+# k-means/IVF "train one iteration" primitive: posexplode -> (label, pos)
+# partial-aggregated mean. One shuffle of label x dim partial sums (map-
+# side combine collapses the N x 64 exploded rows to n_labels x 64 per
+# partition before the exchange). Long format keeps the oracle compare
+# scalar; assemble arrays with sort_array(collect_list(struct(pos, x)))
+# when a dense vector is needed downstream.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "embedding_centroids",
+    oracle="""
+    SELECT label, i AS pos,
+           CAST(ROUND(avg(embedding[CAST(i AS INT) + 1]), 4) AS DOUBLE) AS x
+    FROM embeddings, unnest(range(len(embedding))) AS t(i)
+    GROUP BY label, i
+    """,
+)
+def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    ex = e.select("label", F.posexplode("embedding").alias("pos", "v"))
+    return ex.groupBy("label", F.col("pos").cast("bigint").alias("pos")).agg(
+        F.round(F.avg(F.col("v").cast("double")), 4).alias("x")
+    )

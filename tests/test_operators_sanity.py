@@ -125,3 +125,30 @@ def test_approx_distinct_within_rsd(spark):
     assert set(got) == set(exact)
     for k, est in got.items():
         assert abs(est - exact[k]) / exact[k] <= 0.08, (k, est, exact[k])
+
+
+def test_approx_percentile_within_rank_error(spark):
+    """approx_percentile(accuracy=1000) guarantees rank error <= n/1000;
+    check the estimate's rank sits within that band of the target rank."""
+    from dhs_to_database_spark.operators.registry import QUERIES
+    from dhs_to_database_spark.sources.tables import load_table
+    from tests.conftest import SF_DIR
+
+    est = {
+        r["o_orderpriority"]: r
+        for r in QUERIES["approx_percentile_orders"](spark, SF_DIR).collect()
+    }
+    o = load_table(spark, SF_DIR, "orders")
+    for prio, row in est.items():
+        vals = sorted(
+            v["o_totalprice"]
+            for v in o.filter(F.col("o_orderpriority") == prio)
+            .select("o_totalprice")
+            .collect()
+        )
+        n = len(vals)
+        for q, key in ((0.5, "median_est"), (0.9, "p90_est")):
+            import bisect
+
+            rank = bisect.bisect_left(vals, row[key])
+            assert abs(rank - q * n) <= max(n / 1000.0, 1) + 1
