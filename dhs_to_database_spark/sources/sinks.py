@@ -60,3 +60,25 @@ def write_spec_csvs(items: DataFrame, values: DataFrame, relations: DataFrame, o
     items.write.mode("overwrite").option("header", True).csv(f"{out_dir}/FlatRecordSpec")
     values.write.mode("overwrite").option("header", True).csv(f"{out_dir}/FlatValuesSpec")
     relations.write.mode("overwrite").option("header", True).csv(f"{out_dir}/RelationshipsSpec")
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    n_buckets: int = 16,
+    sort_cols: list[str] | None = None,
+) -> None:
+    """Bucketed managed table: pre-shuffles ONCE at write time so that
+    every later equi-join or aggregation on ``bucket_cols`` between
+    co-bucketed tables runs with NO exchange (SortMergeJoin reads the
+    buckets directly). This is the Spark analogue of the reference's
+    per-join-key B-tree indexes (lib04_Update_Table_Data.py:203-271):
+    pay the organization cost at load, win it back on every query.
+    """
+    writer = df.write.mode("overwrite").format("parquet").bucketBy(
+        n_buckets, *bucket_cols
+    )
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table)
