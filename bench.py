@@ -46,6 +46,7 @@ BENCH_QUERIES = [
     "segment_window_counts",
     "decile_stats",
     "funnel_stages",
+    "sequence_pack",
 ]
 
 

@@ -108,3 +108,63 @@ def stratified_sample_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
         default=_DEFAULT_FRACTION,
         salt="mix",
     ).select("doc_id", "lang")
+
+
+# ---------------------------------------------------------------------------
+# LLM sequence packing (concat-and-chunk): deterministically shard the
+# corpus, order each shard, and assign every document its byte/token
+# offset in the concatenated stream plus the training sequence it starts
+# in. This is the export step that turns a document table into
+# fixed-length training sequences. One shuffle (on shard) + one window
+# cumsum; shards are independent, so packing parallelizes across the
+# cluster and a re-run lands every doc in the same sequence (resumable
+# exports). True bin packing is NP-hard and unstable under re-runs;
+# greedy concat-and-chunk is what production pipelines use.
+# ---------------------------------------------------------------------------
+
+_PACK_SHARDS = 4
+_SEQ_TOKENS = 512
+
+
+@query(
+    "sequence_pack",
+    oracle=f"""
+    WITH docs AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'shard'), 1, 4)) AS BIGINT)
+               % {_PACK_SHARDS} AS shard,
+             len(string_split_regex(trim(text), '\\s+')) AS n_tokens
+      FROM documents
+    )
+    SELECT doc_id, shard, n_tokens,
+           SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
+             AS tok_offset,
+           (SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens)
+             // {_SEQ_TOKENS} AS seq_id
+    FROM docs
+    """,
+)
+def sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from .text_analysis import n_tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    docs = d.select(
+        "doc_id",
+        (hash_bucket(F.col("doc_id"), salt="shard") % _PACK_SHARDS).alias("shard"),
+        n_tokens(F.col("text")).cast("bigint").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    packed = docs.withColumn(
+        "tok_offset", F.sum("n_tokens").over(w) - F.col("n_tokens")
+    )
+    return packed.withColumn(
+        "seq_id", F.expr(f"tok_offset div {_SEQ_TOKENS}")
+    )
