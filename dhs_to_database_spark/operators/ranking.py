@@ -31,13 +31,22 @@ from ..sources.tables import load_table
 from .registry import query
 
 
-def global_rank(
+def global_rank_parts(
     df: DataFrame,
     sort_cols: list[str],
     rank_name: str = "rank",
     num_partitions: int | None = None,
-) -> DataFrame:
-    """Exact 1-based global rank by ``sort_cols`` (must be a total order)."""
+) -> tuple[DataFrame, int, DataFrame]:
+    """Exact 1-based global rank by ``sort_cols`` (must be a total order).
+
+    Returns ``(ranked_df, total_rows, checkpoint_handle)``. The ranked
+    frame reads from an eagerly materialized localCheckpoint (one copy of
+    the input pinned in block-manager storage) — when the downstream
+    result has been materialized, call ``checkpoint_handle.unpersist()``
+    to release it; until then it must stay resident (the lineage is
+    truncated, so the blocks cannot be recomputed). ``total_rows`` comes
+    free from the offset pass — don't re-count the input.
+    """
     import pandas as pd
 
     n_parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
@@ -79,10 +88,22 @@ def global_rank(
             seen += len(pdf)
             yield pdf
 
-    return (
-        with_pid.mapInPandas(add_rank, schema=out_schema)
-        .drop("__pid")
-    )
+    ranked = with_pid.mapInPandas(add_rank, schema=out_schema).drop("__pid")
+    return ranked, acc, with_pid
+
+
+def global_rank(
+    df: DataFrame,
+    sort_cols: list[str],
+    rank_name: str = "rank",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """``global_rank_parts`` without the bookkeeping — the checkpointed
+    copy of the input stays resident for the session (fine for tests and
+    one-shot jobs; long-lived sessions should use ``global_rank_parts``
+    and unpersist the handle)."""
+    ranked, _, _ = global_rank_parts(df, sort_cols, rank_name, num_partitions)
+    return ranked
 
 
 def exact_ntile(rank_col: str, n: int, total: int) -> Column:
@@ -118,11 +139,14 @@ def exact_ntile(rank_col: str, n: int, total: int) -> Column:
 def decile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Equi-depth deciles of order value — distributed rank, not a
     single-partition ntile window (the oracle uses ntile; the Spark plan
-    never funnels rows through one task)."""
+    never funnels rows through one task). The tiny result is materialized
+    eagerly so the rank pass's checkpointed input can be released before
+    returning."""
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
-    total = o.count()
-    ranked = global_rank(o, ["o_totalprice", "o_orderkey"], rank_name="r")
-    return (
+    ranked, total, handle = global_rank_parts(
+        o, ["o_totalprice", "o_orderkey"], rank_name="r"
+    )
+    out = (
         ranked.withColumn("decile", exact_ntile("r", 10, total))
         .groupBy("decile")
         .agg(
@@ -130,4 +154,7 @@ def decile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("o_totalprice").cast("double").alias("lo"),
             F.max("o_totalprice").cast("double").alias("hi"),
         )
+        .localCheckpoint(eager=True)  # 10 rows
     )
+    handle.unpersist()
+    return out

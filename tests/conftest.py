@@ -18,3 +18,22 @@ def spark():
 
 
 SF_DIR = "/root/testdata/sf0.001"
+
+
+def plan_string(df) -> str:
+    """Formatted physical plan as a string (shared by the plan tests)."""
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain(mode="formatted")
+    return buf.getvalue()
+
+
+def count_exchanges(plan: str) -> int:
+    """Number of shuffle Exchange nodes (broadcast exchanges excluded —
+    they appear as 'BroadcastExchange')."""
+    import re
+
+    return len(re.findall(r"\) Exchange\b", plan))

@@ -9,14 +9,10 @@ in sync when a plan legitimately changes.
 
 from __future__ import annotations
 
-import io
-import re
-from contextlib import redirect_stdout
-
 import pytest
 
 import __spark_entry__ as em
-from tests.conftest import SF_DIR
+from tests.conftest import SF_DIR, count_exchanges, plan_string
 
 QUERIES = em.queries()
 
@@ -39,18 +35,11 @@ PLAN_BUDGET = {
 }
 
 
-def _plan(df) -> str:
-    buf = io.StringIO()
-    with redirect_stdout(buf):
-        df.explain(mode="formatted")
-    return buf.getvalue()
-
-
 @pytest.mark.parametrize("name", sorted(PLAN_BUDGET))
 def test_plan_budget(spark, name):
     max_exchanges, fragment = PLAN_BUDGET[name]
-    plan = _plan(QUERIES[name](spark, SF_DIR))
-    n_exchange = len(re.findall(r"\) Exchange\b", plan))
+    plan = plan_string(QUERIES[name](spark, SF_DIR))
+    n_exchange = count_exchanges(plan)
     assert n_exchange <= max_exchanges, (
         f"{name}: {n_exchange} shuffles (budget {max_exchanges})"
     )
