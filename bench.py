@@ -47,6 +47,7 @@ BENCH_QUERIES = [
     "decile_stats",
     "funnel_stages",
     "sequence_pack",
+    "curation_pipeline",
 ]
 
 
