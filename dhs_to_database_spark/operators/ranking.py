@@ -7,10 +7,26 @@ through ONE task — the classic scale cliff. The distributed formulation:
 1. ``repartitionByRange`` on the sort key (range partitioner, sampled
    boundaries) + ``sortWithinPartitions`` — a single shuffle, the same one
    any global sort pays;
-2. per-partition row counts -> cumulative offsets (driver-side, one tiny
-   row per partition);
-3. a narrow ``mapInPandas`` pass that adds ``local running index +
-   partition offset``.
+2. ONE narrow ``mapInPandas`` pass tags each row with its partition id and
+   local 0-based row index, then the tagged frame is materialized exactly
+   once (see tiers below) so the boundary sampling can never be re-drawn;
+3. per-partition row counts -> cumulative offsets (driver-side, one tiny
+   row per partition), broadcast-joined back;
+4. ``rank = __lidx + offset[__pid] + 1`` — a pure column expression, so
+   the rank no longer depends on task ordering or read-time partitioning.
+
+Materialization tiers (``materialize=``):
+
+- ``"memory"`` (default, interactive): eager ``localCheckpoint``. Fast, but
+  pins one copy of the input in block-manager storage and truncates lineage
+  — an executor loss is unrecoverable. Right for notebooks and small-to-mid
+  inputs.
+- ``"disk"`` (batch / 100 TB path): write the tagged frame to a temp
+  parquet directory and read it back. Fault-tolerant (files are re-readable
+  after executor loss), nothing pinned in executor memory, and because the
+  local index is already a stored column the read-back may split or
+  coalesce files freely without perturbing a single rank. On a cluster pass
+  ``temp_dir`` on a shared filesystem.
 
 No step holds more than one partition in one task; the result is the
 exact global rank (keys must be made unique with a tie-break column —
@@ -24,6 +40,9 @@ whole-table ordering the reference never needed at Postgres scale but a
 
 from __future__ import annotations
 
+import shutil
+import tempfile
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -31,65 +50,101 @@ from ..sources.tables import load_table
 from .registry import query
 
 
+class RankInputHandle:
+    """Releasable handle on the materialized rank input.
+
+    ``unpersist()`` drops the pinned blocks (memory tier) or deletes the
+    temp parquet directory (disk tier). Call it once the downstream result
+    has itself been materialized — before that the ranked frame still
+    reads from this copy.
+    """
+
+    def __init__(self, df: DataFrame | None = None, temp_path: str | None = None):
+        self._df = df
+        self._path = temp_path
+
+    def unpersist(self) -> None:
+        if self._df is not None:
+            self._df.unpersist()
+            self._df = None
+        if self._path is not None:
+            shutil.rmtree(self._path, ignore_errors=True)
+            self._path = None
+
+
+def _tag_pid_lidx(part: DataFrame) -> DataFrame:
+    """Add ``__pid`` (partition id) and ``__lidx`` (0-based local row
+    index) in one narrow pass — no shuffle, no per-row Python."""
+    import pandas as pd
+
+    with_pid = part.withColumn("__pid", F.spark_partition_id())
+    schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in with_pid.schema.fields
+    ) + ", __lidx bigint"
+
+    def tag(batches):
+        seen = 0
+        for pdf in batches:
+            pdf["__lidx"] = pd.RangeIndex(seen, seen + len(pdf))
+            seen += len(pdf)
+            yield pdf
+
+    return with_pid.mapInPandas(tag, schema=schema)
+
+
 def global_rank_parts(
     df: DataFrame,
     sort_cols: list[str],
     rank_name: str = "rank",
     num_partitions: int | None = None,
-) -> tuple[DataFrame, int, DataFrame]:
+    materialize: str = "memory",
+    temp_dir: str | None = None,
+) -> tuple[DataFrame, int, RankInputHandle]:
     """Exact 1-based global rank by ``sort_cols`` (must be a total order).
 
-    Returns ``(ranked_df, total_rows, checkpoint_handle)``. The ranked
-    frame reads from an eagerly materialized localCheckpoint (one copy of
-    the input pinned in block-manager storage) — when the downstream
-    result has been materialized, call ``checkpoint_handle.unpersist()``
-    to release it; until then it must stay resident (the lineage is
-    truncated, so the blocks cannot be recomputed). ``total_rows`` comes
-    free from the offset pass — don't re-count the input.
+    Returns ``(ranked_df, total_rows, handle)``. The tagged input is
+    materialized exactly once (tier chosen by ``materialize``, see module
+    docstring); call ``handle.unpersist()`` after the downstream result is
+    materialized. ``total_rows`` comes free from the offset pass — don't
+    re-count the input.
     """
-    import pandas as pd
-
-    n_parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    spark = df.sparkSession
+    n_parts = num_partitions or spark.sparkContext.defaultParallelism
     part = df.repartitionByRange(n_parts, *sort_cols).sortWithinPartitions(
         *sort_cols
     )
-    # Materialize ONE physical partitioning: the offset job and the rank
-    # pass must see identical partition boundaries (range-partitioner
+    # Materialize ONE physical partitioning: range-partitioner boundary
     # sampling / AQE decisions can differ between separate executions of
-    # the same lazy plan, which would shift every downstream rank).
-    with_pid = part.withColumn("__pid", F.spark_partition_id()).localCheckpoint(
-        eager=True
-    )
+    # the same lazy plan, which would shift every downstream rank.
+    tagged = _tag_pid_lidx(part)
+    if materialize == "memory":
+        tagged = tagged.localCheckpoint(eager=True)
+        handle = RankInputHandle(df=tagged)
+    elif materialize == "disk":
+        path = tempfile.mkdtemp(prefix="global_rank_", dir=temp_dir)
+        tagged.write.mode("overwrite").parquet(path)
+        tagged = spark.read.parquet(path)
+        handle = RankInputHandle(temp_path=path)
+    else:  # pragma: no cover - guard
+        raise ValueError(f"materialize must be 'memory' or 'disk', got {materialize!r}")
+
     # One tiny row per partition; cumulative offsets computed on the driver.
     counts = {
         r["__pid"]: r["cnt"]
-        for r in with_pid.groupBy("__pid").agg(F.count(F.lit(1)).alias("cnt")).collect()
+        for r in tagged.groupBy("__pid").agg(F.count(F.lit(1)).alias("cnt")).collect()
     }
-    offsets: dict[int, int] = {}
+    offsets = []
     acc = 0
     for pid in sorted(counts):
-        offsets[pid] = acc
+        offsets.append((pid, acc))
         acc += counts[pid]
-    out_schema = ", ".join(
-        f"{f.name} {f.dataType.simpleString()}" for f in with_pid.schema.fields
-    ) + f", {rank_name} bigint"
-
-    def add_rank(batches):
-        seen = 0
-        base = None
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            if base is None:
-                base = offsets[int(pdf["__pid"].iloc[0])]
-            pdf[rank_name] = pd.RangeIndex(
-                base + seen + 1, base + seen + 1 + len(pdf)
-            )
-            seen += len(pdf)
-            yield pdf
-
-    ranked = with_pid.mapInPandas(add_rank, schema=out_schema).drop("__pid")
-    return ranked, acc, with_pid
+    off_df = spark.createDataFrame(offsets or [(0, 0)], "__pid int, __off long")
+    ranked = (
+        tagged.join(F.broadcast(off_df), "__pid", "inner")
+        .withColumn(rank_name, (F.col("__lidx") + F.col("__off") + 1).cast("bigint"))
+        .drop("__pid", "__lidx", "__off")
+    )
+    return ranked, acc, handle
 
 
 def global_rank(
@@ -97,12 +152,15 @@ def global_rank(
     sort_cols: list[str],
     rank_name: str = "rank",
     num_partitions: int | None = None,
+    materialize: str = "memory",
 ) -> DataFrame:
-    """``global_rank_parts`` without the bookkeeping — the checkpointed
-    copy of the input stays resident for the session (fine for tests and
+    """``global_rank_parts`` without the bookkeeping — the materialized
+    copy of the input stays live for the session (fine for tests and
     one-shot jobs; long-lived sessions should use ``global_rank_parts``
     and unpersist the handle)."""
-    ranked, _, _ = global_rank_parts(df, sort_cols, rank_name, num_partitions)
+    ranked, _, _ = global_rank_parts(
+        df, sort_cols, rank_name, num_partitions, materialize
+    )
     return ranked
 
 
@@ -140,7 +198,7 @@ def decile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Equi-depth deciles of order value — distributed rank, not a
     single-partition ntile window (the oracle uses ntile; the Spark plan
     never funnels rows through one task). The tiny result is materialized
-    eagerly so the rank pass's checkpointed input can be released before
+    eagerly so the rank pass's materialized input can be released before
     returning."""
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
     ranked, total, handle = global_rank_parts(

@@ -432,7 +432,7 @@ def map_pack_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     "cast_at_query",
     oracle="""
     SELECT event_type,
-           SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
            COUNT(*) AS n
     FROM events
     GROUP BY event_type
@@ -614,8 +614,8 @@ def rowid_join(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(*) AS n_lineitems,
            CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
                           * (1 - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE) AS revenue,
-           SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS n_returned,
-           SUM(CASE WHEN l_quantity >= 25 THEN 1 ELSE 0 END) AS n_bulk
+           CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS n_returned,
+           CAST(SUM(CASE WHEN l_quantity >= 25 THEN 1 ELSE 0 END) AS BIGINT) AS n_bulk
     FROM lineitem
       JOIN orders   ON l_orderkey = o_orderkey
       JOIN customer ON o_custkey = c_custkey
@@ -858,7 +858,7 @@ _STATUSES = ["F", "O", "P"]
     "pivot_wide",
     oracle=f"""
     SELECT o_orderpriority,
-           {", ".join(f"SUM(CASE WHEN o_orderstatus = '{s}' THEN 1 ELSE 0 END) AS n_{s}" for s in _STATUSES)}
+           {", ".join(f"CAST(SUM(CASE WHEN o_orderstatus = '{s}' THEN 1 ELSE 0 END) AS BIGINT) AS n_{s}" for s in _STATUSES)}
     FROM orders GROUP BY o_orderpriority
     """,
 )

@@ -137,12 +137,12 @@ _SEQ_TOKENS = 512
       FROM documents
     )
     SELECT doc_id, shard, n_tokens,
-           SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+           CAST(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
-             AS tok_offset,
-           (SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+             AS BIGINT) AS tok_offset,
+           CAST((SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens)
-             // {_SEQ_TOKENS} AS seq_id
+             // {_SEQ_TOKENS} AS BIGINT) AS seq_id
     FROM docs
     """,
 )

@@ -140,3 +140,29 @@ def test_global_rank_exact_and_ntile_remainder(spark):
         .collect()
     )
     assert [c["count"] for c in counts] == [101] * 7 + [100] * 3
+
+
+def test_global_rank_disk_tier_matches_memory(spark, tmp_path):
+    """The reliable (temp-parquet) tier produces the identical ranking and
+    cleans up its directory; nothing is left pinned in block-manager
+    storage afterwards."""
+    import os
+
+    from dhs_to_database_spark.operators.ranking import global_rank_parts
+
+    before = set(spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray())
+    df = spark.range(0, 997).select((F.col("id") * 31 % 997).alias("k"))
+    ranked, total, handle = global_rank_parts(
+        df, ["k"], rank_name="r", num_partitions=5,
+        materialize="disk", temp_dir=str(tmp_path),
+    )
+    rows = ranked.orderBy("k").collect()
+    assert total == 997
+    assert [row["r"] for row in rows] == list(range(1, 998))
+    # the temp parquet lives under tmp_path until released
+    assert any(e.startswith("global_rank_") for e in os.listdir(tmp_path))
+    handle.unpersist()
+    assert not any(e.startswith("global_rank_") for e in os.listdir(tmp_path))
+    # disk tier must not pin anything new in block-manager storage
+    after = set(spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray())
+    assert after <= before

@@ -46,6 +46,45 @@ def frame_hash(df: pd.DataFrame) -> str:
     return hashlib.sha256("\x1e".join(rows).encode()).hexdigest()[:16]
 
 
+#: DuckDB result types the driver's hash normalizes differently from Spark's
+#: (DuckDB SUM(integer) -> HUGEINT; decimal stays DECIMAL). Oracles must CAST
+#: these away (AS BIGINT / AS DOUBLE) or the driver hash-fails even when
+#: values match — r1 judge root-caused all 3 round-1 failures to this.
+_BANNED_ORACLE_TYPES = ("HUGEINT", "UHUGEINT", "DECIMAL")
+
+
+def lint_oracle_types(con, name: str, sql: str) -> list[str]:
+    """DESCRIBE the oracle and flag driver-hash-incompatible output types."""
+    try:
+        desc = con.execute(f"DESCRIBE {sql}").fetchall()
+    except Exception as e:  # noqa: BLE001
+        return [f"describe error: {e}"]
+    return [
+        f"oracle col {col!r} is {typ} (cast it to BIGINT/DOUBLE in the SQL)"
+        for col, typ, *_ in desc
+        if any(b in typ.upper() for b in _BANNED_ORACLE_TYPES)
+    ]
+
+
+def dtype_mismatches(sdf: pd.DataFrame, ddf: pd.DataFrame) -> list[str]:
+    """Flag int-vs-float divergence the value hash would render differently.
+
+    Null-bearing columns are exempt: both engines surface nullable ints as
+    float64/object in pandas, so kind comparison is only meaningful when
+    neither side has missing values.
+    """
+    out = []
+    for c in set(sdf.columns) & set(ddf.columns):
+        sk, dk = sdf[c].dtype.kind, ddf[c].dtype.kind
+        if sk == dk:
+            continue
+        if sdf[c].isna().any() or ddf[c].isna().any():
+            continue
+        if {sk, dk} <= {"i", "u", "f", "O"} and {sk, dk} != {"i", "u"}:
+            out.append(f"dtype kind {c!r}: spark={sdf[c].dtype} duck={ddf[c].dtype}")
+    return out
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
@@ -83,7 +122,8 @@ def main() -> int:
             print(f"FAIL  {name}: duckdb error: {e}")
             failures.append(name)
             continue
-        problems = []
+        problems = lint_oracle_types(con, name, oracles[name])
+        problems += dtype_mismatches(sdf, ddf)
         if len(sdf) != len(ddf):
             problems.append(f"rows {len(sdf)} vs {len(ddf)}")
         if sorted(sdf.columns) != sorted(ddf.columns):
