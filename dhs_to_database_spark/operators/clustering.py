@@ -32,7 +32,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources.tables import load_table
-from .dedup import _JACCARD_LIMIT, _JACCARD_THRESHOLD, ngram_jaccard_pairs
+from .dedup import (
+    _JACCARD_LIMIT,
+    _JACCARD_THRESHOLD,
+    minhash_near_dup,
+    ngram_jaccard_pairs,
+)
 from .registry import query
 
 
@@ -157,6 +162,33 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from pyspark.sql import Window
 
+    w = Window.partitionBy("component")
+    return labeled.select(
+        "doc_id",
+        "component",
+        (F.col("doc_id") == F.col("component")).alias("is_representative"),
+        F.count(F.lit(1)).over(w).alias("cluster_size"),
+    )
+
+
+@query("near_dup_clusters")  # rows-only: upstream MinHash uses Spark xxhash64
+def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION dedup path end-to-end over the full corpus: MinHash+LSH
+    candidate pairs (linear cost, hot buckets capped) -> connected
+    components -> keep-min representative per cluster. This is the
+    composition a 100 TB curation run executes — ``dedup_components`` above
+    is its oracle-checkable twin on the bounded exact-Jaccard slice.
+
+    Output: one row per document; singletons are their own cluster."""
+    from pyspark.sql import Window
+
+    pairs = minhash_near_dup(spark, sf_dir).select("doc_a", "doc_b")
+    comp = connected_components(pairs, src="doc_a", dst="doc_b")
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    labeled = d.join(comp, d["doc_id"] == comp["node"], "left").select(
+        d["doc_id"],
+        F.coalesce(comp["component"], d["doc_id"]).alias("component"),
+    )
     w = Window.partitionBy("component")
     return labeled.select(
         "doc_id",

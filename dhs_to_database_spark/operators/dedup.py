@@ -190,16 +190,46 @@ def minhash_signatures(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return agg.select(id_col, F.array(*[f"h{i}" for i in range(_N_HASHES)]).alias("sig"))
 
 
-def bucket_pairs(buckets: DataFrame, id_col: str = "doc_id") -> DataFrame:
+#: Hot-bucket cap: buckets larger than this are dropped (log-and-skip, the
+#: reference's unknown-record-type policy, DAT_Parser.py:76-79). A stop-phrase
+#: bucket of size s contributes s*(s-1)/2 candidate pairs — one pathological
+#: bucket at 100 TB OOMs a task; near-dup recall loses nothing useful because
+#: a bucket every document collides in carries no similarity signal.
+MAX_BUCKET_SIZE = 1000
+
+
+def bucket_pairs(
+    buckets: DataFrame,
+    id_col: str = "doc_id",
+    max_bucket_size: int = MAX_BUCKET_SIZE,
+    observation=None,
+) -> DataFrame:
     """(band_idx, band_val, id) rows -> distinct candidate pairs (doc_a < doc_b).
 
     One shuffle on the bucket key, pair generation inside each bucket via
-    higher-order array functions (no self-join). At 100 TB a hot bucket is
-    the quadratic risk; cap/salt pathological buckets upstream (stop-shingle
-    removal) — same failure mode as the equivalent self-join formulation.
+    higher-order array functions (no self-join). Hot buckets are dropped
+    BEFORE any per-bucket array is built: bucket sizes come from an
+    unordered window count (spill-safe — window partitions spill to disk;
+    a ``collect_list`` aggregation buffer does not), so a pathological
+    bucket never materializes. The window and the groupBy share the same
+    hash partitioning, so Catalyst reuses one Exchange. Pass a
+    ``pyspark.sql.Observation`` to record ``dropped_bucket_rows`` (rows in
+    over-cap buckets) from the same pass, no extra job.
     """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("band_idx", "band_val")
+    sized = buckets.withColumn("__bsz", F.count(F.lit(1)).over(w))
+    if observation is not None:
+        sized = sized.observe(
+            observation,
+            F.sum(
+                F.when(F.col("__bsz") > max_bucket_size, 1).otherwise(0)
+            ).alias("dropped_bucket_rows"),
+        )
     grouped = (
-        buckets.groupBy("band_idx", "band_val")
+        sized.filter(F.col("__bsz") <= max_bucket_size)
+        .groupBy("band_idx", "band_val")
         .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
         .filter(F.size("ids") > 1)
     )
@@ -245,12 +275,19 @@ def minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0),
         lambda acc, x: acc + x,
     ) / F.lit(_N_HASHES)
-    return (
+    out = (
         pairs.join(sa, "doc_a")
         .join(sb, "doc_b")
         .select("doc_a", "doc_b", F.round(est, 4).cast("double").alias("est_jaccard"))
         .filter(F.col("est_jaccard") >= 0.5)
+        # Materialize the small pair list eagerly so the full-corpus
+        # signature cache can be released before returning (the ranking
+        # handle pattern) — no cached signature table leaks into a shared
+        # session.
+        .localCheckpoint(eager=True)
     )
+    sigs.unpersist()
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -308,13 +345,17 @@ def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bit_count(F.col(f"a_p{band}").bitwiseXOR(F.col(f"b_p{band}")))
         for band in range(N_SIMHASH_BANDS)
     )
-    return (
+    out = (
         pairs.join(a, pairs.doc_a == a.a_doc_id)
         .join(b, pairs.doc_b == b.b_doc_id)
         .withColumn("hamming", hamming.cast("int"))
         .filter(F.col("hamming") <= 10)
         .select("doc_a", "doc_b", "hamming")
+        # eager pair list -> release the cached band table (see minhash)
+        .localCheckpoint(eager=True)
     )
+    bands.unpersist()
+    return out
 
 
 # ---------------------------------------------------------------------------

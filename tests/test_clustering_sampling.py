@@ -124,6 +124,36 @@ def test_pii_counts_no_double_count(spark):
     assert (email["n_emails"], email["n_digit_runs"], email["n_phones"]) == (1, 0, 0)
 
 
+def test_near_dup_clusters_production_path(spark):
+    """The minhash->components composition: strong exact near-dups must land
+    in one cluster, representatives are the cluster-min, and cluster sizes
+    tally to the corpus size."""
+    from dhs_to_database_spark.operators.clustering import near_dup_clusters
+    from dhs_to_database_spark.operators.dedup import ngram_jaccard_pairs
+    from tests.conftest import SF_DIR
+
+    rows = near_dup_clusters(spark, SF_DIR).collect()
+    comp = {r["doc_id"]: r["component"] for r in rows}
+    # every strong exact-Jaccard pair is transitively merged by the LSH path
+    strong = [
+        (r["doc_a"], r["doc_b"])
+        for r in ngram_jaccard_pairs(spark, SF_DIR).collect()
+        if r["jaccard"] >= 0.8
+    ]
+    assert strong, "fixture corpus lost its planted near-dups"
+    for a, b in strong:
+        assert comp[a] == comp[b], (a, b)
+    # representative == min(doc_id) of its cluster, exactly one per cluster
+    by_comp: dict = {}
+    for r in rows:
+        by_comp.setdefault(r["component"], []).append(r)
+    for c, members in by_comp.items():
+        reps = [m["doc_id"] for m in members if m["is_representative"]]
+        assert reps == [min(m["doc_id"] for m in members)] and reps == [c]
+        assert all(m["cluster_size"] == len(members) for m in members)
+    assert len(rows) == len(comp)  # one row per doc
+
+
 def test_global_rank_exact_and_ntile_remainder(spark):
     from dhs_to_database_spark.operators.ranking import exact_ntile, global_rank
 

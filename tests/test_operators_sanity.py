@@ -41,6 +41,36 @@ def test_simhash_flags_near_dups(spark):
     assert exact <= sh
 
 
+def test_bucket_pairs_caps_hot_buckets(spark):
+    """An adversarial stop-phrase bucket (every doc collides) must be
+    dropped — bounded candidate output, recorded drop metric — while normal
+    buckets still pair up."""
+    from pyspark.sql import Observation
+
+    from dhs_to_database_spark.operators.dedup import bucket_pairs
+
+    hot = [(0, 99, i) for i in range(50)]  # one bucket holding all 50 docs
+    cold = [(1, 7, 1), (1, 7, 2), (2, 8, 3)]
+    buckets = spark.createDataFrame(
+        hot + cold, "band_idx int, band_val bigint, doc_id bigint"
+    )
+    obs = Observation("drops")
+    pairs = bucket_pairs(buckets, max_bucket_size=10, observation=obs).collect()
+    assert {(r["doc_a"], r["doc_b"]) for r in pairs} == {(1, 2)}
+    assert obs.get["dropped_bucket_rows"] == 50
+
+
+def test_near_dup_queries_release_their_caches(spark):
+    """minhash/simhash must not leak their full-corpus signature/band
+    caches into a shared session — only the small eager pair-list
+    checkpoint may remain per query (the ranking handle pattern)."""
+    before = len(spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray())
+    minhash_near_dup(spark, SF_DIR).count()
+    simhash_near_dup(spark, SF_DIR).count()
+    after = len(spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray())
+    assert after - before <= 2  # the two result checkpoints only
+
+
 def test_ann_recall_vs_brute_force(spark):
     """Multi-probe hyperplane LSH should recover most of the exact top-5."""
     exact = {
