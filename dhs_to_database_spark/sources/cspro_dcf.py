@@ -311,11 +311,13 @@ def parse_dcf_text(
                         (v, desc, "ExpandedRange") for v in range(int(vmin), int(vmax) + 1)
                     )
                 elif multiple:
-                    vals.append((vmin_s, desc, "MultiRangeMin"))
-                    vals.append((vmax_s, desc, "MultiRangeMax"))
+                    # reference parity: DCF_Parser appends float(min)/float(max),
+                    # so unexpanded endpoints surface as '1.0', not '1'
+                    vals.append((str(vmin), desc, "MultiRangeMin"))
+                    vals.append((str(vmax), desc, "MultiRangeMax"))
                 else:
-                    vals.append((vmin_s, desc, "RangeMin"))
-                    vals.append((vmax_s, desc, "RangeMax"))
+                    vals.append((str(vmin), desc, "RangeMin"))
+                    vals.append((str(vmax), desc, "RangeMax"))
             # an item may carry two valueset chunks: merge (reference :337-342)
             idx = len(out.items) - 1
             values_by_item_idx.setdefault(idx, []).extend(vals)
@@ -493,10 +495,14 @@ def parse_dcf_files(
 
 
 def _decode_bytes(content: bytes) -> str:
-    """Decode with a light-weight sniff (reference uses chardet, A4): try
-    UTF-8 (utf-8-sig also strips a BOM when present; it accepts exactly the
-    byte strings plain utf-8 accepts), fall back to cp1252 which never
-    fails."""
+    """Decode with a light-weight sniff (reference uses chardet, A4):
+    honor UTF-16 BOMs, then try UTF-8 (utf-8-sig also strips a BOM when
+    present; it accepts exactly the byte strings plain utf-8 accepts),
+    fall back to cp1252 which never fails."""
+    if content.startswith(b"\xff\xfe"):
+        return content.decode("utf-16-le").lstrip("\ufeff")
+    if content.startswith(b"\xfe\xff"):
+        return content.decode("utf-16-be").lstrip("\ufeff")
     try:
         return content.decode("utf-8-sig")
     except UnicodeDecodeError:

@@ -8,9 +8,10 @@ lib03:235-270). Spark-native equivalents, in preference order:
    mergeSchema, idempotent per-partition overwrite (A22).
 2. JDBC (``write_jdbc``): honors BASELINE.json's "DataFrame parsing + JDBC
    writes". Executors write batches in parallel — the distributed version
-   of COPY FROM. Requires a JDBC driver jar on the classpath; this
-   container has none, so the function is env-gated and unit tests cover
-   the option-construction only.
+   of COPY FROM. Round-tripped in tests against embedded Apache Derby
+   (``org.apache.derby.jdbc.EmbeddedDriver``, shipped in Spark's own
+   jars), so the real codepath — dialect type mapping, batched inserts,
+   parallel writers — is exercised without any external database.
 3. CSV spec files (``write_spec_csvs``): the reference's
    FlatRecordSpec/FlatValuesSpec/RelationshipsSpec outputs (A13,
    DCF_Parser.py:496-534).

@@ -137,17 +137,64 @@ def stage_manual(spark: SparkSession, downloads_folder: str, staging_folder: str
 # ---------------------------------------------------------------------------
 
 
-def sniff_encoding(path: str, encodings: tuple[str, ...] = ("utf-8", "cp1252"), probe_bytes: int = 1 << 20) -> str:
-    """First encoding that cleanly decodes the file's leading bytes (the
-    reference retries the whole read on UnicodeDecodeError; at scale we
-    sniff a bounded prefix on the driver and let executors decode)."""
+def _letterish_score(decoded: str) -> float:
+    """chardet-lite plausibility: among non-ASCII decoded chars, the
+    fraction that are letters/marks. Mojibake through the wrong single-byte
+    map lands on C1 controls, stray symbols, and box-drawing chars;
+    genuine text's accented chars are letters."""
+    import unicodedata
+
+    hi = [c for c in decoded if ord(c) > 0x7F]
+    if not hi:
+        return 1.0
+    letters = sum(1 for c in hi if unicodedata.category(c)[0] in ("L", "M"))
+    return letters / len(hi)
+
+
+def sniff_encoding(
+    path: str,
+    encodings: tuple[str, ...] = ("utf-8", "cp1252", "iso-8859-2"),
+    probe_bytes: int = 1 << 20,
+) -> str:
+    """Detect a file's encoding from a bounded prefix (the reference runs
+    chardet's UniversalDetector over the whole file, DCF_Parser.py:34-42; at
+    scale we sniff on the driver and let executors decode).
+
+    Detection order:
+    1. BOM: utf-8-sig / utf-16 / utf-32 are unambiguous.
+    2. NUL-byte layout: BOM-less UTF-16 text shows ~half its bytes as 0x00
+       on one parity; no single-byte encoding does.
+    3. Strict-decode the candidates; when several single-byte maps accept
+       the bytes (they all do — every byte is "valid" cp1252 and latin-2),
+       rank by ``_letterish_score`` and break ties in candidate order.
+    """
     with open(path, "rb") as f:
         head = f.read(probe_bytes)
     truncated = len(head) == probe_bytes
+    if head.startswith(b"\xef\xbb\xbf"):
+        return "utf-8-sig"
+    if head.startswith(b"\xff\xfe\x00\x00"):
+        return "utf-32-le"
+    if head.startswith(b"\x00\x00\xfe\xff"):
+        return "utf-32-be"
+    # endianness-precise names even when BOM'd: the CSV reader needs the
+    # LE/BE charset so its encoded lineSep carries no BOM (the parser
+    # strips the leading BOM char itself)
+    if head.startswith(b"\xff\xfe"):
+        return "utf-16-le"
+    if head.startswith(b"\xfe\xff"):
+        return "utf-16-be"
+    if len(head) >= 16:
+        even = head[::2].count(0) / max(len(head[::2]), 1)
+        odd = head[1::2].count(0) / max(len(head[1::2]), 1)
+        if odd > 0.3 and even < 0.05:
+            return "utf-16-le"
+        if even > 0.3 and odd < 0.05:
+            return "utf-16-be"
+    viable: list[tuple[str, str]] = []
     for enc in encodings:
         try:
-            head.decode(enc)
-            return enc
+            viable.append((enc, head.decode(enc)))
         except UnicodeDecodeError as e:
             # a multi-byte char straddling the probe boundary is not a
             # decode failure — accept the encoding rather than mojibake
@@ -155,13 +202,36 @@ def sniff_encoding(path: str, encodings: tuple[str, ...] = ("utf-8", "cp1252"), 
             if truncated and e.start >= len(head) - 4:
                 return enc
             continue
-    return encodings[-1]  # cp1252 maps every byte; same terminal fallback as the reference
+    if not viable:
+        return encodings[-1]  # single-byte maps accept every byte
+    best_enc, best_score = viable[0][0], _letterish_score(viable[0][1])
+    for enc, decoded in viable[1:]:
+        s = _letterish_score(decoded)
+        if s > best_score + 1e-9:  # strict: ties keep candidate order
+            best_enc, best_score = enc, s
+    return best_enc
+
+
+#: python codec name -> JVM charset name for the sniff results that differ
+_JVM_CHARSETS = {
+    "utf-8-sig": "UTF-8",  # the CSV parser strips the BOM itself
+    "utf-16-le": "UTF-16LE",
+    "utf-16-be": "UTF-16BE",
+    "utf-32-le": "UTF-32LE",
+    "utf-32-be": "UTF-32BE",
+}
 
 
 def read_csv_with_fallback(spark: SparkSession, path: str, **options) -> DataFrame:
     enc = sniff_encoding(path)
-    if enc not in ("utf-8", "us-ascii", "iso-8859-1"):
-        # Spark 4 whitelists charsets; cp1252 needs the legacy JVM-charset
-        # behavior (set on the live session — the driver's won't have it)
+    jvm_enc = _JVM_CHARSETS.get(enc, enc)
+    if enc.startswith(("utf-16", "utf-32")):
+        # Hadoop's line splitter works on raw 0x0A bytes; a wide charset
+        # needs the charset-encoded separator (LE/BE names keep it BOM-free)
+        options.setdefault("lineSep", "\n")
+    elif enc not in ("utf-8", "utf-8-sig", "us-ascii", "iso-8859-1"):
+        # Spark 4 whitelists charsets; cp1252/latin-2 need the legacy
+        # JVM-charset behavior (set on the live session — the driver's
+        # won't have it)
         spark.conf.set("spark.sql.legacy.javaCharsets", "true")
-    return spark.read.options(encoding=enc, **options).csv(path)
+    return spark.read.options(encoding=jvm_enc, **options).csv(path)

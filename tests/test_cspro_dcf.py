@@ -91,9 +91,11 @@ def test_multi_range_and_explicit_mix(parsed):
 def test_oversize_range_emits_endpoints(parsed):
     """A9: ranges over the cap emit RangeMin/RangeMax rows only."""
     vals = [v for v in parsed.values if v["Name"] == "HV438"]
+    # endpoints are float-formatted, matching the reference's
+    # float(min)/float(max) append
     assert [(v["Value"], v["ValueType"]) for v in vals] == [
-        ("0", "RangeMin"),
-        ("9000000", "RangeMax"),
+        ("0.0", "RangeMin"),
+        ("9000000.0", "RangeMax"),
     ]
 
 
@@ -102,8 +104,8 @@ def test_expansion_strategies():
     multi = parse_dcf_text("fc", DCF_TEXT, expand_ranges="Multiple")
     hv006 = [v for v in multi.values if v["Name"] == "HV006"]
     assert [(v["Value"], v["ValueType"]) for v in hv006] == [
-        ("1", "RangeMin"),
-        ("12", "RangeMax"),
+        ("1.0", "RangeMin"),
+        ("12.0", "RangeMax"),
     ]
     hv105 = [v for v in multi.values if v["Name"] == "HV105" and v["ValueType"] == "ExpandedRange"]
     assert len(hv105) == 998

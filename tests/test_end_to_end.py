@@ -1,19 +1,20 @@
-"""Golden end-to-end test (SURVEY.md §5): DCF dictionary -> spec -> DAT
-demux (two surveys) -> partitioned load -> evolved read -> cross-level join,
-compared with hand-computed expected output.
+"""Golden end-to-end test (SURVEY.md §5): survey zips -> staging -> DCF
+dictionary -> spec -> DAT demux (two surveys) -> partitioned load -> evolved
+read -> cross-level join, compared with hand-computed expected output.
 
-This is the reference's whole pipeline (EP1 + EP3 + the README.md:90-94
-query shape) in one pass: RECH1 (household members) joined to RECH4A
-(country-specific extras) on the *padded* CASEID + line-number link the
-[Relation] block declares."""
+This drives the PUBLIC pipeline entry (``dhs_to_database_spark.pipeline.
+run_pipeline`` — the reference's EP1+EP3 notebook lifecycle, lib02:97-125)
+rather than hand-chaining the stages, then checks the README.md:90-94 query
+shape: RECH1 (household members) joined to RECH4A (country-specific extras)
+on the *padded* CASEID + line-number link the [Relation] block declares."""
 
 from __future__ import annotations
 
+import zipfile
+
 from pyspark.sql import functions as F
 
-from dhs_to_database_spark.sources.cspro_dcf import parse_dcf_text
-from dhs_to_database_spark.sources.fixed_width import demux_dat, spec_from_items
-from dhs_to_database_spark.sources.sinks import write_partitioned
+from dhs_to_database_spark.pipeline import run_pipeline
 from tests.fixtures_cspro import DCF_TEXT, DAT_LINES
 
 _DAT_LINES_512 = [
@@ -27,32 +28,56 @@ CASEID_511 = "       1   901 "
 CASEID_512 = "       9   944 "
 
 
+def _make_zip(path, dat_text: str) -> None:
+    with zipfile.ZipFile(path, "w") as zf:
+        zf.writestr("TESTFC.DCF", DCF_TEXT)
+        zf.writestr("TESTFC.DAT", dat_text)
+
+
 def test_golden_pipeline(spark, tmp_path):
-    # 1. dictionary -> flat spec -> compiled demux spec
-    res = parse_dcf_text("TESTFC", DCF_TEXT)
-    spec = spec_from_items(res.items)
-    assert set(spec.records) == {"H00", "H01", "H4A"}
+    # 0. two survey download zips, each carrying its dictionary + data file
+    downloads = tmp_path / "downloads"
+    downloads.mkdir()
+    _make_zip(downloads / "511.TESTFC.zip", "\n".join(DAT_LINES) + "\n")
+    _make_zip(downloads / "512.TESTFC.zip", "\n".join(_DAT_LINES_512) + "\n")
 
-    # 2. two surveys' DAT files, surveyid from filename
-    d = tmp_path / "dat"
-    d.mkdir()
-    (d / "511.TESTFC.DAT").write_text("\n".join(DAT_LINES) + "\n")
-    (d / "512.TESTFC.DAT").write_text("\n".join(_DAT_LINES_512) + "\n")
-    tables = demux_dat(spark, [str(d / "511.TESTFC.DAT"), str(d / "512.TESTFC.DAT")], spec)
+    # 1-4. the public driver: stage (manual mode) -> parse -> demux -> load
+    res = run_pipeline(
+        spark,
+        staging_folder=str(tmp_path / "staging"),
+        warehouse_dir=str(tmp_path / "warehouse"),
+        downloads_folder=str(downloads),
+        spec_dir=str(tmp_path / "specs"),
+    )
+    assert set(res.tables) == {"RECH0", "RECH1", "RECH4A"}
+    assert len(res.staged) == 4  # 2 zips x 2 members
+    # the 511 fixture plants one unknown-tag line -> logged-and-skipped
+    unk = res.unknown_tag_counts.collect()
+    assert [(r["surveyid"], r["record_type"], r["n_lines"]) for r in unk] == [
+        ("511", "XXX", 1)
+    ]
 
-    # 3. partitioned load + evolved read-back (surveyid stays STRING)
+    # spec CSVs (A13) were emitted alongside
+    spec_back = spark.read.option("header", True).csv(
+        str(tmp_path / "specs" / "FlatRecordSpec")
+    )
+    assert spec_back.count() == res.items.count()
+
+    # evolved read-back (surveyid stays STRING)
     from dhs_to_database_spark.plans.schema_evolution import read_evolved
 
-    for name, df in tables.items():
-        write_partitioned(df, str(tmp_path / "warehouse" / name))
-    rech1 = read_evolved(spark, str(tmp_path / "warehouse" / "RECH1"))
-    rech4a = read_evolved(spark, str(tmp_path / "warehouse" / "RECH4A"))
+    rech1 = read_evolved(spark, res.tables["RECH1"])
+    rech4a = read_evolved(spark, res.tables["RECH4A"])
 
     # the relation from the DCF names the join: RECH1.HVIDX = RECH4A.IDXH4
-    rel = [r for r in res.relations if r["RelName"] == "HH_MEMBERS"][0]
+    rel = [
+        r
+        for r in res.relations.collect()
+        if r["RelName"] == "HH_MEMBERS" and r["FileCode"] == "511.TESTFC"
+    ][0]
     assert (rel["PrimaryLink"], rel["SecondaryLink"]) == ("HVIDX", "IDXH4")
 
-    # 4. the flagship cross-level shape: member age joined to CS extras
+    # the flagship cross-level shape: member age joined to CS extras
     joined = (
         rech1.join(
             rech4a,
@@ -71,7 +96,7 @@ def test_golden_pipeline(spark, tmp_path):
         ("512", CASEID_512, "2", "61", "8"),
     ]
 
-    # 5. invariants: padded keys survived the round-trip; partition pruning
+    # invariants: padded keys survived the round-trip; partition pruning
     assert {r["CASEID"] for r in rech1.select("CASEID").collect()} == {
         CASEID_511,
         "       2   902 ",  # second household in the 511 fixture
@@ -81,3 +106,16 @@ def test_golden_pipeline(spark, tmp_path):
     assert pruned.count() == 3
     plan = pruned._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan or "surveyid" in plan
+
+    # idempotency (A18/A22): a re-run stages nothing new and leaves the
+    # warehouse identical — dynamic overwrite replaces only the partitions
+    # present in the input
+    res2 = run_pipeline(
+        spark,
+        staging_folder=str(tmp_path / "staging"),
+        warehouse_dir=str(tmp_path / "warehouse"),
+        downloads_folder=str(downloads),
+    )
+    assert sorted(res2.staged) == sorted(res.staged)  # all skipped-as-existing
+    # 3 members in survey 511 + 2 in 512, unchanged after the re-run
+    assert read_evolved(spark, res2.tables["RECH1"]).count() == 5

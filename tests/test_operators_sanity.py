@@ -99,6 +99,36 @@ def test_spec_csv_sink_roundtrip(spark, tmp_path):
     assert set(back.columns) == set(items.columns)
 
 
+def test_jdbc_roundtrip_embedded_derby(spark, tmp_path):
+    """Real JDBC write+read through Spark's bundled Derby driver: batched
+    parallel inserts out, full table scan back — values and schema intact."""
+    from dhs_to_database_spark.sources.sinks import jdbc_options, write_jdbc
+
+    db = str(tmp_path / "derbydb")
+    df = spark.range(200).selectExpr(
+        "id", "cast(id * 2.5 as double) AS v", "concat('name_', id) AS s"
+    ).repartition(4)
+    opts = jdbc_options(
+        f"jdbc:derby:{db};create=true",
+        "loaded",
+        batch_size=50,
+        num_partitions=4,
+        driver="org.apache.derby.jdbc.EmbeddedDriver",
+    )
+    write_jdbc(df, mode="overwrite", **opts)
+    back = (
+        spark.read.format("jdbc")
+        .option("url", f"jdbc:derby:{db}")
+        .option("dbtable", "loaded")
+        .option("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+        .load()
+    )
+    assert back.count() == 200
+    assert dict(back.dtypes) == {"id": "bigint", "v": "double", "s": "string"}
+    got = {r["id"]: (r["v"], r["s"]) for r in back.collect()}
+    assert got[7] == (17.5, "name_7")
+
+
 def test_jdbc_options_shape():
     from dhs_to_database_spark.sources.sinks import jdbc_options
 

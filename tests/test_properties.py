@@ -157,8 +157,8 @@ def test_dcf_range_expansion(a, span, limit):
         assert {v["ValueType"] for v in vrows} == {"ExpandedRange"}
     else:
         assert [(v["Value"], v["ValueType"]) for v in vrows] == [
-            (str(a), "RangeMin"),
-            (str(b), "RangeMax"),
+            (str(float(a)), "RangeMin"),
+            (str(float(b)), "RangeMax"),
         ]
 
     res_none = parse_dcf_text(
@@ -166,6 +166,6 @@ def test_dcf_range_expansion(a, span, limit):
     )
     vrows_none = [v for v in res_none.values if v["Name"] == "VPROP"]
     assert [(v["Value"], v["ValueType"]) for v in vrows_none] == [
-        (str(a), "RangeMin"),
-        (str(b), "RangeMax"),
+        (str(float(a)), "RangeMin"),
+        (str(float(b)), "RangeMax"),
     ]

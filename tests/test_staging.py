@@ -80,6 +80,43 @@ def test_encoding_fallback(spark, tmp_path):
     assert sniff_encoding(str(u)) == "utf-8"
 
 
+def test_sniff_utf16_bom_and_bomless(spark, tmp_path):
+    """UTF-16 files — BOM'd or not — must be detected and parse through
+    the CSV fallback reader."""
+    b = tmp_path / "bom.csv"
+    b.write_bytes("name,city\nJosé,Montréal\n".encode("utf-16"))  # BOM'd
+    assert sniff_encoding(str(b)) == "utf-16-le"  # BOM pins the endianness
+    df = read_csv_with_fallback(spark, str(b), header=True)
+    assert df.collect()[0]["city"] == "Montréal"
+
+    le = tmp_path / "bomless.csv"
+    le.write_bytes("name,city\nJosé,Montréal\n".encode("utf-16-le"))
+    assert sniff_encoding(str(le)) == "utf-16-le"
+    be = tmp_path / "bomless_be.csv"
+    be.write_bytes("name,city\nJosé,Montréal\n".encode("utf-16-be"))
+    assert sniff_encoding(str(be)) == "utf-16-be"
+    sig = tmp_path / "sig.csv"
+    sig.write_bytes("name,city\nJosé,Montréal\n".encode("utf-8-sig"))
+    assert sniff_encoding(str(sig)) == "utf-8-sig"
+
+
+def test_sniff_latin2_vs_cp1252(spark, tmp_path):
+    """Polish latin-2 text decodes byte-for-byte under cp1252 too — the
+    letterish score must pick the map whose high bytes come out as
+    letters, not symbols."""
+    pl = tmp_path / "latin2.csv"
+    text = "name,city\nStanisław Lem,Łódź\nZażółć gęślą jaźń,Kraków\n"
+    pl.write_bytes(text.encode("iso-8859-2"))
+    assert sniff_encoding(str(pl)) == "iso-8859-2"
+    df = read_csv_with_fallback(spark, str(pl), header=True)
+    assert df.collect()[0]["city"] == "Łódź"
+
+    # cp1252 text with curly quotes (0x93/0x94 = C1 controls in latin-2)
+    fr = tmp_path / "cp1252.csv"
+    fr.write_bytes(b"name,note\nJos\xe9,\x93bonjour\x94\n")
+    assert sniff_encoding(str(fr)) == "cp1252"
+
+
 def test_sniff_tolerates_truncated_multibyte_at_probe_boundary(tmp_path):
     p = tmp_path / "big_utf8.txt"
     # valid utf-8 whose probe-sized prefix ends mid-character
