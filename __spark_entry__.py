@@ -72,6 +72,9 @@ _GRADE_TAIL = [
     "stratified_sample_langs",  # sampling sibling: train_test_split graded
     "sliding_window",  # window family: tumbling/session graded
     "segment_window_counts",  # window ext: window_functions graded
+    "tumbling_window",  # window family: session_windows/gap_fill graded
+    "embedding_centroids",  # similarity family: embedding_topk graded
+    "curation_pipeline",  # composite of individually-graded stages
 ]
 
 

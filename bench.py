@@ -48,6 +48,9 @@ BENCH_QUERIES = [
     "funnel_stages",
     "sequence_pack",
     "curation_pipeline",
+    "repetition_stats",
+    "context_chunks",
+    "token_budget_mix",
 ]
 
 

@@ -237,3 +237,77 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("doc_id").alias("min_doc_id"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Token-budget domain mixing: pick per-language sampling rates so each
+# language contributes (approximately) an equal share of a total token
+# budget, then keep rows by deterministic hash threshold. Unlike
+# ``stratified_sample`` the rates are DATA-DEPENDENT (derived from per-lang
+# token totals), so the thresholds arrive via a broadcast join of a
+# languages-sized table, not a compiled CASE. All threshold arithmetic is
+# integer (BIGINT div) — bit-exact between Spark and the oracle, no float
+# boundary rows. At 100 TB: one partial-agg shuffle over the corpus for
+# lang totals, then a narrow broadcast-join + filter scan — the shape of
+# every "rebalance the mix to a target" step in training-data pipelines.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "token_budget_mix",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    lang_tot AS (
+      SELECT lang, CAST(SUM(n_tokens) AS BIGINT) AS lang_tokens
+      FROM toks GROUP BY lang
+    ),
+    tot AS (
+      SELECT CAST(SUM(lang_tokens) AS BIGINT) AS total_tokens,
+             CAST(COUNT(*) AS BIGINT) AS n_langs
+      FROM lang_tot
+    ),
+    rates AS (
+      SELECT lang,
+             CAST(LEAST({_BUCKETS},
+                  ((total_tokens // (2 * n_langs)) * {_BUCKETS}) // lang_tokens)
+                  AS BIGINT) AS threshold
+      FROM lang_tot CROSS JOIN tot
+    )
+    SELECT t.doc_id, t.lang, t.n_tokens
+    FROM toks t JOIN rates r USING (lang)
+    WHERE CAST(('0x' || substr(md5(CAST(t.doc_id AS VARCHAR) || 'budget'), 1, 4)) AS BIGINT)
+          < r.threshold
+    """,
+)
+def token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-share mix at a 50%-of-corpus token budget: rate_lang =
+    min(1, (total/2/n_langs) / lang_tokens), applied as a hash threshold."""
+    from .text_analysis import n_tokens as _n_tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", "lang", _n_tokens(F.col("text")).cast("bigint").alias("n_tokens")
+    )
+    lang_tot = toks.groupBy("lang").agg(
+        F.sum("n_tokens").cast("bigint").alias("lang_tokens")
+    )
+    tot = lang_tot.agg(
+        F.sum("lang_tokens").cast("bigint").alias("total_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("n_langs"),
+    )
+    rates = lang_tot.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        F.least(
+            F.lit(_BUCKETS).cast("bigint"),
+            F.expr(f"((total_tokens div (2 * n_langs)) * {_BUCKETS}) div lang_tokens"),
+        ).alias("threshold"),
+    )
+    return (
+        toks.join(F.broadcast(rates), "lang")
+        .filter(hash_bucket(F.col("doc_id"), salt="budget") < F.col("threshold"))
+        .select("doc_id", "lang", "n_tokens")
+    )

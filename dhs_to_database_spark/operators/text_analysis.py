@@ -322,3 +322,131 @@ def pii_counts(col: Column) -> Column:
         F.regexp_count(after_email, F.lit(_LONG_DIGITS_RE)).alias("n_digit_runs"),
         F.regexp_count(after_digits, F.lit(_PHONE_RE)).alias("n_phones"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Repetition stats (Gopher-style repetition filter): the fraction of
+# duplicate word bigrams per document. Machine-generated / boilerplate text
+# repeats itself; the classic pre-training filter drops docs whose
+# duplicate-n-gram fraction crosses a threshold (Rae et al., "Scaling
+# Language Models: ... Gopher", §A1.1). Pure higher-order array functions
+# over one narrow scan — no shuffle, no Python.
+# ---------------------------------------------------------------------------
+
+_REPETITION_THRESHOLD = 0.2
+
+
+@query(
+    "repetition_stats",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS ws
+      FROM documents
+    ),
+    b AS (
+      SELECT doc_id,
+             CASE WHEN len(ws) >= 2
+                  THEN list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])
+                  ELSE CAST([] AS VARCHAR[]) END AS bg
+      FROM t
+    )
+    SELECT doc_id,
+           CAST(len(bg) AS BIGINT) AS n_bigrams,
+           CAST(len(bg) - len(list_distinct(bg)) AS BIGINT) AS n_dup_bigrams,
+           CAST(ROUND(CASE WHEN len(bg) > 0
+                 THEN CAST(len(bg) - len(list_distinct(bg)) AS DECIMAL(18,6)) / len(bg)
+                 ELSE 0 END, 4) AS DOUBLE) AS dup_bigram_ratio,
+           (CASE WHEN len(bg) > 0
+                 THEN CAST(len(bg) - len(list_distinct(bg)) AS DECIMAL(18,6)) / len(bg)
+                 ELSE 0 END > {_REPETITION_THRESHOLD}) AS is_repetitive
+    FROM b
+    """,
+)
+def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    ws = F.split(F.regexp_replace(F.lower(F.trim("text")), r"\s+", " "), " ")
+    with_bg = d.select("doc_id", ws.alias("__ws")).select(
+        "doc_id",
+        F.when(
+            F.size("__ws") >= 2,
+            F.expr(
+                "transform(sequence(1, size(__ws) - 1),"
+                " i -> concat_ws(' ', slice(__ws, i, 2)))"
+            ),
+        )
+        .otherwise(F.array().cast("array<string>"))
+        .alias("bg"),
+    )
+    n_bg = F.size("bg").cast("bigint")
+    n_dup = (F.size("bg") - F.size(F.array_distinct("bg"))).cast("bigint")
+    ratio = F.when(
+        n_bg > 0, n_dup.cast("decimal(18,6)") / n_bg
+    ).otherwise(F.lit(0).cast("decimal(18,6)"))
+    return with_bg.select(
+        "doc_id",
+        n_bg.alias("n_bigrams"),
+        n_dup.alias("n_dup_bigrams"),
+        F.round(ratio, 4).cast("double").alias("dup_bigram_ratio"),
+        (ratio > _REPETITION_THRESHOLD).alias("is_repetitive"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Context-window chunking: split each document into overlapping fixed-size
+# token windows (the RAG / long-context prep step: window 64 tokens,
+# stride 48 -> 16-token overlap). One narrow projection + one explode —
+# chunk ids are pure arithmetic on the window start, so the output is
+# deterministic under any partitioning and a re-run regenerates identical
+# chunk keys (resumable embedding jobs join on (doc_id, chunk_id)).
+# ---------------------------------------------------------------------------
+
+_CHUNK_TOKENS = 64
+_CHUNK_STRIDE = 48
+
+
+@query(
+    "context_chunks",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS ws
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id, ws, unnest(range(1, len(ws) + 1, {_CHUNK_STRIDE})) AS start
+      FROM t
+    )
+    SELECT doc_id,
+           CAST((start - 1) // {_CHUNK_STRIDE} AS BIGINT) AS chunk_id,
+           CAST(start AS BIGINT) AS chunk_start,
+           CAST(least({_CHUNK_TOKENS}, len(ws) - start + 1) AS BIGINT) AS n_chunk_tokens,
+           array_to_string(list_slice(ws, start, least(start + {_CHUNK_TOKENS} - 1, len(ws))), ' ')
+             AS chunk_text
+    FROM s
+    """,
+)
+def context_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    ws = F.split(F.regexp_replace(F.lower(F.trim("text")), r"\s+", " "), " ")
+    return (
+        d.select("doc_id", ws.alias("__ws"))
+        .select(
+            "doc_id",
+            "__ws",
+            F.explode(
+                F.expr(f"sequence(1, size(__ws), {_CHUNK_STRIDE})")
+            ).alias("start"),
+        )
+        .select(
+            "doc_id",
+            F.expr(f"(start - 1) div {_CHUNK_STRIDE}").cast("bigint").alias("chunk_id"),
+            F.col("start").cast("bigint").alias("chunk_start"),
+            F.least(
+                F.lit(_CHUNK_TOKENS), F.size("__ws") - F.col("start") + 1
+            ).cast("bigint").alias("n_chunk_tokens"),
+            F.concat_ws(
+                " ", F.expr(f"slice(__ws, start, {_CHUNK_TOKENS})")
+            ).alias("chunk_text"),
+        )
+    )

@@ -196,3 +196,68 @@ def test_global_rank_disk_tier_matches_memory(spark, tmp_path):
     # disk tier must not pin anything new in block-manager storage
     after = set(spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray())
     assert after <= before
+
+
+def test_repetition_stats_flags_planted_repetition(spark, tmp_path):
+    """A doc that is one phrase repeated must score near-1 dup-bigram ratio
+    and be flagged; diverse text must not."""
+    from dhs_to_database_spark.operators.text_analysis import repetition_stats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "buy now " * 50),  # 99 bigrams, 2 distinct
+            (2, " ".join(f"w{i}" for i in range(100))),  # all distinct
+            (3, "single"),  # no bigrams
+        ],
+        "doc_id bigint, text string",
+    )
+    docs.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    rows = {r["doc_id"]: r for r in repetition_stats(spark, str(tmp_path)).collect()}
+    assert rows[1]["is_repetitive"] and rows[1]["dup_bigram_ratio"] > 0.9
+    assert not rows[2]["is_repetitive"] and rows[2]["n_dup_bigrams"] == 0
+    assert rows[3]["n_bigrams"] == 0 and not rows[3]["is_repetitive"]
+
+
+def test_context_chunks_cover_and_overlap(spark, tmp_path):
+    """Chunks must tile the token stream: stride-spaced starts, full windows
+    except the tail, and each chunk's text equal to the token slice."""
+    from dhs_to_database_spark.operators.text_analysis import (
+        _CHUNK_STRIDE,
+        _CHUNK_TOKENS,
+        context_chunks,
+    )
+
+    toks = [f"t{i}" for i in range(150)]
+    docs = spark.createDataFrame(
+        [(1, " ".join(toks))], "doc_id bigint, text string"
+    )
+    docs.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    rows = sorted(
+        context_chunks(spark, str(tmp_path)).collect(), key=lambda r: r["chunk_id"]
+    )
+    assert [r["chunk_start"] for r in rows] == [1, 49, 97, 145]
+    for r in rows:
+        start = r["chunk_start"] - 1
+        expect = toks[start : start + _CHUNK_TOKENS]
+        assert r["chunk_text"].split(" ") == expect
+        assert r["n_chunk_tokens"] == len(expect)
+    # consecutive chunks overlap by window - stride tokens
+    assert _CHUNK_TOKENS - _CHUNK_STRIDE == 16
+
+
+def test_token_budget_mix_hits_target_share(spark, tmp_path):
+    """The over-represented language must be downsampled to ~its equal
+    share of the halved token budget; scarce languages are kept whole."""
+    from dhs_to_database_spark.operators.sampling import token_budget_mix
+
+    rows = [(i, "en", " ".join("w" for _ in range(20))) for i in range(900)]
+    rows += [(1000 + i, "fr", " ".join("w" for _ in range(20))) for i in range(100)]
+    spark.createDataFrame(rows, "doc_id bigint, lang string, text string").write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "documents.parquet"))
+    kept = token_budget_mix(spark, str(tmp_path)).groupBy("lang").count().collect()
+    by_lang = {r["lang"]: r["count"] for r in kept}
+    # budget = total/2/2 = 5000 tokens/lang = 250 docs of en (rate ~0.28);
+    # fr has only 2000 tokens, under budget -> kept entirely
+    assert by_lang["fr"] == 100
+    assert 200 <= by_lang["en"] <= 300
