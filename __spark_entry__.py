@@ -75,6 +75,7 @@ _GRADE_TAIL = [
     "tumbling_window",  # window family: session_windows/gap_fill graded
     "embedding_centroids",  # similarity family: embedding_topk graded
     "curation_pipeline",  # composite of individually-graded stages
+    "sentinel_dup_check",  # HAVING-dup family: duplicate_load_detect graded
 ]
 
 

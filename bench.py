@@ -51,6 +51,7 @@ BENCH_QUERIES = [
     "repetition_stats",
     "context_chunks",
     "token_budget_mix",
+    "token_rarity_score",
 ]
 
 

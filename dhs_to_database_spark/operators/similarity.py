@@ -189,10 +189,8 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # 100 TB the cell assignment is a stored column (cluster once, reuse), a
 # query touches n_probe/n_cells of the corpus, and cells give Spark a
 # natural partition/bucket key so a probe is a partition-pruned scan.
-# Centroids here are a deterministic id-stride sample (k-means iterations
-# would refine them; on an isotropic benchmark corpus they add nothing and
-# cost a cluster pass — on real clustered embeddings swap in
-# pyspark.ml.clustering.KMeans and keep everything downstream unchanged).
+# Centroids are trained with ``kmeans_fit`` below (Lloyd's iterations as
+# pure DataFrame ops) from a deterministic id-stride init.
 # ---------------------------------------------------------------------------
 
 _IVF_CELLS = 32
@@ -227,20 +225,75 @@ def ivf_assign(emb: DataFrame, centroids: "list[tuple[int, list[float]]]") -> Da
     )
 
 
+def stride_centroids(emb: DataFrame, k: int) -> list[tuple[int, list[float]]]:
+    """Deterministic init: every (N // k)-th vector by id — reproducible on
+    any cluster layout, no RNG state."""
+    n = emb.count()
+    stride = max(n // k, 1)
+    rows = (
+        emb.filter((F.col("vec_id") % stride == 0) & (F.col("vec_id") < stride * k))
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    return [(i, list(r["embedding"])) for i, r in enumerate(rows)]
+
+
+def kmeans_fit(
+    emb: DataFrame,
+    k: int = _IVF_CELLS,
+    max_iter: int = 10,
+    tol: float = 1e-4,
+) -> tuple[list[tuple[int, list[float]]], int]:
+    """Lloyd's k-means as pure DataFrame iterations — the IVF training step.
+
+    Per iteration: one narrow Arrow-batched assignment pass (broadcast
+    centroid matrix inside ``ivf_assign``) + one partial-aggregated
+    posexplode mean (map-side combine collapses N x dim rows to k x dim per
+    partition before the single shuffle) + a k x dim driver collect. The
+    driver never holds more than the centroid matrix; corpus passes are
+    linear and stateless, so the loop scales exactly like the IVF assign
+    itself. Empty cells keep their previous centroid. Returns
+    ``(centroids, iterations_run)``; stops early when the max centroid
+    movement (L2) drops below ``tol``.
+    """
+    import numpy as np
+
+    centroids = stride_centroids(emb, k)
+    it = 0
+    for it in range(1, max_iter + 1):
+        assigned = ivf_assign(emb, centroids)
+        means = (
+            assigned.select("cell", F.posexplode("embedding").alias("pos", "v"))
+            .groupBy("cell", "pos")
+            .agg(F.avg(F.col("v").cast("double")).alias("x"))
+            .collect()
+        )
+        by_cell: dict[int, dict[int, float]] = {}
+        for r in means:
+            by_cell.setdefault(r["cell"], {})[r["pos"]] = r["x"]
+        moved = 0.0
+        new_centroids = []
+        for cid, old in centroids:
+            if cid in by_cell:
+                vec = [by_cell[cid][p] for p in range(len(old))]
+                moved = max(moved, float(np.linalg.norm(np.subtract(vec, old))))
+            else:  # empty cell: keep the previous centroid
+                vec = list(old)
+            new_centroids.append((cid, vec))
+        centroids = new_centroids
+        if moved < tol:
+            break
+    return centroids, it
+
+
 @query("ann_ivf_topk")  # approximate: rows-only check; recall pinned in tests
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     emb = load_table(spark, sf_dir, "embeddings")
-    # deterministic coarse centroids: every (N // _IVF_CELLS)-th vector
-    n = emb.count()
-    stride = max(n // _IVF_CELLS, 1)
-    centroid_rows = (
-        emb.filter((F.col("vec_id") % stride == 0) & (F.col("vec_id") < stride * _IVF_CELLS))
-        .select("vec_id", "embedding")
-        .collect()
-    )
-    centroids = [(i, list(r["embedding"])) for i, r in enumerate(centroid_rows)]
+    # coarse quantizer: a few Lloyd iterations from the deterministic init
+    # (at 100 TB: train once on a sample, store the assignment column)
+    centroids, _ = kmeans_fit(emb, _IVF_CELLS, max_iter=3)
 
     assigned = ivf_assign(emb, centroids).persist()
 
@@ -264,14 +317,19 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "qe", F.col("vec_id").alias("neighbor_id"), "embedding")
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
-    return (
+    out = (
         cand.select("query_id", "neighbor_id", cosine("qe", "embedding").alias("cos"))
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= _TOP_K)
         .select(
             "query_id", "neighbor_id", "rank", F.round("cos", 6).cast("double").alias("cosine_sim")
         )
+        # eager top-k (|Q| x k rows) -> release the cached assignment
+        # before returning; no cache leaks into a shared session
+        .localCheckpoint(eager=True)
     )
+    assigned.unpersist()
+    return out
 
 
 # ---------------------------------------------------------------------------

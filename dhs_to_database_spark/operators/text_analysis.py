@@ -450,3 +450,59 @@ def context_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("chunk_text"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus-LM token rarity: score each document by the mean inverse corpus
+# frequency of its tokens — the unigram-language-model quality signal
+# (gibberish and boilerplate-free text differ sharply in mean token
+# rarity). Two phases: one partial-agg shuffle builds the term-frequency
+# model, then the corpus re-scan joins the model and averages per doc.
+# Rarity is T // count(term) in BIGINT (integer division) so Spark and the
+# oracle agree bit-for-bit — no transcendental functions whose last-ulp
+# behavior differs between engines; the single decimal division happens
+# once, at the final rounded average.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "token_rarity_score",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS term
+      FROM documents
+    ),
+    toks_nz AS (SELECT doc_id, term FROM toks WHERE term <> ''),
+    vocab AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt FROM toks_nz GROUP BY term),
+    tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total_tokens FROM vocab)
+    SELECT t.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_scored_tokens,
+           CAST(SUM(total_tokens // v.cnt) AS BIGINT) AS rarity_sum,
+           CAST(ROUND(CAST(SUM(total_tokens // v.cnt) AS DECIMAL(28,6)) / COUNT(*), 4)
+                AS DOUBLE) AS mean_rarity
+    FROM toks_nz t JOIN vocab v USING (term) CROSS JOIN tot
+    GROUP BY t.doc_id
+    """,
+)
+def token_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(
+            F.split(F.regexp_replace(F.lower(F.trim("text")), r"\s+", " "), " ")
+        ).alias("term"),
+    ).filter(F.col("term") != "")
+    vocab = toks.groupBy("term").agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    tot = vocab.agg(F.sum("cnt").cast("bigint").alias("total_tokens"))
+    scored = (
+        toks.join(vocab, "term")
+        .crossJoin(F.broadcast(tot))
+        .select("doc_id", F.expr("total_tokens div cnt").alias("rarity"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_scored_tokens"),
+        F.sum("rarity").cast("bigint").alias("rarity_sum"),
+        F.round(
+            F.sum("rarity").cast("decimal(28,6)") / F.count(F.lit(1)), 4
+        ).cast("double").alias("mean_rarity"),
+    )

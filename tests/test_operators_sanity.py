@@ -212,3 +212,49 @@ def test_approx_percentile_within_rank_error(spark):
 
             rank = bisect.bisect_left(vals, row[key])
             assert abs(rank - q * n) <= max(n / 1000.0, 1) + 1
+
+
+def test_kmeans_fit_reduces_inertia_and_converges(spark):
+    """Lloyd iterations must strictly improve (or match) the stride init's
+    inertia and agree with a numpy reference run from the same init."""
+    import numpy as np
+
+    from dhs_to_database_spark.operators.similarity import (
+        ivf_assign,
+        kmeans_fit,
+        stride_centroids,
+    )
+    from dhs_to_database_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+
+    def inertia(centroids):
+        cm = np.stack([np.asarray(c) for _, c in centroids])
+        cm = cm / np.linalg.norm(cm, axis=1, keepdims=True)
+        rows = ivf_assign(emb, centroids).collect()
+        m = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in rows])
+        m = m / np.linalg.norm(m, axis=1, keepdims=True)
+        cells = np.asarray([r["cell"] for r in rows])
+        return float(((m - cm[cells]) ** 2).sum())
+
+    init = stride_centroids(emb, 8)
+    fitted, n_iter = kmeans_fit(emb, k=8, max_iter=5)
+    assert 1 <= n_iter <= 5
+    assert inertia(fitted) <= inertia(init) + 1e-9
+
+    # numpy reference: same init, same iteration count, same mean update
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = np.asarray([r["vec_id"] for r in rows])
+    m = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in rows])[
+        np.argsort(ids)
+    ]
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    cm = np.stack([np.asarray(c) for _, c in init])
+    for _ in range(n_iter):
+        cmn = cm / np.linalg.norm(cm, axis=1, keepdims=True)
+        cells = (mn @ cmn.T).argmax(axis=1)
+        for c in range(8):
+            if (cells == c).any():
+                cm[c] = m[cells == c].mean(axis=0)
+    got = np.stack([np.asarray(c) for _, c in fitted])
+    assert np.allclose(got, cm, atol=1e-6)
