@@ -238,3 +238,60 @@ def test_enriched_segment_stream_matches_batch(spark, events_stream):
         .collect()
     }
     assert got == want
+
+
+def test_late_data_dropped_after_watermark(spark, tmp_path):
+    """An event older than the watermark arriving in a later micro-batch
+    must NOT reopen its (already finalized) window: append-mode output for
+    that window keeps the on-time count only."""
+    import os
+    import time as _time
+
+    from dhs_to_database_spark.streaming.events import run_to_memory, tumbling_counts
+
+    src = tmp_path / "late_src"
+    src.mkdir()
+    mk = lambda rows: spark.createDataFrame(  # noqa: E731
+        rows, "event_id bigint, user_id bigint, event_type string, value double, ts timestamp"
+    )
+    dt = __import__("datetime").datetime
+    on_time = mk(
+        [
+            (1, 1, "a", 1.0, dt(2026, 1, 1, 10, 0)),
+            (2, 1, "a", 1.0, dt(2026, 1, 1, 10, 30)),
+            # far-future event: watermark becomes 19:00 after this batch
+            (3, 1, "a", 1.0, dt(2026, 1, 1, 20, 0)),
+        ]
+    )
+    # batch 2 runs WITH watermark 19:00 -> the 10:00 window is finalized
+    # (emitted + state evicted) at its end
+    pusher = mk([(4, 1, "a", 1.0, dt(2026, 1, 1, 21, 0))])
+    # batch 3: 10:15 arrives after its window's state is gone -> dropped
+    late = mk(
+        [
+            (5, 1, "a", 1.0, dt(2026, 1, 1, 10, 15)),
+            (6, 1, "a", 1.0, dt(2026, 1, 1, 21, 30)),
+        ]
+    )
+    on_time.coalesce(1).write.parquet(str(src / "b0"))
+    pusher.coalesce(1).write.parquet(str(src / "b1"))
+    late.coalesce(1).write.parquet(str(src / "b2"))
+    files = sorted(str(p) for p in src.glob("b*/*.parquet"))
+    for i, p in enumerate(files):
+        target = src / f"events{i}.parquet"
+        os.rename(p, target)
+        os.utime(target, (1000 + i * 100, 1000 + i * 100))  # batch order b0->b1->b2
+        _time.sleep(0.01)
+    stream = (
+        spark.readStream.schema(on_time.schema)
+        .format("parquet")
+        .option("pathGlobFilter", "events*.parquet")
+        .option("maxFilesPerTrigger", "1")
+        .load(str(src))
+    )
+    run_to_memory(tumbling_counts(stream), "t_late", output_mode="append")
+    got = {
+        r["window_start"].hour: r["n_events"] for r in spark.table("t_late").collect()
+    }
+    # the 10:00 window finalized with its 2 on-time events; id 5 was dropped
+    assert got.get(10) == 2
