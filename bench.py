@@ -52,6 +52,7 @@ BENCH_QUERIES = [
     "context_chunks",
     "token_budget_mix",
     "token_rarity_score",
+    "semantic_dedup",
 ]
 
 

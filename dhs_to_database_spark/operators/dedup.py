@@ -476,3 +476,69 @@ def blocked_allpairs_cosine(
 def embedding_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return blocked_allpairs_cosine(spark, emb, _COSINE_DUP_THRESHOLD)
+
+
+# ---------------------------------------------------------------------------
+# Semantic dedup (SemDeDup-shaped; Abbas et al. 2023): cluster embeddings
+# with k-means, compute exact pairwise cosine ONLY within each cell, then
+# group transitive near-dups and keep the min-id representative. The
+# quadratic work is confined to single cells (N/k vectors each, one numpy
+# gram per cell inside applyInPandas); cross-cell near-dup pairs are
+# deliberately sacrificed — that is the approximation that makes semantic
+# dedup linear at corpus scale. Cells come from kmeans_fit (deterministic
+# stride init), so a re-run reproduces the same keep set.
+# ---------------------------------------------------------------------------
+
+_SEMANTIC_TAU = 0.35
+_SEMANTIC_CELLS = 16
+
+
+def within_cell_cosine_pairs(assigned: DataFrame, threshold: float) -> DataFrame:
+    """(vec_id, embedding, cell) -> (doc_a, doc_b, cosine_sim) pairs with
+    cosine >= threshold, both members in the same cell."""
+    import pandas as pd
+
+    def gram(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        ids = pdf["vec_id"].to_numpy()
+        m = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+        m /= np.linalg.norm(m, axis=1, keepdims=True)
+        sims = m @ m.T
+        aa, bb = np.nonzero(sims >= threshold)
+        keep = ids[aa] < ids[bb]
+        return pd.DataFrame(
+            {
+                "doc_a": ids[aa][keep],
+                "doc_b": ids[bb][keep],
+                "cosine_sim": np.round(sims[aa, bb][keep], 6),
+            }
+        )
+
+    return assigned.groupBy("cell").applyInPandas(
+        gram, schema="doc_a bigint, doc_b bigint, cosine_sim double"
+    )
+
+
+@query("semantic_dedup")  # rows-only: k-means cells are not SQL-expressible
+def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row per vector: its cell, its duplicate-group representative,
+    and whether it survives the dedup (is the representative)."""
+    from .clustering import connected_components
+    from .similarity import ivf_assign, kmeans_fit
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids, _ = kmeans_fit(emb, k=_SEMANTIC_CELLS, max_iter=2)
+    assigned = ivf_assign(emb, centroids)
+    pairs = within_cell_cosine_pairs(assigned, _SEMANTIC_TAU)
+    comp = connected_components(pairs, src="doc_a", dst="doc_b")
+    out = assigned.join(
+        comp, assigned["vec_id"] == comp["node"], "left"
+    ).select(
+        assigned["vec_id"],
+        assigned["cell"],
+        F.coalesce(comp["component"], assigned["vec_id"]).alias("representative"),
+    )
+    return out.withColumn(
+        "is_kept", F.col("vec_id") == F.col("representative")
+    )

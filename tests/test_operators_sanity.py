@@ -258,3 +258,56 @@ def test_kmeans_fit_reduces_inertia_and_converges(spark):
                 cm[c] = m[cells == c].mean(axis=0)
     got = np.stack([np.asarray(c) for _, c in fitted])
     assert np.allclose(got, cm, atol=1e-6)
+
+
+def test_within_cell_cosine_pairs_exact(spark):
+    """Pairs come only from the same cell, threshold applies to true cosine,
+    and doc_a < doc_b orients each pair once."""
+    import math
+
+    from dhs_to_database_spark.operators.dedup import within_cell_cosine_pairs
+
+    rows = [
+        (1, [1.0, 0.0], 0),
+        (2, [0.9, 0.1], 0),  # near-parallel to 1 -> pair
+        (3, [0.0, 1.0], 0),  # orthogonal -> no pair
+        (4, [1.0, 0.0], 1),  # identical to 1 but in another cell -> no pair
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, cell bigint"
+    )
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["cosine_sim"]
+        for r in within_cell_cosine_pairs(df, 0.8).collect()
+    }
+    assert set(pairs) == {(1, 2)}
+    assert abs(pairs[(1, 2)] - 0.9 / math.hypot(0.9, 0.1)) < 1e-6
+
+
+def test_semantic_dedup_invariants(spark):
+    """Every within-cell pair above tau lands in one group; representatives
+    are the min id of their group and exactly the kept set."""
+    from dhs_to_database_spark.operators.dedup import (
+        _SEMANTIC_CELLS,
+        _SEMANTIC_TAU,
+        semantic_dedup,
+        within_cell_cosine_pairs,
+    )
+    from dhs_to_database_spark.operators.similarity import ivf_assign, kmeans_fit
+    from dhs_to_database_spark.sources.tables import load_table
+
+    out = semantic_dedup(spark, SF_DIR).collect()
+    rep = {r["vec_id"]: r["representative"] for r in out}
+    groups: dict[int, list[int]] = {}
+    for v, g in rep.items():
+        groups.setdefault(g, []).append(v)
+    for g, members in groups.items():
+        assert g == min(members)
+    assert {r["vec_id"] for r in out if r["is_kept"]} == set(groups)
+
+    # re-derive the same cells and check pair-consistency
+    emb = load_table(spark, SF_DIR, "embeddings")
+    centroids, _ = kmeans_fit(emb, k=_SEMANTIC_CELLS, max_iter=2)
+    assigned = ivf_assign(emb, centroids)
+    for r in within_cell_cosine_pairs(assigned, _SEMANTIC_TAU).collect():
+        assert rep[r["doc_a"]] == rep[r["doc_b"]], (r["doc_a"], r["doc_b"])
