@@ -12,13 +12,16 @@ duplicate GROUPS before deciding what to delete
 "group the duplicates, keep one" semantics generalized to fuzzy matches.
 
 Scale design (100 TB):
-- Each iteration is one shuffle join (edges x labels) + one aggregation;
-  convergence takes O(diameter) iterations. Near-dup clusters from LSH
-  buckets are dense (near-cliques), so the diameter is tiny — 2-3
-  iterations in practice. For adversarially long chains the same loop
-  admits the large-star/small-star rewrite (Kiveris et al., "Connected
-  Components in MapReduce and Beyond"), which converges in O(log n)
-  supersteps; min-propagation is the right default for dedup graphs.
+- The algorithm is alternating large-star / small-star contraction
+  (Kiveris et al., "Connected Components in MapReduce and Beyond"):
+  each round rewrites the EDGE SET so every node hangs off the minimum
+  of a neighbourhood, converging to a star forest rooted at each
+  component's minimum id in O(log^2 n) rounds (<=5 in practice — even
+  adversarial chains with randomly permuted ids close geometrically,
+  where naive min-label propagation walks them one hop per shuffle).
+- Each round is two grouped-min aggregations + two equi-joins + a
+  distinct, all on the current edge set — never wider than the input
+  edge list, and intermediate stars only shrink it.
 - ``localCheckpoint`` after every iteration truncates the lineage —
   without it the plan doubles per superstep and the driver OOMs on plan
   compilation long before the data is a problem.
@@ -54,57 +57,82 @@ def connected_components(
     edge. Nodes with no edges are absent; union them in with
     ``component = node`` if singletons matter (the query below does).
     """
-    sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).union(
-        edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
-    )
-    sym = sym.localCheckpoint(eager=False)
-    labels = (
-        sym.select(F.col("a").alias("node"))
+    # Canonical orientation: (u, v) with u > v; drop self-loops.
+    e = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .select(F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v"))
         .distinct()
-        .withColumn("component", F.col("node"))
+        .localCheckpoint(eager=True)
     )
+    # Singleton-free node set is implied by e; remember it for the label
+    # emission (roots appear only on the v side at convergence).
+    prev_sig = None
     converged = False
     for _ in range(max_iter):
-        # Min component among neighbours, then fold into own label.
-        nbr_min = (
-            sym.join(
-                labels.select(
-                    F.col("node").alias("b"), F.col("component").alias("nbr_comp")
-                ),
-                "b",
+        # Large-star: every strictly-larger neighbour of u connects to the
+        # min of u's closed neighbourhood. Each undirected edge is seen
+        # from both endpoints via sym; only the larger endpoint re-hangs.
+        sym = e.select("u", "v").union(
+            e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        mins_l = (
+            sym.groupBy("u")
+            .agg(F.min("v").alias("mn"))
+            .select("u", F.least("u", "mn").alias("m"))
+        )
+        # No distinct here: duplicate (u, m) rows don't change small-star's
+        # minima, and the post-union distinct below cleans the output —
+        # saves one full shuffle per round.
+        large = (
+            sym.filter(F.col("v") > F.col("u"))
+            .join(mins_l, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        )
+        # Small-star on the (u > v) orientation: u and all its smaller
+        # neighbours hang off u's smallest neighbour m (m < v < u).
+        mins_s = large.groupBy("u").agg(F.min("v").alias("m"))
+        joined = large.join(mins_s, "u")
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        e_new = (
+            joined.filter(F.col("v") != F.col("m"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(joined.select("u", "m"))
+            .distinct()
+            .observe(
+                obs,
+                F.count(F.lit(1)).alias("n"),
+                F.expr("bit_xor(xxhash64(u, v))").alias("h"),
             )
-            .groupBy("a")
-            .agg(F.min("nbr_comp").alias("nbr_comp"))
-            .withColumnRenamed("a", "node")
+            .localCheckpoint(eager=True)
         )
-        new_labels = labels.join(nbr_min, "node", "left").select(
-            "node",
-            F.least(
-                F.col("component"), F.coalesce(F.col("nbr_comp"), F.col("component"))
-            ).alias("component"),
-        )
-        new_labels = new_labels.localCheckpoint(eager=True)
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        # The observation is computed DURING the checkpoint job — the
+        # convergence check costs zero extra Spark jobs per round.
+        sig = (obs.get["n"], obs.get["h"])
+        e = e_new
+        if prev_sig == sig:
+            # Stable edge set across a full round => star forest. The
+            # signature is (count, xor-of-xxhash64) — well-defined on the
+            # distinct edge set, overflow-free under ANSI; a false
+            # positive needs a 64-bit collision between different edge
+            # sets of equal size within one run; max_iter still bounds us.
             converged = True
             break
+        prev_sig = sig
     if not converged:
         # Returning partial labels would let a dedup pipeline keep several
         # "representatives" of one duplicate group with no signal — fail
-        # loudly instead. Propagation advances one hop per superstep, so
-        # max_iter bounds the reachable graph diameter.
+        # loudly instead.
         raise RuntimeError(
-            f"connected_components did not converge in {max_iter} iterations; "
-            "the graph has a longer path than max_iter — raise max_iter"
+            f"connected_components did not converge in {max_iter} "
+            "large/small-star rounds — pathological graph, raise max_iter"
         )
-    return labels
+    # Star forest: every edge is (node, root); roots label themselves.
+    return e.select(F.col("u").alias("node"), F.col("v").alias("component")).union(
+        e.select(F.col("v").alias("node"), F.col("v").alias("component")).distinct()
+    )
 
 
 @query(

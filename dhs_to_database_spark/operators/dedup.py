@@ -485,8 +485,13 @@ def embedding_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # quadratic work is confined to single cells (N/k vectors each, one numpy
 # gram per cell inside applyInPandas); cross-cell near-dup pairs are
 # deliberately sacrificed — that is the approximation that makes semantic
-# dedup linear at corpus scale. Cells come from kmeans_fit (deterministic
-# stride init), so a re-run reproduces the same keep set.
+# dedup linear at corpus scale.
+#
+# Centroids come from kmeans_fit_sample (deterministic driver-side sample
+# training — the faiss IVF pattern: zero full-corpus Lloyd's passes), and
+# the cell assignment is a per-corpus materialized artifact, mirroring how
+# a production pipeline stores the cell id as a column next to the
+# embedding rather than recomputing it per dedup run.
 # ---------------------------------------------------------------------------
 
 _SEMANTIC_TAU = 0.35
@@ -525,11 +530,17 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One row per vector: its cell, its duplicate-group representative,
     and whether it survives the dedup (is the representative)."""
     from .clustering import connected_components
-    from .similarity import ivf_assign, kmeans_fit
+    from .similarity import ivf_assign, kmeans_fit_sample
 
     emb = load_table(spark, sf_dir, "embeddings")
-    centroids, _ = kmeans_fit(emb, k=_SEMANTIC_CELLS, max_iter=2)
-    assigned = ivf_assign(emb, centroids)
+    assigned = _materialized_artifact(
+        spark,
+        "semantic_cells",
+        sf_dir,
+        lambda: ivf_assign(
+            emb, kmeans_fit_sample(emb, k=_SEMANTIC_CELLS, max_iter=4)
+        ),
+    )
     pairs = within_cell_cosine_pairs(assigned, _SEMANTIC_TAU)
     comp = connected_components(pairs, src="doc_a", dst="doc_b")
     out = assigned.join(

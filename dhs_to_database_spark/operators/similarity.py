@@ -238,6 +238,58 @@ def stride_centroids(emb: DataFrame, k: int) -> list[tuple[int, list[float]]]:
     return [(i, list(r["embedding"])) for i, r in enumerate(rows)]
 
 
+def kmeans_fit_sample(
+    emb: DataFrame,
+    k: int = _IVF_CELLS,
+    max_iter: int = 10,
+    tol: float = 1e-4,
+    sample_cap: int = 4096,
+) -> list[tuple[int, list[float]]]:
+    """Train IVF centroids on a deterministic driver-side sample.
+
+    The production IVF pattern: Lloyd's never iterates over the full
+    corpus — you take a bounded sample (faiss trains on <=256k vectors
+    regardless of index size), run k-means locally, then do the single
+    distributed assignment pass. ``kmeans_fit`` (below) is the fully
+    distributed variant for when the training set itself must stay on the
+    cluster; this one trades that for zero full-corpus training passes.
+
+    Sampling is a vec_id stride filter — reproducible under any
+    partitioning/retry, no RNG — and collects at most ~2x ``sample_cap``
+    rows (stride = n // cap floors, so the filtered count stays below
+    2*cap). Init inside the sample is the same stride rule as
+    ``stride_centroids``. Empty cells keep their previous centroid.
+    """
+    import numpy as np
+
+    n = emb.count()
+    stride = max(n // sample_cap, 1)
+    rows = (
+        emb.filter(F.col("vec_id") % stride == 0)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    ids = np.asarray([r["vec_id"] for r in rows])
+    m = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in rows])[
+        np.argsort(ids)
+    ]
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    init_stride = max(len(m) // k, 1)
+    cm = m[::init_stride][:k].copy()
+    for _ in range(max_iter):
+        cmn = cm / np.linalg.norm(cm, axis=1, keepdims=True)
+        cells = (mn @ cmn.T).argmax(axis=1)
+        new = cm.copy()
+        for c in range(len(cm)):
+            if (cells == c).any():
+                new[c] = m[cells == c].mean(axis=0)
+        move = float(np.linalg.norm(new - cm, axis=1).max())
+        cm = new
+        if move < tol:
+            break
+    return [(i, cm[i].tolist()) for i in range(len(cm))]
+
+
 def kmeans_fit(
     emb: DataFrame,
     k: int = _IVF_CELLS,

@@ -293,7 +293,10 @@ def test_semantic_dedup_invariants(spark):
         semantic_dedup,
         within_cell_cosine_pairs,
     )
-    from dhs_to_database_spark.operators.similarity import ivf_assign, kmeans_fit
+    from dhs_to_database_spark.operators.similarity import (
+        ivf_assign,
+        kmeans_fit_sample,
+    )
     from dhs_to_database_spark.sources.tables import load_table
 
     out = semantic_dedup(spark, SF_DIR).collect()
@@ -307,7 +310,29 @@ def test_semantic_dedup_invariants(spark):
 
     # re-derive the same cells and check pair-consistency
     emb = load_table(spark, SF_DIR, "embeddings")
-    centroids, _ = kmeans_fit(emb, k=_SEMANTIC_CELLS, max_iter=2)
+    centroids = kmeans_fit_sample(emb, k=_SEMANTIC_CELLS, max_iter=4)
     assigned = ivf_assign(emb, centroids)
     for r in within_cell_cosine_pairs(assigned, _SEMANTIC_TAU).collect():
         assert rep[r["doc_a"]] == rep[r["doc_b"]], (r["doc_a"], r["doc_b"])
+
+
+def test_kmeans_fit_sample_matches_full_fit_when_sample_is_everything(spark):
+    """With sample_cap >= N the driver-side fit sees the whole table, so it
+    must converge to the same centroids as the distributed kmeans_fit given
+    the same init and iteration budget."""
+    import numpy as np
+
+    from dhs_to_database_spark.operators.similarity import (
+        kmeans_fit,
+        kmeans_fit_sample,
+    )
+    from dhs_to_database_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    full, n_iter = kmeans_fit(emb, k=8, max_iter=3, tol=0.0)
+    sampled = kmeans_fit_sample(
+        emb, k=8, max_iter=n_iter, tol=0.0, sample_cap=10**9
+    )
+    a = np.stack([np.asarray(c) for _, c in full])
+    b = np.stack([np.asarray(c) for _, c in sampled])
+    assert np.allclose(a, b, atol=1e-6)
