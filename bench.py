@@ -53,6 +53,7 @@ BENCH_QUERIES = [
     "token_budget_mix",
     "token_rarity_score",
     "semantic_dedup",
+    "benchmark_decontaminate",
 ]
 
 

@@ -311,3 +311,113 @@ def token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(hash_bucket(F.col("doc_id"), salt="budget") < F.col("threshold"))
         .select("doc_id", "lang", "n_tokens")
     )
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination: flag training documents that share a token
+# n-gram with any held-out (test/benchmark) document.
+#
+# The standard LLM-pretraining hygiene step (GPT-3 appendix C / PaLM /
+# Llama all use 8-13-token n-gram overlap): before training, every train
+# document that reproduces a contiguous n-gram from an eval benchmark is
+# flagged (and usually dropped or split). The reference's closest ancestor
+# is its duplicate-load detection (03 nb raw :993-1140) — same "find rows
+# whose content already exists elsewhere" shape, lifted from equality to
+# n-gram containment.
+#
+# Scale design (100 TB):
+# - The benchmark side is tiny versus the corpus (MBs vs TBs), so its
+#   distinct-gram table is BROADCAST — the corpus-side gram stream is
+#   probed map-side and never shuffles; the only shuffle is the final
+#   per-doc aggregation of matches, whose input is just the surviving
+#   (contaminated) grams.
+# - Gram generation is builtin sequence/slice/array_join inside
+#   whole-stage codegen — the explode is linear in corpus tokens, no
+#   Python.
+# - In production the gram width is 8-13; the registered query uses
+#   width 3 because the synthetic corpus (~30-word vocabulary, ~50-word
+#   docs) has essentially zero 8-gram collisions — the operator takes the
+#   width as a parameter.
+# ---------------------------------------------------------------------------
+
+
+def token_ngrams(col: Column, n: int) -> Column:
+    """Array of space-joined token ``n``-grams of a text column.
+
+    Empty array when the document has fewer than ``n`` tokens (guards the
+    descending-``sequence`` edge: Spark's sequence(1, 0) yields [1, 0],
+    not []).
+    """
+    t = F.split(F.trim(col), r"\s+")
+    return F.when(F.size(t) < n, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.size(t) - (n - 1)),
+            lambda i: F.array_join(F.slice(t, i, n), " "),
+        )
+    )
+
+
+def decontaminate(
+    train: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """One row per contaminated train doc: distinct shared grams + distinct
+    benchmark docs hit. Train docs with zero overlap are absent (the caller
+    anti-joins this result to drop contaminated docs)."""
+    train_grams = train.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(token_ngrams(F.col(text_col), n))).alias("gram"),
+    )
+    bench_grams = benchmark.select(
+        F.col(id_col).alias("bench_doc"),
+        F.explode(F.array_distinct(token_ngrams(F.col(text_col), n))).alias("gram"),
+    )
+    return (
+        train_grams.join(F.broadcast(bench_grams), "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("gram").alias("n_shared_grams"),
+            F.countDistinct("bench_doc").alias("n_bench_docs"),
+        )
+    )
+
+
+_DECON_N = 3  # production: 8-13; see module comment
+
+
+@query(
+    "benchmark_decontaminate",
+    oracle=f"""
+    WITH split AS (
+      SELECT doc_id, text,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT)
+               < {int(0.8 * _BUCKETS)} AS is_train
+      FROM documents
+    ), toks AS (
+      SELECT doc_id, is_train, string_split_regex(trim(text), '\\s+') AS t
+      FROM split
+    ), grams AS (
+      SELECT DISTINCT doc_id, is_train,
+             array_to_string(t[i:i+{_DECON_N - 1}], ' ') AS gram
+      FROM toks, UNNEST(generate_series(1, len(t) - {_DECON_N - 1})) AS u(i)
+    )
+    SELECT tr.doc_id,
+           COUNT(DISTINCT tr.gram) AS n_shared_grams,
+           COUNT(DISTINCT te.doc_id) AS n_bench_docs
+    FROM (SELECT * FROM grams WHERE is_train) tr
+    JOIN (SELECT * FROM grams WHERE NOT is_train) te USING (gram)
+    GROUP BY tr.doc_id
+    """,
+)
+def benchmark_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-vs-test n-gram contamination over the 80/20 doc_id split."""
+    d = load_table(spark, sf_dir, "documents")
+    split = d.withColumn("split", split_assignment(F.col("doc_id"), 0.8))
+    return decontaminate(
+        split.filter(F.col("split") == "train"),
+        split.filter(F.col("split") == "test"),
+        n=_DECON_N,
+    )

@@ -261,3 +261,61 @@ def test_token_budget_mix_hits_target_share(spark, tmp_path):
     # fr has only 2000 tokens, under budget -> kept entirely
     assert by_lang["fr"] == 100
     assert 200 <= by_lang["en"] <= 300
+
+
+def test_token_ngrams_short_doc_edges(spark):
+    from dhs_to_database_spark.operators.sampling import token_ngrams
+
+    df = spark.createDataFrame(
+        [("a b c d",), ("a b",), ("  a  b   c ",), ("solo",)], "text string"
+    ).select(token_ngrams(F.col("text"), 3).alias("g"))
+    assert [r["g"] for r in df.collect()] == [
+        ["a b c", "b c d"],
+        [],
+        ["a b c"],
+        [],
+    ]
+
+
+def test_decontaminate_matches_bruteforce(spark):
+    """Spark result == a python set-based reimplementation at sf0.001."""
+    from dhs_to_database_spark.operators.sampling import (
+        _DECON_N,
+        benchmark_decontaminate,
+        split_assignment,
+    )
+    from dhs_to_database_spark.sources.tables import load_table
+    from tests.conftest import SF_DIR
+
+    docs = (
+        load_table(spark, SF_DIR, "documents")
+        .withColumn("split", split_assignment(F.col("doc_id"), 0.8))
+        .select("doc_id", "split", "text")
+        .collect()
+    )
+
+    def grams(text):
+        t = text.split()
+        return {
+            " ".join(t[i : i + _DECON_N]) for i in range(len(t) - _DECON_N + 1)
+        }
+
+    test_grams = {}  # gram -> set of bench docs
+    for r in docs:
+        if r["split"] == "test":
+            for g in grams(r["text"]):
+                test_grams.setdefault(g, set()).add(r["doc_id"])
+    expect = {}
+    for r in docs:
+        if r["split"] == "train":
+            shared = {g for g in grams(r["text"]) if g in test_grams}
+            if shared:
+                hit = set().union(*(test_grams[g] for g in shared))
+                expect[r["doc_id"]] = (len(shared), len(hit))
+
+    got = {
+        r["doc_id"]: (r["n_shared_grams"], r["n_bench_docs"])
+        for r in benchmark_decontaminate(spark, SF_DIR).collect()
+    }
+    assert expect, "fixture produced no contamination — test is vacuous"
+    assert got == expect
