@@ -12,6 +12,11 @@ duplicate GROUPS before deciding what to delete
 "group the duplicates, keep one" semantics generalized to fuzzy matches.
 
 Scale design (100 TB):
+- Tiered execution: the canonical edge count is observed for free during
+  the first checkpoint; small edge sets (<= DRIVER_EDGE_THRESHOLD)
+  collect into a driver-side union-find — near-dup pair lists are
+  normally a sliver of the corpus, and one collect beats ~4 rounds of
+  shuffles. Larger graphs run the distributed loop:
 - The algorithm is alternating large-star / small-star contraction
   (Kiveris et al., "Connected Components in MapReduce and Beyond"):
   each round rewrites the EDGE SET so every node hangs off the minimum
@@ -44,11 +49,53 @@ from .dedup import (
 from .registry import query
 
 
+#: Edge sets at or below this size are solved on the driver (union-find).
+#: 1M edges collect to ~tens of MB — trivial driver memory — and replace
+#: ~4 rounds x ~6 shuffle stages with one collect. Near-dup edge lists are
+#: usually a small fraction of the corpus, so even at 100 TB this tier
+#: fires often; bigger graphs take the distributed path below.
+DRIVER_EDGE_THRESHOLD = 1_000_000
+
+
+def _driver_union_find(rows) -> list:
+    """Min-label union-find over collected (u, v) edge rows.
+
+    Returns (node, component) tuples for every node in any edge; the
+    component id is the minimum node id of the component, matching the
+    distributed path exactly.
+    """
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for r in rows:
+        a, b = find(r["u"]), find(r["v"])
+        if a != b:
+            # Union-by-min: the root is always the smallest id seen, so
+            # the final root IS the component minimum.
+            if b < a:
+                a, b = b, a
+            parent[b] = a
+    # Non-root nodes are exactly parent's keys; every root has >=1 child
+    # (each canonical edge parents its larger endpoint), so the root set
+    # is recovered from the keys' finds.
+    return [(n, find(n)) for n in parent] + [
+        (n, n) for n in {find(n) for n in parent}
+    ]
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 25,
+    driver_threshold: int = DRIVER_EDGE_THRESHOLD,
 ) -> DataFrame:
     """Label every node of the undirected graph ``edges`` with the minimum
     node id reachable from it (= its component id).
@@ -56,15 +103,36 @@ def connected_components(
     Returns ``(node, component)`` — one row per node that appears in any
     edge. Nodes with no edges are absent; union them in with
     ``component = node`` if singletons matter (the query below does).
+
+    Tiered like ``ranking.global_rank``: the canonical edge count is
+    observed during the first checkpoint job (zero extra jobs); at or
+    under ``driver_threshold`` the edges collect into a driver-side
+    min-label union-find, above it the distributed large/small-star loop
+    runs. Both tiers produce identical labels (pinned by a parity test).
     """
+    from pyspark.sql import Observation
+    from pyspark.sql.types import StructField, StructType
+
+    spark = edges.sparkSession
     # Canonical orientation: (u, v) with u > v; drop self-loops.
+    obs0 = Observation()
     e = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .filter(F.col("a") != F.col("b"))
         .select(F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v"))
         .distinct()
+        .observe(obs0, F.count(F.lit(1)).alias("n"))
         .localCheckpoint(eager=True)
     )
+    u_field = e.schema["u"]
+    out_schema = StructType(
+        [
+            StructField("node", u_field.dataType, True),
+            StructField("component", u_field.dataType, True),
+        ]
+    )
+    if obs0.get["n"] <= driver_threshold:
+        return spark.createDataFrame(_driver_union_find(e.collect()), out_schema)
     # Singleton-free node set is implied by e; remember it for the label
     # emission (roots appear only on the v side at convergence).
     prev_sig = None

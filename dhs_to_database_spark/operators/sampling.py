@@ -363,10 +363,21 @@ def decontaminate(
     n: int = 8,
     id_col: str = "doc_id",
     text_col: str = "text",
+    max_gram_bench_docs: int | None = None,
 ) -> DataFrame:
     """One row per contaminated train doc: distinct shared grams + distinct
     benchmark docs hit. Train docs with zero overlap are absent (the caller
-    anti-joins this result to drop contaminated docs)."""
+    anti-joins this result to drop contaminated docs).
+
+    ``max_gram_bench_docs`` guards the join fan-out the same way the LSH
+    hot-bucket cap guards ``dedup.bucket_pairs``: a gram occurring in more
+    than this many benchmark docs is boilerplate (license headers, prompt
+    templates) whose train x bench pair count is quadratic; such grams are
+    dropped from matching (log-and-skip, mirroring the reference's
+    unknown-record-type handling, DAT_Parser.py:76-79). With production
+    gram widths (8-13 tokens) real grams are near-unique, so the cap only
+    ever removes degenerate boilerplate. ``None`` disables (used by the
+    oracle-checked query so DuckDB parity stays exact)."""
     train_grams = train.select(
         F.col(id_col).alias("doc_id"),
         F.explode(F.array_distinct(token_ngrams(F.col(text_col), n))).alias("gram"),
@@ -375,6 +386,15 @@ def decontaminate(
         F.col(id_col).alias("bench_doc"),
         F.explode(F.array_distinct(token_ngrams(F.col(text_col), n))).alias("gram"),
     )
+    if max_gram_bench_docs is not None:
+        counts = bench_grams.groupBy("gram").agg(
+            F.count(F.lit(1)).alias("__nbd")
+        )
+        bench_grams = (
+            bench_grams.join(counts, "gram")
+            .filter(F.col("__nbd") <= max_gram_bench_docs)
+            .drop("__nbd")
+        )
     return (
         train_grams.join(F.broadcast(bench_grams), "gram")
         .groupBy("doc_id")

@@ -14,9 +14,18 @@ from dhs_to_database_spark.operators.text_analysis import pii_counts, redact_pii
 
 
 def _components(spark, edges):
+    """Run BOTH tiers (driver union-find / distributed star contraction)
+    and assert they agree before returning the labels."""
     df = spark.createDataFrame(edges, "src bigint, dst bigint")
-    rows = connected_components(df).collect()
-    return {r["node"]: r["component"] for r in rows}
+    fast = {
+        r["node"]: r["component"] for r in connected_components(df).collect()
+    }
+    dist = {
+        r["node"]: r["component"]
+        for r in connected_components(df, driver_threshold=0).collect()
+    }
+    assert fast == dist
+    return fast
 
 
 def test_cc_chain_and_islands(spark):
@@ -112,7 +121,7 @@ def test_cc_raises_on_non_convergence(spark):
         [(i, i + 1) for i in range(8)], "src bigint, dst bigint"
     )
     with _pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(df, max_iter=2)
+        connected_components(df, max_iter=2, driver_threshold=0)
 
 
 def test_pii_counts_no_double_count(spark):
@@ -319,3 +328,32 @@ def test_decontaminate_matches_bruteforce(spark):
     }
     assert expect, "fixture produced no contamination — test is vacuous"
     assert got == expect
+
+
+def test_decontaminate_hot_gram_cap(spark):
+    """Boilerplate grams over the bench-multiplicity cap stop matching;
+    unique grams still do."""
+    from dhs_to_database_spark.operators.sampling import decontaminate
+
+    boiler = "same old license header text"
+    train = spark.createDataFrame(
+        [(1, boiler), (2, boiler + " unique payload one")],
+        "doc_id bigint, text string",
+    )
+    bench = spark.createDataFrame(
+        [(10 + i, boiler) for i in range(5)]
+        + [(99, "unique payload one two three")],
+        "doc_id bigint, text string",
+    )
+    capped = {
+        r["doc_id"]: r["n_shared_grams"]
+        for r in decontaminate(train, bench, n=3, max_gram_bench_docs=4).collect()
+    }
+    # every boiler gram occurs in 5 bench docs > cap 4 -> doc 1 clean;
+    # doc 2 still matches via its unique tail gram
+    assert 1 not in capped
+    assert capped[2] >= 1
+    uncapped = {
+        r["doc_id"] for r in decontaminate(train, bench, n=3).collect()
+    }
+    assert uncapped == {1, 2}
