@@ -54,6 +54,8 @@ BENCH_QUERIES = [
     "token_rarity_score",
     "semantic_dedup",
     "benchmark_decontaminate",
+    "dedup_incremental",
+    "zorder_key",
 ]
 
 

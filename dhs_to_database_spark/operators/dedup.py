@@ -553,3 +553,86 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn(
         "is_kept", F.col("vec_id") == F.col("representative")
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental dedup: classify a new ingest batch against the already-loaded
+# corpus. The production daily-crawl pattern: the corpus's dedup keys
+# (content digests, URLs, or load keys) are a STORED table; each incoming
+# batch joins against it and against itself, and only 'new' rows load.
+#
+# Ancestry: the reference's duplicate-load detector (03 nb raw :993-1140)
+# decides whether a survey-table load already happened — this is that
+# check run per-batch BEFORE loading instead of as after-the-fact QA.
+#
+# Scale design (100 TB):
+# - The corpus key table is bucketed on the key by the sink (sinks.py
+#   bucketing), so the join shuffles ONLY the batch side — the corpus is
+#   never re-shuffled, and at 100 TB that asymmetry is the whole game.
+# - The within-batch keep-first is a map-side-combined min over the
+#   (small) batch; nothing about the corpus is aggregated.
+# ---------------------------------------------------------------------------
+
+
+def incremental_dedup(
+    batch: DataFrame,
+    corpus_keys: DataFrame,
+    key_cols: list[str],
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Tag every batch row 'dup_of_corpus' / 'dup_in_batch' / 'new'.
+
+    ``corpus_keys`` needs only ``key_cols``. Keep-first within the batch
+    is by minimum ``id_col``; a key present in the corpus marks ALL its
+    batch rows as duplicates of the corpus.
+    """
+    firsts = batch.groupBy(*key_cols).agg(F.min(id_col).alias("__first_id"))
+    known = (
+        corpus_keys.select(*key_cols).distinct().withColumn("__known", F.lit(1))
+    )
+    return (
+        batch.join(firsts, key_cols)
+        .join(known, key_cols, "left")
+        .select(
+            id_col,
+            *key_cols,
+            F.when(F.col("__known").isNotNull(), F.lit("dup_of_corpus"))
+            .when(F.col(id_col) != F.col("__first_id"), F.lit("dup_in_batch"))
+            .otherwise(F.lit("new"))
+            .alias("status"),
+        )
+    )
+
+
+@query(
+    "dedup_incremental",
+    oracle="""
+    WITH batch AS (
+      SELECT doc_id, lang, source FROM documents
+      WHERE doc_id >= (SELECT CAST(0.8 * COUNT(*) AS BIGINT) FROM documents)
+    ), corpus AS (
+      SELECT DISTINCT lang, source FROM documents
+      WHERE doc_id < (SELECT CAST(0.8 * COUNT(*) AS BIGINT) FROM documents)
+    ), firsts AS (
+      SELECT lang, source, MIN(doc_id) AS fid FROM batch GROUP BY lang, source
+    )
+    SELECT b.doc_id, b.lang, b.source,
+           CASE WHEN c.lang IS NOT NULL THEN 'dup_of_corpus'
+                WHEN b.doc_id != f.fid THEN 'dup_in_batch'
+                ELSE 'new' END AS status
+    FROM batch b
+    JOIN firsts f USING (lang, source)
+    LEFT JOIN corpus c ON b.lang = c.lang AND b.source = c.source
+    """,
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last 20% of doc_ids replayed as an ingest batch against the first
+    80%'s (lang, source) load keys — the reference's duplicate-load check
+    in incremental form."""
+    d = load_table(spark, sf_dir, "documents")
+    thr = int(0.8 * d.count())
+    return incremental_dedup(
+        d.filter(F.col("doc_id") >= thr).select("doc_id", "lang", "source"),
+        d.filter(F.col("doc_id") < thr),
+        key_cols=["lang", "source"],
+    )

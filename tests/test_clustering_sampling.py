@@ -357,3 +357,77 @@ def test_decontaminate_hot_gram_cap(spark):
         r["doc_id"] for r in decontaminate(train, bench, n=3).collect()
     }
     assert uncapped == {1, 2}
+
+
+def test_incremental_dedup_statuses(spark):
+    from dhs_to_database_spark.operators.dedup import incremental_dedup
+
+    corpus = spark.createDataFrame(
+        [(1, "k1"), (2, "k2")], "doc_id bigint, key string"
+    )
+    batch = spark.createDataFrame(
+        [(10, "k1"), (11, "k3"), (12, "k3"), (13, "k4")],
+        "doc_id bigint, key string",
+    )
+    got = {
+        r["doc_id"]: r["status"]
+        for r in incremental_dedup(batch, corpus, key_cols=["key"]).collect()
+    }
+    assert got == {
+        10: "dup_of_corpus",  # key already loaded
+        11: "new",  # first occurrence in batch
+        12: "dup_in_batch",  # later occurrence of a batch key
+        13: "new",
+    }
+
+
+def test_zorder_key_matches_python_morton(spark):
+    from dhs_to_database_spark.operators.layout import zorder_key
+
+    def morton(x, y, bits=16):
+        z = 0
+        for i in range(bits):
+            z |= ((x >> i) & 1) << (2 * i) | ((y >> i) & 1) << (2 * i + 1)
+        return z
+
+    rows = spark.createDataFrame(
+        [(0, 0), (1, 0), (0, 1), (899, 1371), (65535, 65535)], "x bigint, y bigint"
+    ).select("x", "y", zorder_key("x", "y").alias("z")).collect()
+    for r in rows:
+        assert r["z"] == morton(r["x"], r["y"]), (r["x"], r["y"])
+
+
+def test_zorder_write_gives_compact_boxes(spark, tmp_path):
+    """Files of a z-ordered write must each cover a small bounding box in
+    BOTH dimensions; a single-column sort leaves the other dimension's
+    span at ~full range. This is the property file-skipping depends on."""
+    import os
+
+    from dhs_to_database_spark.operators.layout import zorder_write
+
+    n = 1 << 12
+    df = spark.range(n).select(
+        ((F.col("id") * 2654435761) % 256).alias("x"),
+        ((F.col("id") * 40503) % 256).alias("y"),
+    )
+    zdir = str(tmp_path / "z")
+    zorder_write(df, "x", "y", zdir, num_files=16, bits=8)
+
+    def mean_span(path, col):
+        spans = (
+            spark.read.parquet(path)
+            .withColumn("f", F.input_file_name())
+            .groupBy("f")
+            .agg((F.max(col) - F.min(col)).alias("s"))
+            .agg(F.avg("s"))
+            .first()[0]
+        )
+        return spans
+
+    xdir = str(tmp_path / "x")
+    df.repartitionByRange(16, "x").sortWithinPartitions("x").write.parquet(xdir)
+    # x-sorted layout: y is uniform in every file -> span ~255
+    assert mean_span(xdir, "y") > 200
+    # z-ordered: 16 files over a 256x256 grid -> boxes ~64x128; allow slack
+    assert mean_span(zdir, "x") < 160
+    assert mean_span(zdir, "y") < 160

@@ -53,6 +53,8 @@ NOTES = {
     "token_rarity_score": "model phase = one partial-agg shuffle (vocab); scoring = term join (AQE handles Zipf skew) + per-doc agg; integer rarity keeps the oracle bit-exact",
     "semantic_dedup": "quadratic work confined to k-means cells (one numpy gram per cell in applyInPandas); CC runs on the sparse within-cell pair graph only — linear corpus passes otherwise",
     "benchmark_decontaminate": "bench-side gram table broadcast — corpus gram stream probed map-side, never shuffled; only surviving (contaminated) grams reach the per-doc agg shuffle",
+    "dedup_incremental": "corpus key set joins batch-side only (stored corpus table is bucketed by the sink at scale — batch is the only shuffled side); keep-first is a map-side-combined min over the batch",
+    "zorder_key": "pure bit arithmetic in whole-stage codegen — a free narrow map; the layout write is one range shuffle after which both dimensions prune",
 }
 
 
