@@ -331,9 +331,12 @@ def token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   probed map-side and never shuffles; the only shuffle is the final
 #   per-doc aggregation of matches, whose input is just the surviving
 #   (contaminated) grams.
-# - Gram generation is builtin sequence/slice/array_join inside
-#   whole-stage codegen — the explode is linear in corpus tokens, no
-#   Python.
+# - Gram generation is an Arrow-batched mapInPandas kernel (the
+#   winnowing_fingerprint pattern): Spark's higher-order-function lambdas
+#   are interpreted per element, and the measured HOF explode was ~40x
+#   slower than the batched Python loop at sf0.1. The kernel is linear in
+#   corpus tokens, stays on the executors, and emits per-doc-distinct
+#   grams so downstream never re-dedups.
 # - In production the gram width is 8-13; the registered query uses
 #   width 3 because the synthetic corpus (~30-word vocabulary, ~50-word
 #   docs) has essentially zero 8-gram collisions — the operator takes the
@@ -357,6 +360,37 @@ def token_ngrams(col: Column, n: int) -> Column:
     )
 
 
+def explode_ngrams(
+    df: DataFrame,
+    n: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    out_id: str = "doc_id",
+) -> DataFrame:
+    """(id, gram) rows — the per-doc-DISTINCT token ``n``-grams of
+    ``text_col``, generated by a vectorized Arrow-batched kernel (HOF
+    lambdas are interpreted per element; this path measured ~40x faster).
+    Narrow map: no shuffle, any partitioning."""
+    import pandas as pd
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    out_schema = f"{out_id} {id_type}, gram string"
+    cols = df.select(F.col(id_col), F.col(text_col))
+
+    def gen(batches):
+        for pdf in batches:
+            ids: list = []
+            grams: list = []
+            for did, tx in zip(pdf[id_col], pdf[text_col]):
+                t = tx.split() if tx else []
+                gs = {" ".join(t[i : i + n]) for i in range(len(t) - n + 1)}
+                ids.extend([did] * len(gs))
+                grams.extend(gs)
+            yield pd.DataFrame({out_id: ids, "gram": grams})
+
+    return cols.mapInPandas(gen, out_schema)
+
+
 def decontaminate(
     train: DataFrame,
     benchmark: DataFrame,
@@ -378,14 +412,8 @@ def decontaminate(
     gram widths (8-13 tokens) real grams are near-unique, so the cap only
     ever removes degenerate boilerplate. ``None`` disables (used by the
     oracle-checked query so DuckDB parity stays exact)."""
-    train_grams = train.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(F.array_distinct(token_ngrams(F.col(text_col), n))).alias("gram"),
-    )
-    bench_grams = benchmark.select(
-        F.col(id_col).alias("bench_doc"),
-        F.explode(F.array_distinct(token_ngrams(F.col(text_col), n))).alias("gram"),
-    )
+    train_grams = explode_ngrams(train, n, id_col, text_col, out_id="doc_id")
+    bench_grams = explode_ngrams(benchmark, n, id_col, text_col, out_id="bench_doc")
     if max_gram_bench_docs is not None:
         counts = bench_grams.groupBy("gram").agg(
             F.count(F.lit(1)).alias("__nbd")
