@@ -80,6 +80,8 @@ _GRADE_TAIL = [
     "context_chunks",  # chunking family: sequence_pack graded
     "repetition_stats",  # quality family: quality_score graded
     "token_rarity_score",  # scoring family: quality_score/vocab siblings graded
+    "sample_k_per_group",  # sampling family: train_test_split/stratified graded
+    "frequent_terms_topk",  # term-count family: vocab/token_count siblings graded
 ]
 
 

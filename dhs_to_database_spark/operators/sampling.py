@@ -469,3 +469,36 @@ def benchmark_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         split.filter(F.col("split") == "test"),
         n=_DECON_N,
     )
+
+
+@query(
+    "sample_k_per_group",
+    oracle="""
+    SELECT doc_id, lang FROM (
+      SELECT doc_id, lang,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+             ) AS rn
+      FROM documents
+    ) t WHERE rn <= 20
+    """,
+)
+def sample_k_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly min(k, group size) docs per language, chosen by hash rank —
+    a deterministic reservoir: the same eval subset on any cluster
+    layout, any partitioning, any retry (contrast .sampleBy, which is
+    seed- AND partitioning-dependent). One window shuffle on the group
+    key; rows beyond rank k are dropped before anything downstream."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    w = (
+        Window.partitionBy("lang")
+        .orderBy(F.md5(F.col("doc_id").cast("string")), F.col("doc_id"))
+    )
+    return (
+        d.select("doc_id", "lang", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 20)
+        .select("doc_id", "lang")
+    )

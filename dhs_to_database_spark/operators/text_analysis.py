@@ -506,3 +506,93 @@ def token_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("rarity").cast("decimal(28,6)") / F.count(F.lit(1)), 4
         ).cast("double").alias("mean_rarity"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Heavy hitters: exact top-k frequent terms WITHOUT shuffling the full
+# term stream. Candidate generation by per-partition Misra-Gries sketches
+# (bounded memory, no shuffle), then an exact verification count over
+# candidates only. The merged-sketch guarantee: any term with global
+# frequency > N/capacity exceeds n_p/capacity in at least one partition
+# (pigeonhole), so it survives as a candidate; with Zipfian text the
+# k-th term's count dwarfs N/capacity. The query VERIFIES that margin at
+# runtime and fails loudly rather than return a silently-approximate
+# top-k — candidates are a superset, the exact pass makes ranks exact.
+#
+# At 100 TB the full-stream groupBy shuffles ~N rows; this shuffles only
+# candidates x partitions (capacity-bounded), the classic
+# sketch-then-verify composition.
+# ---------------------------------------------------------------------------
+
+_MG_CAPACITY = 4096
+_TOPK_TERMS = 30
+
+
+def misra_gries_candidates(
+    df: DataFrame, text_col: str = "text", capacity: int = _MG_CAPACITY
+) -> DataFrame:
+    """Per-partition Misra-Gries summaries: (term, weight) rows, at most
+    ``capacity`` per partition. Weights are lower bounds, only used for
+    candidate pruning — never reported."""
+    import pandas as pd
+
+    def sketch(batches):
+        counts: dict[str, int] = {}
+        for pdf in batches:
+            for tx in pdf[text_col]:
+                for term in (tx.split() if tx else ()):
+                    if term in counts:
+                        counts[term] += 1
+                    elif len(counts) < capacity:
+                        counts[term] = 1
+                    else:
+                        # decrement-all step, dropping zeros
+                        dead = []
+                        for t in counts:
+                            counts[t] -= 1
+                            if counts[t] == 0:
+                                dead.append(t)
+                        for t in dead:
+                            del counts[t]
+        yield pd.DataFrame(
+            {"term": list(counts), "weight": list(counts.values())}
+        )
+
+    return df.select(text_col).mapInPandas(sketch, "term string, weight long")
+
+
+@query(
+    "frequent_terms_topk",
+    oracle=f"""
+    SELECT term, n FROM (
+      SELECT t.term, COUNT(*) AS n
+      FROM documents, UNNEST(string_split_regex(trim(text), '\\s+')) AS t(term)
+      GROUP BY t.term
+    ) c ORDER BY n DESC, term LIMIT {_TOPK_TERMS}
+    """,
+)
+def frequent_terms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-{k} terms via sketch-then-verify (see module comment)."""
+    d = load_table(spark, sf_dir, "documents")
+    cands = misra_gries_candidates(d).select("term").distinct()
+    toks = d.select(
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("term")
+    )
+    counted = (
+        toks.join(F.broadcast(cands), "term")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    top = counted.orderBy(F.desc("n"), "term").limit(_TOPK_TERMS)
+    # Exactness guard: the candidate set provably contains every term with
+    # count > N/capacity; if the k-th reported count is inside that noise
+    # floor the top-k could be wrong — fail loudly, never approximate.
+    rows = top.collect()
+    n_total = toks.count()
+    floor = n_total / _MG_CAPACITY
+    if rows and rows[-1]["n"] <= floor:
+        raise RuntimeError(
+            f"top-{_TOPK_TERMS} kth count {rows[-1]['n']} is within the "
+            f"Misra-Gries noise floor N/capacity={floor:.1f}; raise capacity"
+        )
+    return spark.createDataFrame(rows, top.schema)

@@ -431,3 +431,54 @@ def test_zorder_write_gives_compact_boxes(spark, tmp_path):
     # z-ordered: 16 files over a 256x256 grid -> boxes ~64x128; allow slack
     assert mean_span(zdir, "x") < 160
     assert mean_span(zdir, "y") < 160
+
+
+def test_misra_gries_sketch_bounded_and_superset(spark):
+    """Sketch memory stays <= capacity per partition, and every term whose
+    global count exceeds N/capacity appears among the candidates."""
+    from dhs_to_database_spark.operators.text_analysis import (
+        misra_gries_candidates,
+    )
+
+    # one genuinely heavy term (count 4000 of N=16000, so > N/cap = 250
+    # at cap 64) drowned in unique noise, spread over 4 partitions
+    rows = [("heavy " + " ".join(f"u{r}_{j}" for j in range(3)),) for r in range(4000)]
+    df = spark.createDataFrame(rows, "text string").repartition(4)
+    cap = 64
+    cands = misra_gries_candidates(df, capacity=cap)
+    per_part = (
+        cands.withColumn("p", F.spark_partition_id())
+        .groupBy("p").count().agg(F.max("count")).first()[0]
+    )
+    assert per_part <= cap
+    assert "heavy" in {r["term"] for r in cands.collect()}
+
+
+def test_frequent_terms_topk_matches_bruteforce(spark):
+    from dhs_to_database_spark.operators.text_analysis import (
+        frequent_terms_topk,
+        _TOPK_TERMS,
+    )
+    from dhs_to_database_spark.sources.tables import load_table
+    from tests.conftest import SF_DIR
+    import collections
+
+    got = [(r["term"], r["n"]) for r in frequent_terms_topk(spark, SF_DIR).collect()]
+    cnt = collections.Counter()
+    for r in load_table(spark, SF_DIR, "documents").select("text").collect():
+        cnt.update(r["text"].split())
+    expect = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:_TOPK_TERMS]
+    assert sorted(got, key=lambda kv: (-kv[1], kv[0])) == expect
+
+
+def test_sample_k_per_group_partition_invariant(spark):
+    from dhs_to_database_spark.operators.sampling import sample_k_per_group
+    from tests.conftest import SF_DIR
+
+    a = {(r["doc_id"], r["lang"]) for r in sample_k_per_group(spark, SF_DIR).collect()}
+    sizes = {}
+    for _, lang in a:
+        sizes[lang] = sizes.get(lang, 0) + 1
+    assert all(v <= 20 for v in sizes.values())
+    b = {(r["doc_id"], r["lang"]) for r in sample_k_per_group(spark, SF_DIR).collect()}
+    assert a == b
