@@ -73,3 +73,24 @@ def test_jsonl_schema_prunes_fields(spark, tmp_path):
     )
     row = clean(read_jsonl(spark, str(p), schema=narrow)).first()
     assert (row["doc_id"], row["text"]) == (7, "t")
+
+
+def test_curation_to_jsonl_shards_end_to_end(spark, tmp_path):
+    """The training-export composition: curate (quality gate -> dedup ->
+    split) -> write train split as gzip'd JSONL shards -> read back clean.
+    This is the handoff surface a trainer consumes."""
+    from dhs_to_database_spark.operators.sampling import split_assignment
+
+    docs = load_table(spark, SF_DIR, "documents")
+    curated = docs.withColumn(
+        "split", split_assignment(F.col("doc_id"), 0.8)
+    ).filter((F.length("text") >= 100) & (F.col("split") == "train"))
+    out = str(tmp_path / "train_shards")
+    write_jsonl(curated.drop("split"), out, num_shards=3, compression="gzip")
+    back = clean(read_jsonl(spark, out))
+    assert back.count() == curated.count()
+    assert len(glob.glob(out + "/part-*.gz")) == 3
+    # doc-level fidelity through the format boundary
+    a = {r["doc_id"]: r["text"] for r in curated.select("doc_id", "text").collect()}
+    b = {r["doc_id"]: r["text"] for r in back.select("doc_id", "text").collect()}
+    assert a == b
