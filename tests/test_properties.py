@@ -169,3 +169,56 @@ def test_dcf_range_expansion(a, span, limit):
         (str(float(a)), "RangeMin"),
         (str(float(b)), "RangeMax"),
     ]
+
+
+# ---------------------------------------------------------------------------
+# Connected components: both tiers (driver union-find / distributed
+# large-small-star) must match a reference DFS labelling on arbitrary
+# random graphs — chains, cliques, stars, singleton-free soups.
+# ---------------------------------------------------------------------------
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 30)),
+        min_size=1,
+        max_size=60,
+    )
+)
+@settings(max_examples=15, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_connected_components_matches_dfs(spark, edges):
+    from dhs_to_database_spark.operators.clustering import connected_components
+
+    adj: dict[int, set[int]] = {}
+    for a, b in edges:
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    if not adj:
+        return  # all self-loops: empty result on both paths, nothing to rank
+    expect = {}
+    seen: set[int] = set()
+    for start in sorted(adj):
+        if start in seen:
+            continue
+        stack, comp = [start], []
+        seen.add(start)
+        while stack:
+            n = stack.pop()
+            comp.append(n)
+            for m in adj[n]:
+                if m not in seen:
+                    seen.add(m)
+                    stack.append(m)
+        root = min(comp)
+        for n in comp:
+            expect[n] = root
+
+    df = spark.createDataFrame(list(edges), "src bigint, dst bigint")
+    for thresh in (10**6, 0):  # driver tier, then distributed tier
+        got = {
+            r["node"]: r["component"]
+            for r in connected_components(df, driver_threshold=thresh).collect()
+        }
+        assert got == expect, thresh
