@@ -45,3 +45,44 @@ def test_plan_budget(spark, name):
     )
     if fragment:
         assert fragment in plan, f"{name}: expected {fragment} in plan"
+
+
+def test_compact_parquet_reduces_files_preserves_rows(spark, tmp_path):
+    from dhs_to_database_spark.plans.compaction import (
+        compact_parquet,
+        parquet_bytes,
+    )
+    from dhs_to_database_spark.sources.tables import load_table
+    from tests.conftest import SF_DIR
+    import glob
+
+    docs = load_table(spark, SF_DIR, "documents")
+    frag = str(tmp_path / "frag")
+    docs.repartition(32).write.parquet(frag)
+    assert len(glob.glob(frag + "/part-*")) == 32
+    before = {r["doc_id"]: r["text"] for r in spark.read.parquet(frag).collect()}
+
+    total = parquet_bytes(spark, frag)
+    n = compact_parquet(spark, frag, target_bytes=total // 2 + 1)
+    assert n == 2
+    assert len(glob.glob(frag + "/part-*")) == 2
+    after = {r["doc_id"]: r["text"] for r in spark.read.parquet(frag).collect()}
+    assert after == before
+
+
+def test_compact_parquet_partitioned_keeps_hive_layout(spark, tmp_path):
+    from dhs_to_database_spark.plans.compaction import compact_parquet
+    from dhs_to_database_spark.sources.tables import load_table
+    from tests.conftest import SF_DIR
+    import glob
+
+    docs = load_table(spark, SF_DIR, "documents")
+    p = str(tmp_path / "bylang")
+    docs.repartition(16).write.partitionBy("lang").parquet(p)
+    n_before = len(glob.glob(p + "/lang=*/part-*"))
+    before = spark.read.parquet(p).count()
+    compact_parquet(spark, p, target_bytes=1 << 30, partition_by=["lang"])
+    files = glob.glob(p + "/lang=*/part-*")
+    assert glob.glob(p + "/lang=*")  # hive layout preserved
+    assert len(files) < n_before
+    assert spark.read.parquet(p).count() == before
