@@ -58,9 +58,19 @@ def read_jsonl(
     schema inference (an extra full pass — opt-in only)."""
     if infer:
         return spark.read.json(path)
+    return parse_jsonl_lines(
+        spark.read.text(path), schema=schema, strict=strict
+    )
+
+
+def parse_jsonl_lines(
+    lines: DataFrame, schema: T.StructType | None = None, strict: bool = False
+) -> DataFrame:
+    """Parse a ``value: string`` DataFrame of JSONL lines (batch or
+    streaming — ``spark.readStream.text`` feeds this unchanged)."""
     if schema is None:
         schema = DOCUMENTS_SCHEMA
-    raw = spark.read.text(path).filter(F.length(F.trim("value")) > 0)
+    raw = lines.filter(F.length(F.trim("value")) > 0)
     # PERMISSIVE from_json yields a struct of nulls for malformed lines —
     # the raw line is only recoverable via a corrupt-record field INSIDE
     # the parse schema.

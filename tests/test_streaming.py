@@ -295,3 +295,52 @@ def test_late_data_dropped_after_watermark(spark, tmp_path):
     }
     # the 10:00 window finalized with its 2 on-time events; id 5 was dropped
     assert got.get(10) == 2
+
+
+def test_jsonl_ingest_stream_dedups_across_and_within_batches(spark, tmp_path):
+    """Continuous-ingest composition: shard 1 loads whole; shard 2's
+    corpus-dup is skipped, its within-batch dup keeps first; a replayed
+    batch appends nothing (self-healing at-least-once)."""
+    import json
+
+    from dhs_to_database_spark.sources.jsonl import read_jsonl, clean
+    from dhs_to_database_spark.streaming.ingest import (
+        ingest_batch,
+        ingest_jsonl_stream,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    corpus = str(tmp_path / "corpus")
+    ckpt = str(tmp_path / "ckpt")
+
+    def doc(i, text):
+        return json.dumps(
+            {"doc_id": i, "text": text, "lang": "en", "source": "s", "n_chars": len(text)}
+        )
+
+    (src / "shard1.jsonl").write_text(doc(1, "alpha beta") + "\n" + doc(2, "gamma") + "\n")
+    q = ingest_jsonl_stream(spark, str(src), corpus, ckpt)
+    q.awaitTermination()
+    assert spark.read.parquet(corpus).count() == 2
+
+    (src / "shard2.jsonl").write_text(
+        "\n".join(
+            [
+                doc(3, "alpha  BETA "),  # normalized dup of doc 1
+                doc(4, "delta"),
+                doc(5, "epsilon"),
+                doc(6, "epsilon"),  # within-batch dup of doc 5
+            ]
+        )
+        + "\n"
+    )
+    q = ingest_jsonl_stream(spark, str(src), corpus, ckpt)
+    q.awaitTermination()
+    got = {r["doc_id"] for r in spark.read.parquet(corpus).collect()}
+    assert got == {1, 2, 4, 5}
+
+    # replay: the same batch again appends nothing
+    replay = clean(read_jsonl(spark, str(src / "shard2.jsonl")))
+    assert ingest_batch(spark, replay, corpus) == 0
+    assert spark.read.parquet(corpus).count() == 4
