@@ -82,6 +82,7 @@ _GRADE_TAIL = [
     "token_rarity_score",  # scoring family: quality_score/vocab siblings graded
     "sample_k_per_group",  # sampling family: train_test_split/stratified graded
     "frequent_terms_topk",  # term-count family: vocab/token_count siblings graded
+    "regex_token_count",  # tokenization family: token_count graded
 ]
 
 

@@ -596,3 +596,45 @@ def frequent_terms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"Misra-Gries noise floor N/capacity={floor:.1f}; raise capacity"
         )
     return spark.createDataFrame(rows, top.schema)
+
+
+# ---------------------------------------------------------------------------
+# BPE-ish regex tokenization: the GPT-2-style pre-tokenizer classes
+# (letter runs / digit runs / punctuation runs), restricted to a regex
+# subset Java and RE2 interpret identically. Real BPE then merges within
+# these pre-tokens, so their count upper-bounds the BPE token count far
+# tighter than chars/4; the per-class counts drive the quality filters
+# (symbol-to-word ratio etc.).
+# ---------------------------------------------------------------------------
+
+_PRETOKEN_RE = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]+"
+
+
+def regex_pretokens(col: Column) -> Column:
+    """Array of BPE-style pre-tokens of a text column."""
+    return F.regexp_extract_all(col, F.lit(_PRETOKEN_RE), 0)
+
+
+@query(
+    "regex_token_count",
+    oracle=f"""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '{_PRETOKEN_RE}')) AS n_pretokens,
+           len(regexp_extract_all(text, '[0-9]+')) AS n_digit_runs,
+           len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]+')) AS n_symbol_runs
+    FROM documents
+    """,
+)
+def regex_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-token counts per doc — the regex stage of BPE tokenization."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(regex_pretokens(F.col("text"))).alias("n_pretokens"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit("[0-9]+"), 0)).alias(
+            "n_digit_runs"
+        ),
+        F.size(
+            F.regexp_extract_all(F.col("text"), F.lit(r"[^a-zA-Z0-9\s]+"), 0)
+        ).alias("n_symbol_runs"),
+    )
