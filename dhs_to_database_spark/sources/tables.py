@@ -38,19 +38,23 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
     if name == "events":
-        # The parquet stores ts as TIMESTAMP(NANOS), which Spark cannot map to
-        # its microsecond TimestampType; with the legacy conf it surfaces as a
-        # nanos-since-epoch long instead. Set the conf on the live session
-        # (the driver's session won't have it) and truncate to microseconds —
-        # identical to DuckDB's ns->us cast.
+        # The corpus has shipped ts as TIMESTAMP(NANOS) (Spark can only map
+        # it to a nanos-epoch long via the legacy conf) and as
+        # TIMESTAMP(MICROS, isAdjustedToUTC=false) (surfaces as
+        # TimestampNTZ). Normalize both to the session-UTC microsecond
+        # TimestampType so downstream event-time ops (watermarks need
+        # TimestampType) and the DuckDB oracle see identical values.
         from pyspark.sql import functions as F
-        from pyspark.sql.types import LongType
+        from pyspark.sql.types import LongType, TimestampNTZType
 
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         if isinstance(df.schema["ts"].dataType, LongType):
             # integer division — ts/1000 via double would lose ulps at 1e18
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        elif isinstance(df.schema["ts"].dataType, TimestampNTZType):
+            # value-preserving under the UTC session timezone (session.py)
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 

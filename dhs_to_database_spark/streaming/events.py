@@ -18,20 +18,30 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-EVENT_SCHEMA = "event_id bigint, ts long, user_id bigint, event_type string, value double, props string"
-
-
 def read_events_stream(spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None) -> DataFrame:
-    """File-source stream of the events table (ns timestamps normalized to
-    microseconds exactly as in the batch loader)."""
+    """File-source stream of the events table.
+
+    The corpus has shipped ``ts`` as TIMESTAMP(NANOS) (nanos-epoch long via
+    the legacy conf) and as TIMESTAMP(MICROS, NTZ); mirror the batch loader
+    (``sources.tables.load_table``): take the footer schema from a batch
+    read and normalize ``ts`` to the session-UTC microsecond TimestampType,
+    which event-time watermarks require.
+    """
+    from pyspark.sql.types import LongType, TimestampNTZType
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    reader = spark.readStream.schema(EVENT_SCHEMA).format("parquet").option(
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    reader = spark.readStream.schema(schema).format("parquet").option(
         "pathGlobFilter", "events.parquet"
     )
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
     df = reader.load(sf_dir)
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    if isinstance(schema["ts"].dataType, LongType):
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    elif isinstance(schema["ts"].dataType, TimestampNTZType):
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
 
 
 def tumbling_counts(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
