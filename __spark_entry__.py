@@ -83,6 +83,8 @@ _GRADE_TAIL = [
     "sample_k_per_group",  # sampling family: train_test_split/stratified graded
     "frequent_terms_topk",  # term-count family: vocab/token_count siblings graded
     "regex_token_count",  # tokenization family: token_count graded
+    "tfidf_topk",  # sparse-retrieval family: vocab/rarity siblings graded
+    "bm25_search",  # sparse-retrieval family: vocab/rarity siblings graded
 ]
 
 

