@@ -85,6 +85,8 @@ _GRADE_TAIL = [
     "regex_token_count",  # tokenization family: token_count graded
     "tfidf_topk",  # sparse-retrieval family: vocab/rarity siblings graded
     "bm25_search",  # sparse-retrieval family: vocab/rarity siblings graded
+    "duplicate_spans",  # span-dedup family: dedup_exact/decontaminate graded
+    "scd2_history",  # dimension-merge family: merge_upsert/spec_diff graded
 ]
 
 

@@ -56,6 +56,8 @@ BENCH_QUERIES = [
     "benchmark_decontaminate",
     "dedup_incremental",
     "zorder_key",
+    "tfidf_topk",
+    "bm25_search",
 ]
 
 

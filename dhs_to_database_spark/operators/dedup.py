@@ -636,3 +636,57 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.filter(F.col("doc_id") < thr),
         key_cols=["lang", "source"],
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact duplicate spans: token n-gram windows that recur across documents
+# (the exact-substring-duplication signal — Lee et al.'s "Deduplicating
+# Training Data Makes Language Models Better" flags these spans rather
+# than whole docs). One narrow gram pass, one shuffle on the gram, a
+# HAVING-style filter to spans seen in >= 2 distinct docs. At 100 TB the
+# shuffle width is the concern, not the algorithm: production runs group
+# by xxhash64(gram) (8-byte key) and only re-materialize the gram text for
+# the surviving duplicated spans; the oracle-checked query keeps the text
+# key so DuckDB can reproduce it exactly.
+# ---------------------------------------------------------------------------
+
+_SPAN_N = 4
+
+
+@query(
+    "duplicate_spans",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+    ), grams AS (
+      SELECT doc_id, array_to_string(t[i:i+{_SPAN_N - 1}], ' ') AS gram
+      FROM toks, UNNEST(generate_series(1, len(t) - {_SPAN_N - 1})) AS u(i)
+    )
+    SELECT gram,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+           CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+           CAST(MAX(doc_id) AS BIGINT) AS last_doc
+    FROM grams
+    GROUP BY gram
+    HAVING COUNT(DISTINCT doc_id) >= 2
+    """,
+)
+def duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicated {n}-token spans with doc/occurrence
+    counts and first/last carrier — the flag-then-excise primitive of
+    span-level dedup (whole-doc paths: ``dedup_exact``/``minhash_near_dup``)."""
+    from .sampling import explode_ngrams
+
+    d = load_table(spark, sf_dir, "documents")
+    grams = explode_ngrams(d, _SPAN_N, distinct=False)
+    return (
+        grams.groupBy("gram")
+        .agg(
+            F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+            F.count(F.lit(1)).cast("bigint").alias("n_occurrences"),
+            F.min("doc_id").cast("bigint").alias("first_doc"),
+            F.max("doc_id").cast("bigint").alias("last_doc"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )

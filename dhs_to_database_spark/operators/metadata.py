@@ -308,3 +308,58 @@ def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     # o_orderkey is unique in orders, so update keys are unique by
     # construction — skip the eager validation job.
     return merge_upsert(base, updates, ["o_orderkey"], validate_unique=False)
+
+
+@query(
+    "scd2_history",
+    oracle="""
+    WITH v1 AS (
+      SELECT c_custkey, CAST(c_acctbal AS DOUBLE) AS c_acctbal FROM customer
+    ),
+    v2 AS (
+      SELECT c_custkey,
+             CAST(c_acctbal AS DOUBLE)
+               + CASE WHEN c_custkey % 7 = 0 THEN 10.0 ELSE 0.0 END AS c_acctbal
+      FROM customer
+    ),
+    changed AS (
+      SELECT v1.c_custkey
+      FROM v1 JOIN v2 USING (c_custkey)
+      WHERE v1.c_acctbal <> v2.c_acctbal
+    )
+    SELECT c_custkey, c_acctbal, valid_from, valid_to, is_current FROM (
+      SELECT v1.c_custkey, v1.c_acctbal,
+             CAST(1 AS INTEGER) AS valid_from,
+             CASE WHEN ch.c_custkey IS NOT NULL THEN CAST(2 AS INTEGER)
+                  ELSE CAST(NULL AS INTEGER) END AS valid_to,
+             ch.c_custkey IS NULL AS is_current
+      FROM v1 LEFT JOIN changed ch ON v1.c_custkey = ch.c_custkey
+      UNION ALL
+      SELECT v2.c_custkey, v2.c_acctbal,
+             CAST(2 AS INTEGER), CAST(NULL AS INTEGER), TRUE
+      FROM v2 JOIN changed USING (c_custkey)
+    )
+    """,
+)
+def scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 slowly-changing dimension over two customer snapshots:
+    snapshot 2 bumps acctbal by 10 for custkey % 7 == 0, so those keys get
+    a closed version-1 row (valid_to=2) plus an open version-2 row, and
+    every other key keeps its single open version-1 row. The lossless
+    as-of-queryable variant of the reference's latest-version-only
+    metadata sync (lib03:316-363)."""
+    from ..plans.schema_evolution import scd2_apply, scd2_init
+
+    c = load_table(spark, sf_dir, "customer")
+    v1 = c.select("c_custkey", F.col("c_acctbal").cast("double").alias("c_acctbal"))
+    v2 = c.select(
+        "c_custkey",
+        (
+            F.col("c_acctbal").cast("double")
+            + F.when(F.col("c_custkey") % 7 == 0, F.lit(10.0)).otherwise(F.lit(0.0))
+        ).alias("c_acctbal"),
+    )
+    dim = scd2_init(v1, version=1)
+    return scd2_apply(
+        dim, v2, keys=["c_custkey"], tracked=["c_acctbal"], version=2
+    ).select("c_custkey", "c_acctbal", "valid_from", "valid_to", "is_current")

@@ -366,11 +366,13 @@ def explode_ngrams(
     id_col: str = "doc_id",
     text_col: str = "text",
     out_id: str = "doc_id",
+    distinct: bool = True,
 ) -> DataFrame:
-    """(id, gram) rows — the per-doc-DISTINCT token ``n``-grams of
-    ``text_col``, generated by a vectorized Arrow-batched kernel (HOF
-    lambdas are interpreted per element; this path measured ~40x faster).
-    Narrow map: no shuffle, any partitioning."""
+    """(id, gram) rows — the token ``n``-grams of ``text_col`` (per-doc
+    DISTINCT by default; ``distinct=False`` keeps every occurrence, for
+    span-duplication counting), generated by a vectorized Arrow-batched
+    kernel (HOF lambdas are interpreted per element; this path measured
+    ~40x faster). Narrow map: no shuffle, any partitioning."""
     import pandas as pd
 
     id_type = df.schema[id_col].dataType.simpleString()
@@ -383,7 +385,8 @@ def explode_ngrams(
             grams: list = []
             for did, tx in zip(pdf[id_col], pdf[text_col]):
                 t = tx.split() if tx else []
-                gs = {" ".join(t[i : i + n]) for i in range(len(t) - n + 1)}
+                run = (" ".join(t[i : i + n]) for i in range(len(t) - n + 1))
+                gs = set(run) if distinct else list(run)
                 ids.extend([did] * len(gs))
                 grams.extend(gs)
             yield pd.DataFrame({out_id: ids, "gram": grams})

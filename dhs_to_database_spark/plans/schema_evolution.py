@@ -224,3 +224,88 @@ def merge_upsert(
         base.join(updates.select(*keys), keys, "left_anti")
         .unionByName(updates.select(*cols))
     )
+
+
+def scd2_init(snapshot: DataFrame, version: int = 1) -> DataFrame:
+    """Bootstrap a type-2 slowly-changing dimension from its first
+    snapshot: every row becomes the current version, valid from
+    ``version``."""
+    return snapshot.select(
+        "*",
+        F.lit(version).cast("int").alias("valid_from"),
+        F.lit(None).cast("int").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+
+
+def scd2_apply(
+    dim: DataFrame,
+    snapshot: DataFrame,
+    keys: list[str],
+    tracked: list[str],
+    version: int,
+) -> DataFrame:
+    """Apply a new snapshot to a type-2 slowly-changing dimension.
+
+    ``dim`` carries (business columns..., valid_from, valid_to,
+    is_current); ``snapshot`` carries the business columns only. Rows whose
+    ``tracked`` attributes changed are closed (valid_to = ``version``) and
+    re-inserted as the new current version; unchanged rows pass through
+    untouched; keys new to the snapshot are inserted. Keys absent from the
+    snapshot remain open (the common incremental-feed semantics; a
+    full-snapshot feed that should expire them would add one anti-join).
+
+    The reference's metadata sync keeps only latest-version rows per survey
+    (lib03:316-363, drop-and-reload); SCD2 is the lossless variant a
+    warehouse needs when queries must reconstruct *as-of* states. Plan
+    shape: ONE equi-join shuffle of the current slice vs the snapshot on
+    the business keys (history rows never move), then narrow unions; with
+    dim and snapshot bucketed on the keys the join is co-located and
+    shuffle-free. Tracked-attribute comparison is null-safe.
+    """
+    cols = dim.columns
+    cur = dim.filter(F.col("is_current"))
+    hist = dim.filter(~F.col("is_current"))
+    # Prefix-rename the snapshot side (fresh attribute ids): ``dim`` often
+    # carries an earlier snapshot in its lineage, and a plain alias join
+    # would then be a self-join with ambiguous attributes on re-apply.
+    # Side-presence sentinels: business/tracked columns can be genuinely
+    # NULL, so each side carries an explicit always-true tag instead.
+    snap = snapshot.select(
+        *[F.col(c).alias(f"__s_{c}") for c in (*keys, *tracked)]
+    ).withColumn("__in_snap", F.lit(True))
+    j = cur.withColumn("__in_cur", F.lit(True)).join(
+        snap,
+        [F.col(k) == F.col(f"__s_{k}") for k in keys],
+        "full_outer",
+    )
+    changed_flag = F.lit(False)
+    for t in tracked:
+        changed_flag = changed_flag | ~F.col(t).eqNullSafe(F.col(f"__s_{t}"))
+    in_cur = F.col("__in_cur").isNotNull()
+    in_snap = F.col("__in_snap").isNotNull()
+    is_changed = in_cur & in_snap & changed_flag
+    is_new_key = ~in_cur & in_snap
+    closed = (
+        j.filter(is_changed)
+        .select(*cols)
+        .withColumn("valid_to", F.lit(version).cast("int"))
+        .withColumn("is_current", F.lit(False))
+    )
+    kept = j.filter(in_cur & ~is_changed).select(*cols)
+    fresh = (
+        j.filter(is_changed | is_new_key)
+        .select(
+            *[F.coalesce(F.col(k), F.col(f"__s_{k}")).alias(k) for k in keys],
+            *[F.col(f"__s_{t}").alias(t) for t in tracked],
+        )
+        .withColumn("valid_from", F.lit(version).cast("int"))
+        .withColumn("valid_to", F.lit(None).cast("int"))
+        .withColumn("is_current", F.lit(True))
+    )
+    return (
+        hist.select(*cols)
+        .unionByName(kept.select(*cols))
+        .unionByName(closed.select(*cols))
+        .unionByName(fresh.select(*cols))
+    )

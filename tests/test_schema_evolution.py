@@ -141,3 +141,36 @@ def test_merge_upsert_rejects_duplicate_update_keys(spark):
     updates = spark.createDataFrame([(2, "B"), (2, "B2")], "k bigint, v string")
     with _pytest.raises(ValueError, match="duplicate keys"):
         merge_upsert(base, updates, ["k"])
+
+
+def test_scd2_apply_updates_inserts_nulls_and_reapply(spark):
+    from dhs_to_database_spark.plans.schema_evolution import scd2_apply, scd2_init
+
+    v1 = spark.createDataFrame(
+        [(1, 10.0), (2, None), (3, 30.0)], "k bigint, v double"
+    )
+    dim = scd2_init(v1, version=1)
+    # v2: k=1 changed, k=2 null->20 (null-safe compare must see a change),
+    # k=3 unchanged, k=4 brand-new
+    v2 = spark.createDataFrame(
+        [(1, 11.0), (2, 20.0), (3, 30.0), (4, 40.0)], "k bigint, v double"
+    )
+    d2 = scd2_apply(dim, v2, keys=["k"], tracked=["v"], version=2)
+    rows = {(r["k"], r["valid_from"]): r for r in d2.collect()}
+    assert len(rows) == 6  # 3 open v2-era rows + closed 1,2 + open 3
+    assert rows[(1, 1)]["valid_to"] == 2 and not rows[(1, 1)]["is_current"]
+    assert rows[(1, 2)]["v"] == 11.0 and rows[(1, 2)]["is_current"]
+    assert rows[(2, 1)]["valid_to"] == 2  # null -> value IS a change
+    assert rows[(3, 1)]["valid_to"] is None and rows[(3, 1)]["is_current"]
+    assert rows[(4, 2)]["v"] == 40.0 and rows[(4, 2)]["is_current"]
+    # re-applying the SAME snapshot changes nothing (idempotent)
+    d3 = scd2_apply(d2, v2, keys=["k"], tracked=["v"], version=3)
+    assert sorted(map(tuple, d3.collect()), key=repr) == sorted(
+        map(tuple, d2.collect()), key=repr
+    )
+    # value -> null is also a change
+    v3 = spark.createDataFrame([(4, None)], "k bigint, v double")
+    d4 = scd2_apply(d3, v3, keys=["k"], tracked=["v"], version=4)
+    got = {(r["k"], r["valid_from"]): r for r in d4.collect()}
+    assert got[(4, 2)]["valid_to"] == 4 and not got[(4, 2)]["is_current"]
+    assert got[(4, 4)]["v"] is None and got[(4, 4)]["is_current"]
