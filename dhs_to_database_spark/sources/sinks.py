@@ -83,3 +83,30 @@ def write_bucketed(
     if sort_cols:
         writer = writer.sortBy(*sort_cols)
     writer.saveAsTable(table)
+
+
+def write_columnar(
+    df: DataFrame,
+    dest: str,
+    fmt: str = "parquet",
+    partition_cols: tuple[str, ...] = (),
+    mode: str = "overwrite",
+    **options: str,
+) -> None:
+    """Format-parameterized columnar sink (``parquet`` or ``orc``) with
+    optional hive partitioning. ORC is the interchange format for
+    Hive/Trino-resident warehouses; both formats keep column pruning,
+    min/max skipping, and predicate pushdown, so the engine's scan-side
+    guarantees (PLANS.md pushdown column) are format-independent."""
+    if fmt not in ("parquet", "orc"):
+        raise ValueError(f"unsupported columnar format {fmt!r}")
+    w = df.write.mode(mode).options(**options)
+    if partition_cols:
+        w = w.partitionBy(*partition_cols)
+    w.format(fmt).save(dest)
+
+
+def read_columnar(spark, src: str, fmt: str = "parquet") -> DataFrame:
+    if fmt not in ("parquet", "orc"):
+        raise ValueError(f"unsupported columnar format {fmt!r}")
+    return spark.read.format(fmt).load(src)

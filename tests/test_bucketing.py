@@ -73,3 +73,27 @@ def test_bucketed_agg_skips_shuffle(spark, bucketed_tables):
         F.count(F.lit(1)).alias("n")
     )
     assert count_exchanges(plan_string(agg)) == 0
+
+
+def test_orc_roundtrip_pushdown_and_partition_pruning(spark, tmp_path):
+    """ORC sink/source parity: values round-trip, filters reach the ORC
+    scan (PushedFilters), and hive-partition pruning prunes."""
+    from dhs_to_database_spark.sources.sinks import read_columnar, write_columnar
+    from dhs_to_database_spark.sources.tables import load_table
+    from tests.conftest import SF_DIR
+
+    n = load_table(spark, SF_DIR, "nation")
+    dest = str(tmp_path / "nation_orc")
+    write_columnar(n, dest, fmt="orc", partition_cols=("n_regionkey",))
+    back = read_columnar(spark, dest, fmt="orc")
+    assert sorted(r["n_nationkey"] for r in back.collect()) == sorted(
+        r["n_nationkey"] for r in n.collect()
+    )
+    q = back.filter(F.col("n_nationkey") > 10).select("n_name", "n_nationkey")
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "n_nationkey" in plan.split("PushedFilters")[1][:80]
+    pruned = back.filter(F.col("n_regionkey") == 2)
+    pplan = pruned._jdf.queryExecution().executedPlan().toString()
+    # partition filter must appear as a partition filter, not a data filter
+    assert "PartitionFilters: [" in pplan
+    assert pruned.count() == n.filter(F.col("n_regionkey") == 2).count()
