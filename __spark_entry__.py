@@ -87,6 +87,7 @@ _GRADE_TAIL = [
     "bm25_search",  # sparse-retrieval family: vocab/rarity siblings graded
     "duplicate_spans",  # span-dedup family: dedup_exact/decontaminate graded
     "scd2_history",  # dimension-merge family: merge_upsert/spec_diff graded
+    "profile_orders_columns",  # stats family: rowcount_reconcile/catalog graded
 ]
 
 

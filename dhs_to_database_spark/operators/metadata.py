@@ -363,3 +363,94 @@ def scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scd2_apply(
         dim, v2, keys=["c_custkey"], tracked=["c_acctbal"], version=2
     ).select("c_custkey", "c_acctbal", "valid_from", "valid_to", "is_current")
+
+
+def profile_columns(
+    df: DataFrame,
+    render: dict | None = None,
+) -> DataFrame:
+    """Column-profiling ("ANALYZE") stats: one row per column with row /
+    null / exact-distinct counts and rendered min/max. ``render`` maps a
+    column name to a fn(Column) -> Column that turns the typed min/max
+    into its display string (defaults to a plain string cast).
+
+    Plan shape: one aggregation per column, unioned — each scan is
+    column-pruned to that single column, so total IO equals one full-table
+    read and every agg is map-side partial. The exact COUNT(DISTINCT) is
+    the one wide stage per column; a 100 TB profiling run swaps it for
+    ``approx_count_distinct`` (one narrow pass, HLL merge) — same shape
+    the reference's row-count reconciliation uses for its cheap pass.
+    """
+    outs = []
+    for c in df.columns:
+        r = (render or {}).get(c) or (lambda col: col.cast("string"))
+        outs.append(
+            df.agg(
+                F.lit(c).alias("column_name"),
+                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                F.sum(F.col(c).isNull().cast("long")).cast("bigint").alias("n_nulls"),
+                F.countDistinct(F.col(c)).cast("bigint").alias("n_distinct"),
+                r(F.min(F.col(c))).alias("min_value"),
+                r(F.max(F.col(c))).alias("max_value"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
+@query(
+    "profile_orders_columns",
+    oracle="""
+    SELECT 'o_orderkey' AS column_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) - COUNT(o_orderkey) AS BIGINT) AS n_nulls,
+           CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
+           CAST(MIN(o_orderkey) AS VARCHAR) AS min_value,
+           CAST(MAX(o_orderkey) AS VARCHAR) AS max_value
+    FROM orders
+    UNION ALL
+    SELECT 'o_custkey', CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(*) - COUNT(o_custkey) AS BIGINT),
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT),
+           CAST(MIN(o_custkey) AS VARCHAR), CAST(MAX(o_custkey) AS VARCHAR)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(*) - COUNT(o_orderstatus) AS BIGINT),
+           CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT),
+           MIN(o_orderstatus), MAX(o_orderstatus)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority', CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(*) - COUNT(o_orderpriority) AS BIGINT),
+           CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT),
+           MIN(o_orderpriority), MAX(o_orderpriority)
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice', CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(*) - COUNT(o_totalprice) AS BIGINT),
+           CAST(COUNT(DISTINCT o_totalprice) AS BIGINT),
+           CAST(CAST(MIN(o_totalprice) AS DECIMAL(18,2)) AS VARCHAR),
+           CAST(CAST(MAX(o_totalprice) AS DECIMAL(18,2)) AS VARCHAR)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderdate', CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(*) - COUNT(o_orderdate) AS BIGINT),
+           CAST(COUNT(DISTINCT o_orderdate) AS BIGINT),
+           CAST(CAST(MIN(o_orderdate) AS DATE) AS VARCHAR),
+           CAST(CAST(MAX(o_orderdate) AS DATE) AS VARCHAR)
+    FROM orders
+    """,
+)
+def profile_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact column profile of ``orders`` — the table-stats primitive
+    behind the reference's load QA (row counts, lib04) generalized to
+    per-column null/ndv/min/max. Doubles render via DECIMAL(18,2), the
+    timestamp via its date part, so both engines print identical strings."""
+    o = load_table(spark, sf_dir, "orders")
+    render = {
+        "o_totalprice": lambda c: c.cast("decimal(18,2)").cast("string"),
+        "o_orderdate": lambda c: c.cast("date").cast("string"),
+    }
+    return profile_columns(o, render=render)

@@ -62,3 +62,41 @@ def test_salted_join_rejects_outer_modes(spark):
     for how in ("right", "full", "outer", "full_outer", "right_outer"):
         with pytest.raises(ValueError, match="inner/left"):
             salted_join(big, small, ["k"], how=how)
+
+
+def test_runtime_bloom_filter_prunes_probe_side(spark, tmp_path):
+    """With a selective filter on one join side, the other side's scan
+    must gain a bloom-filter might_contain probe (rows dropped BEFORE the
+    shuffle), and results must be identical with and without it."""
+    from pyspark.sql import functions as F
+
+    from dhs_to_database_spark.plans.runtime_filters import (
+        enable_runtime_bloom_filters,
+        reset_runtime_bloom_thresholds,
+    )
+    from dhs_to_database_spark.sources.tables import load_table
+    from tests.conftest import SF_DIR
+
+    li = load_table(spark, SF_DIR, "lineitem").select("l_orderkey", "l_quantity")
+    o = load_table(spark, SF_DIR, "orders").select("o_orderkey", "o_totalprice")
+    sel = o.filter(F.col("o_totalprice") > 350000)  # selective build side
+
+    def q():
+        return li.join(
+            sel, li["l_orderkey"] == sel["o_orderkey"]
+        ).groupBy("l_orderkey").agg(F.sum("l_quantity").alias("qty"))
+
+    baseline = {(r["l_orderkey"], float(r["qty"])) for r in q().collect()}
+    prev_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # force a shuffle join so the runtime filter has a probe side
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        enable_runtime_bloom_filters(spark, aggressive=True)
+        df = q()
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in plan, plan[:2000]
+        got = {(r["l_orderkey"], float(r["qty"])) for r in df.collect()}
+    finally:
+        reset_runtime_bloom_thresholds(spark)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
+    assert got == baseline and baseline

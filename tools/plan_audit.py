@@ -43,7 +43,7 @@ NOTES = {
     "top_unshipped_orders": "both filtered dims broadcast into lineitem; TakeOrderedAndProject, no global sort",
     "gap_fill_hourly": "agg shuffle + LOCF window shuffle, both on user_id; AQE broadcasts the grid join at this SF (co-partitioned at scale)",
     "segment_window_counts": "dim broadcast; one shuffle for the window agg",
-    "decile_stats": "range-partition + one narrow mapInPandas (pid+local-idx tag) + broadcast offset join — NO single-partition window; materialization tiered memory/disk (temp-parquet tier survives executor loss, pins nothing)",
+    "decile_stats": "range-partition + pure-JVM pid/local-idx tag (monotonically_increasing_id decomposition — no Python workers) + broadcast offset join — NO single-partition window; materialization tiered memory/disk (temp-parquet tier survives executor loss, pins nothing)",
     "funnel_stages": "three conditional-min windows share one user_id exchange",
     "sequence_pack": "one shard shuffle + window cumsum; shards pack independently",
     "curation_pipeline": "quality filter fused into the scan; dedup digest shuffle is the only wide stage before the tiny summary agg",
@@ -55,6 +55,8 @@ NOTES = {
     "benchmark_decontaminate": "bench-side gram table broadcast — corpus gram stream probed map-side, never shuffled; only surviving (contaminated) grams reach the per-doc agg shuffle",
     "dedup_incremental": "corpus key set joins batch-side only (stored corpus table is bucketed by the sink at scale — batch is the only shuffled side); keep-first is a map-side-combined min over the batch",
     "zorder_key": "pure bit arithmetic in whole-stage codegen — a free narrow map; the layout write is one range shuffle after which both dimensions prune",
+    "tfidf_topk": "map-side-combined tf shuffle is the only full-token-stream exchange; the later df agg + per-doc rank window re-shuffle only the collapsed tf table (vocab/doc-sized)",
+    "bm25_search": "tf table persisted and reused for lengths + query slice; df and corpus stats broadcast; query-term filter cuts the scored side before any join",
 }
 
 
