@@ -88,6 +88,7 @@ _GRADE_TAIL = [
     "duplicate_spans",  # span-dedup family: dedup_exact/decontaminate graded
     "scd2_history",  # dimension-merge family: merge_upsert/spec_diff graded
     "profile_orders_columns",  # stats family: rowcount_reconcile/catalog graded
+    "importance_weights",  # data-selection family: rarity/quality siblings graded
 ]
 
 

@@ -505,3 +505,119 @@ def sample_k_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 20)
         .select("doc_id", "lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style importance scoring (Xie et al., "Data Selection for Language
+# Models via Importance Resampling"): score each raw document by the mean
+# per-token log-likelihood ratio between a target (high-quality) unigram
+# LM and the raw-corpus unigram LM, both add-1 smoothed. Docs that "sound
+# like" the target domain score high; importance resampling then keeps
+# raw docs with probability proportional to exp(score).
+#
+# Cross-engine float policy: each per-term ln() is rounded to 8 decimals
+# and summed as DECIMAL(28,8) — decimal addition is exact and
+# order-independent, so Spark's partial-agg order vs DuckDB's cannot
+# drift the hash; only the final mean returns to DOUBLE (ROUND 4).
+#
+# Plan shape: two partial-agg shuffles build the two term tables (target
+# is a filtered re-scan — at 100 TB you persist the tokenized corpus
+# once); the merged per-term ratio table is vocab-sized and broadcast;
+# scoring is one corpus re-scan + per-doc agg on the doc_id shuffle.
+# ---------------------------------------------------------------------------
+
+
+def _quality_gate(text: Column) -> Column:
+    """Same gate as text_analysis.quality_score's passes_quality."""
+    toks = F.size(F.split(F.trim(text), r"\s+"))
+    return (F.length(text) >= 100) & (F.length(text) <= 20000) & (toks >= 20)
+
+
+@query(
+    "importance_weights",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, text,
+             unnest(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS term
+      FROM documents
+    ),
+    toks_nz AS (
+      SELECT doc_id, term,
+             (length(text) >= 100 AND length(text) <= 20000
+              AND len(string_split_regex(trim(text), '\\s+')) >= 20) AS is_target
+      FROM toks WHERE term <> ''
+    ),
+    raw_cnt AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS c_raw FROM toks_nz GROUP BY term),
+    tgt_cnt AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS c_tgt FROM toks_nz WHERE is_target GROUP BY term),
+    totals AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS t_raw,
+             CAST(COUNT(*) FILTER (WHERE is_target) AS BIGINT) AS t_tgt,
+             CAST(COUNT(DISTINCT term) AS BIGINT) AS v
+      FROM toks_nz
+    ),
+    ratios AS (
+      SELECT r.term,
+             CAST(ROUND(ln(
+               ((COALESCE(tc.c_tgt, 0) + 1.0) * (t_raw + v))
+               / ((t_tgt + v) * (r.c_raw + 1.0))
+             ), 8) AS DECIMAL(28,8)) AS lr
+      FROM raw_cnt r LEFT JOIN tgt_cnt tc USING (term) CROSS JOIN totals
+    )
+    SELECT t.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_scored_tokens,
+           CAST(ROUND(CAST(SUM(lr) AS DOUBLE) / COUNT(*), 4) AS DOUBLE) AS dsir_score
+    FROM toks_nz t JOIN ratios USING (term)
+    GROUP BY t.doc_id
+    """,
+)
+def importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document DSIR importance score: mean token log-ratio of the
+    add-1-smoothed target LM (quality-gated docs) over the raw-corpus LM."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = (
+        d.select(
+            "doc_id",
+            _quality_gate(F.col("text")).alias("is_target"),
+            F.explode(
+                F.split(F.regexp_replace(F.lower(F.trim("text")), r"\s+", " "), " ")
+            ).alias("term"),
+        )
+        .filter(F.col("term") != "")
+    )
+    raw_cnt = toks.groupBy("term").agg(F.count(F.lit(1)).cast("bigint").alias("c_raw"))
+    tgt_cnt = (
+        toks.filter(F.col("is_target"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c_tgt"))
+    )
+    tot = toks.agg(
+        F.count(F.lit(1)).cast("bigint").alias("t_raw"),
+        F.sum(F.col("is_target").cast("long")).cast("bigint").alias("t_tgt"),
+        F.countDistinct("term").cast("bigint").alias("v"),
+    )
+    ratios = (
+        raw_cnt.join(tgt_cnt, "term", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "term",
+            F.round(
+                F.log(
+                    ((F.coalesce(F.col("c_tgt"), F.lit(0)) + 1.0) * (F.col("t_raw") + F.col("v")))
+                    / ((F.col("t_tgt") + F.col("v")) * (F.col("c_raw") + 1.0))
+                ),
+                8,
+            )
+            .cast("decimal(28,8)")
+            .alias("lr"),
+        )
+    )
+    return (
+        toks.join(F.broadcast(ratios), "term")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_scored_tokens"),
+            F.round(F.sum("lr").cast("double") / F.count(F.lit(1)), 4)
+            .cast("double")
+            .alias("dsir_score"),
+        )
+    )
