@@ -89,6 +89,9 @@ _GRADE_TAIL = [
     "scd2_history",  # dimension-merge family: merge_upsert/spec_diff graded
     "profile_orders_columns",  # stats family: rowcount_reconcile/catalog graded
     "importance_weights",  # data-selection family: rarity/quality siblings graded
+    "cohort_retention",  # event-analytics family: funnel/windows graded
+    "rollup_maintenance",  # incremental-agg family: merge_upsert/rollup graded
+    "value_histogram",  # profiling family: decile_stats/percentiles graded
 ]
 
 

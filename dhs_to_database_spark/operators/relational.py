@@ -1015,3 +1015,50 @@ def approx_percentile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("approx_percentile(o_totalprice, 0.9, 1000)").alias("p90_est"),
         F.count(F.lit(1)).alias("n_orders"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Equi-width histogram: width_bucket over order values — the profiling /
+# BI primitive complementing the equi-depth deciles (ranking.py). One
+# map-side-combined shuffle on the bucket id; bucket boundaries are plan
+# constants, so the whole binning stage is a narrow codegen'd projection.
+# width_bucket semantics are spelled out arithmetically (underflow 0,
+# overflow n+1) because DuckDB has no width_bucket builtin.
+# ---------------------------------------------------------------------------
+
+_HIST_LO, _HIST_HI, _HIST_NBUCKETS = 0.0, 600000.0, 20
+
+
+@query(
+    "value_histogram",
+    oracle=f"""
+    SELECT CASE WHEN o_totalprice < {_HIST_LO} THEN 0
+                WHEN o_totalprice >= {_HIST_HI} THEN {_HIST_NBUCKETS + 1}
+                ELSE CAST(FLOOR((o_totalprice - {_HIST_LO}) / (({_HIST_HI} - {_HIST_LO}) / {_HIST_NBUCKETS})) AS INTEGER) + 1
+           END AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(MIN(o_totalprice) AS DOUBLE) AS lo,
+           CAST(MAX(o_totalprice) AS DOUBLE) AS hi
+    FROM orders
+    GROUP BY bucket
+    """,
+)
+def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.select(
+            F.expr(
+                f"CASE WHEN o_totalprice < {_HIST_LO} THEN 0 "
+                f"WHEN o_totalprice >= {_HIST_HI} THEN {_HIST_NBUCKETS + 1} "
+                f"ELSE CAST(FLOOR((o_totalprice - {_HIST_LO}) / "
+                f"(({_HIST_HI} - {_HIST_LO}) / {_HIST_NBUCKETS})) AS INT) + 1 END"
+            ).alias("bucket"),
+            "o_totalprice",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.min("o_totalprice").cast("double").alias("lo"),
+            F.max("o_totalprice").cast("double").alias("hi"),
+        )
+    )

@@ -332,3 +332,123 @@ def funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("t_click").alias("n_click"),
         F.count("t_purchase").alias("n_purchase"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Cohort retention: users grouped by their first-activity week, counted in
+# each later week they return — the canonical growth-analytics matrix.
+# Two shuffles: the per-user first-event agg (map-side combined), then the
+# (cohort, offset) distinct-user count. The cohort dim rides along as a
+# join back on user_id; at scale both shuffles key on user_id so AQE
+# coalesces them into adjacent stages of the same exchange footprint.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "cohort_retention",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort_week
+      FROM events GROUP BY user_id
+    ),
+    activity AS (
+      SELECT DISTINCT e.user_id, f.cohort_week,
+             CAST(date_trunc('week', e.ts) AS DATE) AS activity_week
+      FROM events e JOIN firsts f USING (user_id)
+    )
+    SELECT CAST(cohort_week AS VARCHAR) AS cohort_week,
+           CAST(date_diff('day', cohort_week, activity_week) // 7 AS INTEGER) AS week_offset,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM activity
+    GROUP BY cohort_week, activity_week
+    """,
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    firsts = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
+    )
+    activity = (
+        e.join(firsts, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            F.date_trunc("week", F.col("ts")).cast("date").alias("activity_week"),
+        )
+        .distinct()
+    )
+    return (
+        activity.groupBy("cohort_week", "activity_week")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+        .select(
+            F.col("cohort_week").cast("string").alias("cohort_week"),
+            (F.datediff("activity_week", "cohort_week") / 7)
+            .cast("int")
+            .alias("week_offset"),
+            "n_users",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Incremental rollup maintenance: a stored daily aggregate is advanced by
+# merging a new batch's PARTIAL aggregates — never rescanning history.
+# count/sum are the self-merging aggregates (the same property Spark's
+# map-side partial aggregation exploits); the oracle recomputes from the
+# full corpus, proving merged-increment == recompute. At 100 TB the
+# stored rollup is partitioned by day and only touched days are
+# overwritten (A22's dynamic partition overwrite).
+# ---------------------------------------------------------------------------
+
+_ROLLUP_SPLIT_DAY = "2024-02-15"
+
+
+def merge_daily_rollup(stored: DataFrame, batch: DataFrame) -> DataFrame:
+    """Merge a stored (day, n_events, total_value_dec) rollup with a raw
+    event batch by summing partial aggregates per day."""
+    batch_agg = batch.groupBy("day").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum(_dec("value")).alias("total_value_dec"),
+    )
+    return (
+        stored.unionByName(batch_agg)
+        .groupBy("day")
+        .agg(
+            F.sum("n_events").cast("bigint").alias("n_events"),
+            F.sum("total_value_dec").alias("total_value_dec"),
+        )
+    )
+
+
+@query(
+    "rollup_maintenance",
+    oracle="""
+    SELECT CAST(CAST(date_trunc('day', ts) AS DATE) AS VARCHAR) AS day,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY day
+    """,
+)
+def rollup_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """History (< split day) pre-aggregated as the stored rollup, then
+    advanced with the newer events as the incremental batch — result must
+    equal the full recompute (the oracle)."""
+    e = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.date_trunc("day", F.col("ts")).cast("date")
+    )
+    split = F.lit(_ROLLUP_SPLIT_DAY).cast("date")
+    stored = (
+        e.filter(F.col("day") < split)
+        .groupBy("day")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum(_dec("value")).alias("total_value_dec"),
+        )
+    )
+    merged = merge_daily_rollup(stored, e.filter(F.col("day") >= split))
+    return merged.select(
+        F.col("day").cast("string").alias("day"),
+        "n_events",
+        _money(F.col("total_value_dec")).alias("total_value"),
+    )
