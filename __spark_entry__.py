@@ -92,6 +92,7 @@ _GRADE_TAIL = [
     "cohort_retention",  # event-analytics family: funnel/windows graded
     "rollup_maintenance",  # incremental-agg family: merge_upsert/rollup graded
     "value_histogram",  # profiling family: decile_stats/percentiles graded
+    "scd2_asof_lookup",  # dimension-merge family: joins graded broadly
 ]
 
 

@@ -58,6 +58,10 @@ BENCH_QUERIES = [
     "zorder_key",
     "tfidf_topk",
     "bm25_search",
+    "duplicate_spans",
+    "importance_weights",
+    "cohort_retention",
+    "rollup_maintenance",
 ]
 
 

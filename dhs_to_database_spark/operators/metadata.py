@@ -454,3 +454,82 @@ def profile_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderdate": lambda c: c.cast("date").cast("string"),
     }
     return profile_columns(o, render=render)
+
+
+@query(
+    "scd2_asof_lookup",
+    oracle="""
+    WITH v1 AS (
+      SELECT c_custkey, CAST(c_acctbal AS DOUBLE) AS c_acctbal FROM customer
+    ),
+    v2 AS (
+      SELECT c_custkey,
+             CAST(c_acctbal AS DOUBLE)
+               + CASE WHEN c_custkey % 7 = 0 THEN 10.0 ELSE 0.0 END AS c_acctbal
+      FROM customer
+    ),
+    changed AS (
+      SELECT v1.c_custkey
+      FROM v1 JOIN v2 USING (c_custkey)
+      WHERE v1.c_acctbal <> v2.c_acctbal
+    ),
+    dim AS (
+      SELECT v1.c_custkey, v1.c_acctbal,
+             CAST(1 AS INTEGER) AS valid_from,
+             CASE WHEN ch.c_custkey IS NOT NULL THEN CAST(2 AS INTEGER)
+                  ELSE CAST(NULL AS INTEGER) END AS valid_to
+      FROM v1 LEFT JOIN changed ch ON v1.c_custkey = ch.c_custkey
+      UNION ALL
+      SELECT v2.c_custkey, v2.c_acctbal,
+             CAST(2 AS INTEGER), CAST(NULL AS INTEGER)
+      FROM v2 JOIN changed USING (c_custkey)
+    ),
+    facts AS (
+      SELECT o_orderkey, o_custkey,
+             CASE WHEN o_orderdate < TIMESTAMP '1998-01-01' THEN 1 ELSE 2 END AS v
+      FROM orders
+    )
+    SELECT f.o_orderkey, f.o_custkey, CAST(f.v AS INTEGER) AS v, d.c_acctbal
+    FROM facts f JOIN dim d
+      ON f.o_custkey = d.c_custkey
+     AND d.valid_from <= f.v
+     AND (d.valid_to IS NULL OR d.valid_to > f.v)
+    """,
+)
+def scd2_asof_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consumption side of SCD2: each order joined to the dimension row
+    that was valid at the order's version epoch (orderdate < 1998 -> v1,
+    else v2). Plan shape: equi-join on the business key with the validity
+    window as a post-join filter — at scale both sides bucket on custkey
+    so the join is co-located, and each fact matches exactly one of the
+    dimension's <= 2 open/closed rows."""
+    from ..plans.schema_evolution import scd2_apply, scd2_init
+
+    c = load_table(spark, sf_dir, "customer")
+    v1 = c.select("c_custkey", F.col("c_acctbal").cast("double").alias("c_acctbal"))
+    v2 = c.select(
+        "c_custkey",
+        (
+            F.col("c_acctbal").cast("double")
+            + F.when(F.col("c_custkey") % 7 == 0, F.lit(10.0)).otherwise(F.lit(0.0))
+        ).alias("c_acctbal"),
+    )
+    dim = scd2_apply(
+        scd2_init(v1, version=1), v2, keys=["c_custkey"], tracked=["c_acctbal"], version=2
+    )
+    facts = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        # o_orderdate surfaces as TIMESTAMP_NTZ; an NTZ literal keeps the
+        # comparison independent of the (driver's) session timezone
+        F.when(F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp_ntz"), 1)
+        .otherwise(2)
+        .cast("int")
+        .alias("v"),
+    )
+    return facts.join(
+        dim,
+        (facts["o_custkey"] == dim["c_custkey"])
+        & (dim["valid_from"] <= facts["v"])
+        & (dim["valid_to"].isNull() | (dim["valid_to"] > facts["v"])),
+    ).select("o_orderkey", "o_custkey", "v", "c_acctbal")
