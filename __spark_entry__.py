@@ -93,6 +93,7 @@ _GRADE_TAIL = [
     "rollup_maintenance",  # incremental-agg family: merge_upsert/rollup graded
     "value_histogram",  # profiling family: decile_stats/percentiles graded
     "scd2_asof_lookup",  # dimension-merge family: joins graded broadly
+    "lang_id_heuristic",  # r1-graded green; text family (token/quality) graded
 ]
 
 

@@ -690,3 +690,129 @@ def duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_docs") >= 2)
     )
+
+
+# ---------------------------------------------------------------------------
+# Oracle-checkable MinHash+LSH: identical pipeline to minhash_near_dup but
+# the permutation family derives from md5 (first 15 hex chars -> 60-bit
+# non-negative BIGINT), which DuckDB reproduces bit-for-bit — so the WHOLE
+# LSH path (signatures -> banding -> candidate pairs -> estimated Jaccard)
+# is hash-verified by the driver, not just rows-only. The signature table
+# here is relational (doc_id, i, m) rather than an array column: 16 rows
+# per doc, so banding and verification are plain joins/aggs both engines
+# share. md5 costs ~4x xxhash64 per shingle — production keeps the
+# xxhash64 variant; this one exists to pin the algorithm exactly.
+# ---------------------------------------------------------------------------
+
+_MD5_N_HASHES = 16
+_MD5_ROWS_PER_BAND = 4  # -> 4 bands
+
+
+def _md5_long(col: Column) -> Column:
+    """First 15 md5 hex chars as a non-negative 60-bit BIGINT (engine-portable)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
+
+
+@query(
+    "minhash_lsh_md5",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS t
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(array_to_string(t[i:i+2], ' ')), 1, 15)) AS BIGINT) AS h
+      FROM toks, UNNEST(generate_series(1, greatest(len(t) - 2, 1))) AS u(i)
+    ),
+    sig AS (
+      SELECT doc_id, p.i,
+             MIN(CAST(('0x' || substr(md5(CAST(p.i AS VARCHAR) || '|' || CAST(h AS VARCHAR)), 1, 15)) AS BIGINT)) AS m
+      FROM sh CROSS JOIN (SELECT unnest(generate_series(0, {_MD5_N_HASHES - 1})) AS i) p
+      GROUP BY doc_id, p.i
+    ),
+    bands AS (
+      SELECT doc_id, i // {_MD5_ROWS_PER_BAND} AS band_idx,
+             string_agg(CAST(m AS VARCHAR), ',' ORDER BY i) AS band_val
+      FROM sig GROUP BY doc_id, band_idx
+    ),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+       AND a.doc_id < b.doc_id
+    )
+    SELECT p.doc_a, p.doc_b,
+           CAST(ROUND(SUM(CASE WHEN sa.m = sb.m THEN 1 ELSE 0 END)
+                      / CAST({_MD5_N_HASHES} AS DOUBLE), 4) AS DOUBLE) AS est_jaccard
+    FROM pairs p
+    JOIN sig sa ON sa.doc_id = p.doc_a
+    JOIN sig sb ON sb.doc_id = p.doc_b AND sb.i = sa.i
+    GROUP BY p.doc_a, p.doc_b
+    HAVING SUM(CASE WHEN sa.m = sb.m THEN 1 ELSE 0 END) / CAST({_MD5_N_HASHES} AS DOUBLE) >= 0.5
+    """,
+)
+def minhash_lsh_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH with an engine-portable md5 permutation family — the
+    oracle-verified twin of ``minhash_near_dup`` (see block comment)."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    sh = (
+        d.select("doc_id", tokenize_words("text").alias("ws"))
+        .select("doc_id", F.explode(word_shingles("ws", 3)).alias("shingle"))
+        .select("doc_id", _md5_long(F.col("shingle")).alias("h"))
+    )
+    perms = spark.range(_MD5_N_HASHES).select(F.col("id").cast("int").alias("i"))
+    sig = (
+        sh.crossJoin(F.broadcast(perms))
+        .select(
+            "doc_id",
+            "i",
+            _md5_long(
+                F.concat(F.col("i").cast("string"), F.lit("|"), F.col("h").cast("string"))
+            ).alias("g"),
+        )
+        .groupBy("doc_id", "i")
+        .agg(F.min("g").alias("m"))
+    )
+    sig.persist()
+    try:
+        bands = (
+            sig.withColumn("band_idx", F.expr(f"i div {_MD5_ROWS_PER_BAND}"))
+            .groupBy("doc_id", "band_idx")
+            .agg(
+                F.concat_ws(
+                    ",",
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("i", "m"))),
+                        lambda x: x["m"].cast("string"),
+                    ),
+                ).alias("band_val")
+            )
+        )
+        pairs = bucket_pairs(
+            bands.select(
+                "doc_id", "band_idx", F.col("band_val").alias("band_val")
+            )
+        )
+        sa = sig.select(F.col("doc_id").alias("doc_a"), "i", F.col("m").alias("m_a"))
+        sb = sig.select(F.col("doc_id").alias("doc_b"), "i", F.col("m").alias("m_b"))
+        out = (
+            pairs.join(sa, "doc_a")
+            .join(sb, ["doc_b", "i"])
+            .groupBy("doc_a", "doc_b")
+            .agg(
+                F.round(
+                    F.sum(F.when(F.col("m_a") == F.col("m_b"), 1).otherwise(0))
+                    / F.lit(float(_MD5_N_HASHES)),
+                    4,
+                )
+                .cast("double")
+                .alias("est_jaccard")
+            )
+            .filter(F.col("est_jaccard") >= 0.5)
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        sig.unpersist()
+    return out

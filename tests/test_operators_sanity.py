@@ -385,3 +385,23 @@ def test_bm25_top_docs_contain_query_terms(spark):
     for r in rows:
         text = docs[r["doc_id"]].lower()
         assert any(t in text.split() for t in _BM25_QUERY)
+
+
+def test_md5_minhash_agrees_with_xxhash_minhash_on_strong_pairs(spark):
+    """The two MinHash variants use independent permutation families; both
+    must surface every strong exact near-dup pair (their only differences
+    should be borderline estimates near the 0.5 threshold)."""
+    from dhs_to_database_spark.operators.dedup import (
+        minhash_lsh_md5,
+        minhash_near_dup,
+    )
+
+    exact = {
+        (r["doc_a"], r["doc_b"])
+        for r in ngram_jaccard_pairs(spark, SF_DIR).collect()
+        if r["jaccard"] >= 0.8
+    }
+    md5_pairs = {(r["doc_a"], r["doc_b"]) for r in minhash_lsh_md5(spark, SF_DIR).collect()}
+    xx_pairs = {(r["doc_a"], r["doc_b"]) for r in minhash_near_dup(spark, SF_DIR).collect()}
+    assert exact <= md5_pairs, f"md5 variant missed: {exact - md5_pairs}"
+    assert exact <= xx_pairs
