@@ -584,25 +584,26 @@ def importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("term") != "")
     )
-    raw_cnt = toks.groupBy("term").agg(F.count(F.lit(1)).cast("bigint").alias("c_raw"))
-    tgt_cnt = (
-        toks.filter(F.col("is_target"))
-        .groupBy("term")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("c_tgt"))
+    # ONE corpus-wide shuffle builds both LMs (raw + target counts per
+    # term, map-side combined); totals and vocab size then aggregate the
+    # vocab-sized table, not the corpus — 2 corpus passes total (this one
+    # and the scoring join below).
+    vocab = toks.groupBy("term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c_raw"),
+        F.sum(F.col("is_target").cast("long")).cast("bigint").alias("c_tgt"),
     )
-    tot = toks.agg(
-        F.count(F.lit(1)).cast("bigint").alias("t_raw"),
-        F.sum(F.col("is_target").cast("long")).cast("bigint").alias("t_tgt"),
-        F.countDistinct("term").cast("bigint").alias("v"),
+    tot = vocab.agg(
+        F.sum("c_raw").cast("bigint").alias("t_raw"),
+        F.sum("c_tgt").cast("bigint").alias("t_tgt"),
+        F.count(F.lit(1)).cast("bigint").alias("v"),
     )
     ratios = (
-        raw_cnt.join(tgt_cnt, "term", "left")
-        .crossJoin(F.broadcast(tot))
+        vocab.crossJoin(F.broadcast(tot))
         .select(
             "term",
             F.round(
                 F.log(
-                    ((F.coalesce(F.col("c_tgt"), F.lit(0)) + 1.0) * (F.col("t_raw") + F.col("v")))
+                    ((F.col("c_tgt") + 1.0) * (F.col("t_raw") + F.col("v")))
                     / ((F.col("t_tgt") + F.col("v")) * (F.col("c_raw") + 1.0))
                 ),
                 8,

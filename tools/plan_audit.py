@@ -57,6 +57,10 @@ NOTES = {
     "zorder_key": "pure bit arithmetic in whole-stage codegen — a free narrow map; the layout write is one range shuffle after which both dimensions prune",
     "tfidf_topk": "map-side-combined tf shuffle is the only full-token-stream exchange; the later df agg + per-doc rank window re-shuffle only the collapsed tf table (vocab/doc-sized)",
     "bm25_search": "tf table persisted and reused for lengths + query slice; df and corpus stats broadcast; query-term filter cuts the scored side before any join",
+    "duplicate_spans": "one narrow gram pass + one gram-keyed map-side-combined shuffle; production groups by xxhash64(gram) to shrink the shuffle key",
+    "importance_weights": "two partial-agg shuffles build the LMs; vocab-sized ratio table broadcast; decimal-exact per-doc agg on the doc_id shuffle",
+    "cohort_retention": "per-user first-event agg + (cohort, offset) distinct count — both shuffles key on user_id",
+    "rollup_maintenance": "stored rollup merged with batch partial aggs per day — history never rescanned; one day-keyed shuffle each side",
 }
 
 
