@@ -784,23 +784,26 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf.persist()
     try:
         dl = tf.groupBy("doc_id").agg(F.sum("tf").cast("bigint").alias("dl"))
-        srow = dl.agg(
+        # 1-row stats frame cross-joined (broadcast) instead of a driver
+        # collect: the whole query is ONE action, so the persisted tf is
+        # materialized once and every derived table reads the cache.
+        stats = dl.agg(
             F.count(F.lit(1)).cast("double").alias("n_docs"),
             F.avg(F.col("dl").cast("double")).alias("avgdl"),
-        ).collect()[0]
-        n_docs, avgdl = float(srow["n_docs"]), float(srow["avgdl"])
+        )
         dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
         qtf = tf.filter(F.col("term").isin(*_BM25_QUERY))
         idf = F.log(
-            (F.lit(n_docs) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+            (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
         )
         contrib = idf * (F.col("tf") * (_BM25_K1 + 1.0)) / (
             F.col("tf")
-            + _BM25_K1 * (1.0 - _BM25_B + _BM25_B * F.col("dl") / F.lit(avgdl))
+            + _BM25_K1 * (1.0 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
         )
         out = (
             qtf.join(F.broadcast(dfreq), "term")
             .join(dl, "doc_id")
+            .crossJoin(F.broadcast(stats))
             .groupBy("doc_id")
             .agg(
                 F.count(F.lit(1)).cast("bigint").alias("n_terms_hit"),
