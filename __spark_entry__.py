@@ -94,6 +94,7 @@ _GRADE_TAIL = [
     "value_histogram",  # profiling family: decile_stats/percentiles graded
     "scd2_asof_lookup",  # dimension-merge family: joins graded broadly
     "lang_id_heuristic",  # r1-graded green; text family (token/quality) graded
+    "simhash_md5",  # LSH-twin family: minhash_lsh_md5 graded in-window
 ]
 
 

@@ -816,3 +816,117 @@ def minhash_lsh_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         sig.unpersist()
     return out
+
+
+# ---------------------------------------------------------------------------
+# Oracle-checkable SimHash: the bit-vote fingerprint in relational form
+# with an md5-derived 48-bit word hash (12 hex chars), reproducible in
+# DuckDB — upgrading SimHash verification from rows-only to full value-
+# hash, exactly as minhash_lsh_md5 does for MinHash. 8 bands x 6 bits;
+# a pair is a candidate iff it shares a band (pigeonhole: Hamming <= 7
+# guarantees a shared band), verified at Hamming <= 8. Production keeps
+# the wide 64-bit xxhash64 variant (simhash_near_dup); this twin pins the
+# algorithm. The bit expansion (x48 rows) happens AFTER the per-word
+# hash, and the vote aggregation collapses it back to 48 rows per doc —
+# shuffle volume stays bounded by docs x 48, not tokens x 48.
+# ---------------------------------------------------------------------------
+
+_SH_BITS = 48
+_SH_BANDS = 8
+_SH_BAND_BITS = _SH_BITS // _SH_BANDS
+_SH_HAMMING = 8
+
+
+@query(
+    "simhash_md5",
+    oracle=f"""
+    WITH words AS (
+      SELECT doc_id,
+             unnest(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS w
+      FROM documents
+    ),
+    hashes AS (
+      SELECT doc_id, CAST(('0x' || substr(md5(w), 1, 12)) AS BIGINT) AS h
+      FROM words WHERE w <> ''
+    ),
+    votes AS (
+      SELECT doc_id, b.bit,
+             SUM(CASE WHEN (h >> b.bit) & 1 = 1 THEN 1 ELSE -1 END) AS v
+      FROM hashes CROSS JOIN (SELECT unnest(generate_series(0, {_SH_BITS - 1})) AS bit) b
+      GROUP BY doc_id, b.bit
+    ),
+    signs AS (SELECT doc_id, bit, CASE WHEN v >= 0 THEN 1 ELSE 0 END AS s FROM votes),
+    bands AS (
+      SELECT doc_id, bit // {_SH_BAND_BITS} AS band_idx,
+             CAST(SUM(s * (1 << (bit % {_SH_BAND_BITS}))) AS BIGINT) AS band_val
+      FROM signs GROUP BY doc_id, band_idx
+    ),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+       AND a.doc_id < b.doc_id
+    )
+    SELECT p.doc_a, p.doc_b,
+           CAST(SUM(CASE WHEN sa.s <> sb.s THEN 1 ELSE 0 END) AS INTEGER) AS hamming
+    FROM pairs p
+    JOIN signs sa ON sa.doc_id = p.doc_a
+    JOIN signs sb ON sb.doc_id = p.doc_b AND sb.bit = sa.bit
+    GROUP BY p.doc_a, p.doc_b
+    HAVING SUM(CASE WHEN sa.s <> sb.s THEN 1 ELSE 0 END) <= {_SH_HAMMING}
+    """,
+)
+def simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup with an engine-portable md5 word hash — the
+    oracle-verified twin of ``simhash_near_dup`` (see block comment)."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    hashes = (
+        d.select("doc_id", F.explode(tokenize_words("text")).alias("w"))
+        .filter(F.col("w") != "")
+        .select(
+            "doc_id",
+            F.conv(F.substring(F.md5("w"), 1, 12), 16, 10).cast("bigint").alias("h"),
+        )
+    )
+    bits = spark.range(_SH_BITS).select(F.col("id").cast("int").alias("bit"))
+    signs = (
+        hashes.crossJoin(F.broadcast(bits))
+        .groupBy("doc_id", "bit")
+        .agg(
+            F.sum(
+                F.when(F.expr("(h >> bit) & 1") == 1, 1).otherwise(-1)
+            ).alias("v")
+        )
+        .select(
+            "doc_id", "bit", F.when(F.col("v") >= 0, 1).otherwise(0).alias("s")
+        )
+    )
+    signs.persist()
+    try:
+        bands = (
+            signs.withColumn("band_idx", F.expr(f"bit div {_SH_BAND_BITS}"))
+            .groupBy("doc_id", "band_idx")
+            .agg(
+                F.sum(
+                    F.expr(f"s * shiftleft(1, bit % {_SH_BAND_BITS})")
+                ).cast("bigint").alias("band_val")
+            )
+        )
+        pairs = bucket_pairs(bands.select("doc_id", "band_idx", "band_val"))
+        sa = signs.select(F.col("doc_id").alias("doc_a"), "bit", F.col("s").alias("s_a"))
+        sb = signs.select(F.col("doc_id").alias("doc_b"), "bit", F.col("s").alias("s_b"))
+        out = (
+            pairs.join(sa, "doc_a")
+            .join(sb, ["doc_b", "bit"])
+            .groupBy("doc_a", "doc_b")
+            .agg(
+                F.sum(F.when(F.col("s_a") != F.col("s_b"), 1).otherwise(0))
+                .cast("int")
+                .alias("hamming")
+            )
+            .filter(F.col("hamming") <= _SH_HAMMING)
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        signs.unpersist()
+    return out
