@@ -88,3 +88,103 @@ def ingest_jsonl_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+# ---------------------------------------------------------------------------
+# Streaming SCD2 maintenance: dimension snapshot files land in a
+# directory; each micro-batch advances a stored type-2 dimension via
+# plans.schema_evolution.scd2_apply. The dim store is versioned-directory
+# swapped (write v{n+1}, then repoint), because overwriting the parquet
+# a running plan is reading is a self-referential race — and the version
+# marker doubles as the replay guard: a replayed micro-batch sees its
+# batch_id already applied and becomes a no-op, making the sink
+# effectively exactly-once (same transactional-marker pattern as a
+# Delta-style commit log, built on plain parquet).
+# ---------------------------------------------------------------------------
+
+
+def _dim_state(dim_dir: str) -> tuple[int, int]:
+    """(last_applied_batch_id, version) from the marker; (-1, 0) if new."""
+    import json
+    import os
+
+    marker = os.path.join(dim_dir, "_scd2_state.json")
+    if not os.path.exists(marker):
+        return -1, 0
+    with open(marker) as f:
+        st = json.load(f)
+    return st["batch_id"], st["version"]
+
+
+def scd2_apply_batch(
+    spark: SparkSession,
+    batch: DataFrame,
+    batch_id: int,
+    dim_dir: str,
+    keys: list[str],
+    tracked: list[str],
+) -> bool:
+    """Apply one snapshot micro-batch to the stored dimension; returns
+    False (no-op) when ``batch_id`` was already applied (replay)."""
+    import json
+    import os
+
+    from ..plans.schema_evolution import scd2_apply, scd2_init
+
+    last, ver = _dim_state(dim_dir)
+    if batch_id <= last:
+        return False
+    new_ver = ver + 1
+    snap = batch.select(*keys, *tracked)
+    if ver == 0:
+        dim = scd2_init(snap, version=new_ver)
+    else:
+        cur = spark.read.parquet(os.path.join(dim_dir, f"v{ver}"))
+        dim = scd2_apply(cur, snap, keys=keys, tracked=tracked, version=new_ver)
+    os.makedirs(dim_dir, exist_ok=True)
+    dim.write.mode("overwrite").parquet(os.path.join(dim_dir, f"v{new_ver}"))
+    with open(os.path.join(dim_dir, "_scd2_state.json"), "w") as f:
+        json.dump({"batch_id": batch_id, "version": new_ver}, f)
+    return True
+
+
+def scd2_stream(
+    spark: SparkSession,
+    snapshot_dir: str,
+    dim_dir: str,
+    schema,
+    keys: list[str],
+    tracked: list[str],
+    checkpoint: str,
+):
+    """availableNow stream of snapshot parquet files -> stored SCD2 dim.
+    One snapshot file per micro-batch keeps version advancement aligned
+    with snapshot arrival order (file mtime order, as the file source
+    discovers them)."""
+    stream = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("maxFilesPerTrigger", "1")
+        .load(snapshot_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            lambda b, bid: scd2_apply_batch(
+                b.sparkSession, b, bid, dim_dir, keys, tracked
+            )
+        )
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
+def read_scd2_dim(spark: SparkSession, dim_dir: str) -> DataFrame:
+    import os
+
+    _, ver = _dim_state(dim_dir)
+    if ver == 0:
+        raise FileNotFoundError(f"no SCD2 dimension at {dim_dir}")
+    return spark.read.parquet(os.path.join(dim_dir, f"v{ver}"))

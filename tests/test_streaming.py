@@ -344,3 +344,52 @@ def test_jsonl_ingest_stream_dedups_across_and_within_batches(spark, tmp_path):
     replay = clean(read_jsonl(spark, str(src / "shard2.jsonl")))
     assert ingest_batch(spark, replay, corpus) == 0
     assert spark.read.parquet(corpus).count() == 4
+
+
+def test_scd2_stream_matches_batch_apply_and_ignores_replay(spark, tmp_path):
+    """Two snapshot files streamed one-per-microbatch must produce the
+    same stored dimension as batch init+apply; re-running the drained
+    stream (same checkpoint) and a manual replayed batch change nothing."""
+    import os
+    import time as _time
+
+    from dhs_to_database_spark.plans.schema_evolution import scd2_apply, scd2_init
+    from dhs_to_database_spark.streaming.ingest import (
+        read_scd2_dim,
+        scd2_apply_batch,
+        scd2_stream,
+    )
+
+    snap_dir = tmp_path / "snaps"
+    snap_dir.mkdir()
+    dim_dir = str(tmp_path / "dim")
+    ckpt = str(tmp_path / "ckpt")
+    s1 = spark.createDataFrame([(1, 10.0), (2, 20.0)], "k bigint, v double")
+    s2 = spark.createDataFrame([(1, 11.0), (2, 20.0), (3, 30.0)], "k bigint, v double")
+    for i, s in enumerate((s1, s2)):
+        tmp = snap_dir / f"build{i}"
+        s.coalesce(1).write.parquet(str(tmp))
+        part = next(p for p in tmp.glob("*.parquet"))
+        target = snap_dir / f"snap{i}.parquet"
+        os.rename(part, target)
+        os.utime(target, (1000 + i * 100, 1000 + i * 100))
+        _time.sleep(0.01)
+    import shutil
+
+    for i in range(2):
+        shutil.rmtree(snap_dir / f"build{i}")
+
+    scd2_stream(spark, str(snap_dir), dim_dir, s1.schema, ["k"], ["v"], ckpt)
+    got = {(r["k"], r["valid_from"], r["valid_to"], r["v"], r["is_current"])
+           for r in read_scd2_dim(spark, dim_dir).collect()}
+    want_df = scd2_apply(scd2_init(s1, 1), s2, ["k"], ["v"], version=2)
+    want = {(r["k"], r["valid_from"], r["valid_to"], r["v"], r["is_current"])
+            for r in want_df.collect()}
+    assert got == want
+    # drained stream re-run: checkpoint says nothing new -> dim unchanged
+    scd2_stream(spark, str(snap_dir), dim_dir, s1.schema, ["k"], ["v"], ckpt)
+    assert {(r["k"], r["valid_from"]) for r in read_scd2_dim(spark, dim_dir).collect()} == {
+        (k, vf) for (k, vf, *_rest) in want
+    }
+    # manual replay of an already-applied batch id is a guarded no-op
+    assert scd2_apply_batch(spark, s2, 1, dim_dir, ["k"], ["v"]) is False
