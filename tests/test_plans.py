@@ -32,6 +32,14 @@ PLAN_BUDGET = {
     "tumbling_window": (1, None),
     "segment_window_counts": (1, "BroadcastHashJoin"),
     "top_unshipped_orders": (1, "TakeOrderedAndProject"),
+    # round-2 additions
+    "duplicate_spans": (2, None),  # exact COUNT(DISTINCT doc) is two-phase: (gram,doc) partial + gram final
+    "value_histogram": (1, None),  # one bucket-keyed agg shuffle
+    "cohort_retention": (3, None),  # first-event agg + join + distinct-count
+    "rollup_maintenance": (3, None),  # stored agg + batch agg + merge agg
+    "tfidf_topk": (4, "BroadcastHashJoin"),  # tf + df + window; df broadcast back
+    "importance_weights": (4, "BroadcastHashJoin"),  # vocab agg + 1-row totals agg + score agg; ratios broadcast
+    "scd2_asof_lookup": (4, None),  # dim build (full-outer) + fact join
 }
 
 
