@@ -410,3 +410,137 @@ def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ex.groupBy("label", F.col("pos").cast("bigint").alias("pos")).agg(
         F.round(F.avg(F.col("v").cast("double")), 4).alias("x")
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) ANN — the memory-side scale path. IVF prunes
+# which vectors to score; PQ compresses HOW each vector is scored: split
+# the 64-dim embedding into M subvectors, k-means each subspace to K
+# codes, store each vector as M small ints (M=32, K=64 here: 6 bits per
+# code -> 24 bytes vs 256, ~10x; the synthetic embeddings are
+# near-uniform — the hardest quantization regime — so they need finer
+# codes than the classic M=8 x K=256 that real clustered embeddings get
+# away with). A query builds an M x K table of partial squared-L2
+# distances once, then every candidate's approximate distance is M table
+# lookups (ADC — asymmetric distance computation). At 100 TB the codes
+# column rides in the same parquet as the corpus and the codebooks
+# (M*K*dsub floats) broadcast everywhere; compose with IVF cells for
+# candidate pruning exactly like faiss's IVF-PQ.
+#
+# Codebooks train on a bounded driver-side sample (the standard
+# practice — faiss trains on samples too): deterministic stride init +
+# fixed Lloyd iterations, so retraining on the same corpus reproduces
+# the same codes.
+# ---------------------------------------------------------------------------
+
+_PQ_M = 32  # subvectors
+_PQ_K = 64  # codes per subspace
+_PQ_ITERS = 15
+_PQ_TRAIN_SAMPLE = 2048
+_PQ_TOP_K = 10
+
+
+def pq_train(sample, m: int = _PQ_M, k: int = _PQ_K, iters: int = _PQ_ITERS):
+    """Per-subspace Lloyd's k-means on a sample matrix (n x dim).
+    Returns codebooks of shape (m, k, dim//m)."""
+    import numpy as np
+
+    x = np.asarray(sample, dtype=np.float64)
+    n, dim = x.shape
+    dsub = dim // m
+    books = np.empty((m, k, dsub))
+    for s in range(m):
+        sub = x[:, s * dsub : (s + 1) * dsub]
+        cents = sub[:: max(n // k, 1)][:k].copy()  # deterministic stride init
+        if len(cents) < k:  # tiny sample: pad by repeating
+            cents = np.resize(cents, (k, dsub))
+        for _ in range(iters):
+            d2 = ((sub[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for c in range(k):
+                mask = assign == c
+                if mask.any():
+                    cents[c] = sub[mask].mean(axis=0)
+        books[s] = cents
+    return books
+
+
+def pq_encode(emb: DataFrame, codebooks, id_col: str = "vec_id") -> DataFrame:
+    """(id, codes array<int>) — each vector quantized subspace-by-subspace.
+    Narrow Arrow-batched pass; the codebook matrix is a closure constant
+    (broadcast with the task)."""
+    import numpy as np
+    import pandas as pd
+
+    m, k, dsub = codebooks.shape
+
+    def enc(batches):
+        for pdf in batches:
+            vecs = np.array([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+            codes = np.empty((len(vecs), m), dtype=np.int32)
+            for s in range(m):
+                sub = vecs[:, s * dsub : (s + 1) * dsub]
+                d2 = ((sub[:, None, :] - codebooks[s][None, :, :]) ** 2).sum(axis=2)
+                codes[:, s] = d2.argmin(axis=1)
+            yield pd.DataFrame({id_col: pdf[id_col], "codes": list(codes)})
+
+    return emb.select(id_col, "embedding").mapInPandas(
+        enc, f"{id_col} bigint, codes array<int>"
+    )
+
+
+@query("ann_pq_topk")  # approximate (float k-means): rows-only; recall pinned in tests
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate L2 top-k via PQ/ADC: query vectors (vec_id < _N_QUERIES)
+    against the rest of the corpus. One narrow encode pass over the corpus,
+    one mapInPandas scoring pass emitting per-candidate approximate
+    distances, one (query_id) top-k window shuffle."""
+    import numpy as np
+    import pandas as pd
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES).collect()
+    qids = [r["vec_id"] for r in queries]
+    qvecs = np.array([np.asarray(r["embedding"], dtype=np.float64) for r in queries])
+    sample = [
+        np.asarray(r["embedding"], dtype=np.float64)
+        for r in emb.limit(_PQ_TRAIN_SAMPLE).collect()
+    ]
+    books = pq_train(sample)
+    m, k, dsub = books.shape
+    # per-query ADC tables: (nq, m, k) partial squared distances
+    tables = np.empty((len(qids), m, k))
+    for s in range(m):
+        qsub = qvecs[:, s * dsub : (s + 1) * dsub]
+        tables[:, s, :] = ((qsub[:, None, :] - books[s][None, :, :]) ** 2).sum(axis=2)
+    corpus_codes = pq_encode(emb.filter(F.col("vec_id") >= _N_QUERIES), books)
+
+    def score(batches):
+        for pdf in batches:
+            codes = np.array(list(pdf["codes"]), dtype=np.int64)  # (n, m)
+            n = len(codes)
+            if n == 0:
+                continue
+            # ADC: for each query, sum the m table lookups per candidate
+            out_ids, out_q, out_d = [], [], []
+            sub_idx = np.arange(m)
+            for qi, qid in enumerate(qids):
+                d = tables[qi][sub_idx, codes].sum(axis=1)  # (n,)
+                out_ids.extend(pdf["vec_id"])
+                out_q.extend([qid] * n)
+                out_d.extend(d)
+            yield pd.DataFrame(
+                {"query_id": out_q, "vec_id": out_ids, "approx_d2": out_d}
+            )
+
+    scored = corpus_codes.mapInPandas(
+        score, "query_id bigint, vec_id bigint, approx_d2 double"
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.asc("approx_d2"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _PQ_TOP_K)
+        .select("query_id", "vec_id", F.col("rnk").cast("int").alias("approx_rank"))
+    )

@@ -405,3 +405,34 @@ def test_md5_minhash_agrees_with_xxhash_minhash_on_strong_pairs(spark):
     xx_pairs = {(r["doc_a"], r["doc_b"]) for r in minhash_near_dup(spark, SF_DIR).collect()}
     assert exact <= md5_pairs, f"md5 variant missed: {exact - md5_pairs}"
     assert exact <= xx_pairs
+
+
+def test_pq_ann_recall_vs_exact_l2(spark):
+    """PQ/ADC top-10 must recover a solid fraction of the exact L2 top-10
+    (clustered synthetic embeddings quantize well), and ranks must be
+    dense 1..k per query."""
+    import numpy as np
+
+    from dhs_to_database_spark.operators.similarity import _N_QUERIES, ann_pq_topk
+
+    rows = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").collect()
+    vecs = {r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64) for r in rows}
+    qids = [i for i in vecs if i < _N_QUERIES]
+    corpus = sorted(i for i in vecs if i >= _N_QUERIES)
+    mat = np.array([vecs[i] for i in corpus])
+    exact = {}
+    for q in qids:
+        d = ((mat - vecs[q]) ** 2).sum(axis=1)
+        order = np.lexsort((corpus, d))
+        exact[q] = {corpus[i] for i in order[:10]}
+    got = {}
+    for r in ann_pq_topk(spark, SF_DIR).collect():
+        got.setdefault(r["query_id"], []).append((r["approx_rank"], r["vec_id"]))
+    assert set(got) == set(qids)
+    recalls = []
+    for q, pairs in got.items():
+        ranks = sorted(p[0] for p in pairs)
+        assert ranks == list(range(1, 11))
+        recalls.append(len({v for _, v in pairs} & exact[q]) / 10)
+    mean_recall = sum(recalls) / len(recalls)
+    assert mean_recall >= 0.6, f"PQ recall@10 too low: {mean_recall} ({recalls})"
