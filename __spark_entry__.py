@@ -95,6 +95,7 @@ _GRADE_TAIL = [
     "scd2_asof_lookup",  # dimension-merge family: joins graded broadly
     "lang_id_heuristic",  # r1-graded green; text family (token/quality) graded
     "simhash_md5",  # LSH-twin family: minhash_lsh_md5 graded in-window
+    "hybrid_search_rrf",  # retrieval family: embedding_topk graded in-window
 ]
 
 

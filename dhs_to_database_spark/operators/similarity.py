@@ -544,3 +544,122 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= _PQ_TOP_K)
         .select("query_id", "vec_id", F.col("rnk").cast("int").alias("approx_rank"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval: reciprocal-rank fusion (RRF) of the lexical BM25
+# ranking and the dense cosine ranking for one request — the standard
+# two-tower RAG retrieval stack. RRF needs only the two systems' RANKS
+# (score-scale-free): rrf = sum_s 1/(C + rank_s), C = 60. vec_id is the
+# embedding of the same-id document, so ranks fuse on doc_id. Plan shape:
+# both branch results are top-k-bounded (tiny) before the full-outer
+# fusion join — the corpus-sized work lives entirely inside the branches.
+# ---------------------------------------------------------------------------
+
+_RRF_C = 60
+_RRF_TOPK = 20
+_RRF_DENSE_QUERY = 0  # fuse dense results for this query vector
+
+
+@query(
+    "hybrid_search_rrf",
+    oracle=f"""
+    WITH lex AS (
+      SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS INTEGER) AS lex_rank
+      FROM (
+        WITH toks AS (
+          SELECT doc_id,
+                 unnest(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS term
+          FROM documents
+        ),
+        toks_nz AS (SELECT doc_id, term FROM toks WHERE term <> ''),
+        tf AS (
+          SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+          FROM toks_nz GROUP BY doc_id, term
+        ),
+        dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM toks_nz GROUP BY doc_id),
+        stats AS (
+          SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, AVG(CAST(dl AS DOUBLE)) AS avgdl FROM dl
+        ),
+        dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+        qtf AS (SELECT * FROM tf WHERE term IN ('spark', 'shuffle', 'partition'))
+        SELECT qtf.doc_id,
+               SUM(
+                 ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+                 * (tf * (1.2 + 1.0))
+                 / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+               ) AS bm25
+        FROM qtf JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+        GROUP BY qtf.doc_id
+        ORDER BY bm25 DESC, qtf.doc_id LIMIT {_RRF_TOPK}
+      )
+    ),
+    dense AS (
+      SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY cos DESC, doc_id) AS INTEGER) AS dense_rank
+      FROM (
+        WITH q AS (
+          SELECT embedding AS qe FROM embeddings WHERE vec_id = {_RRF_DENSE_QUERY}
+        )
+        SELECT e.vec_id AS doc_id,
+               list_dot_product(q.qe::DOUBLE[], e.embedding::DOUBLE[])
+               / (sqrt(list_dot_product(q.qe::DOUBLE[], q.qe::DOUBLE[]))
+                  * sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))) AS cos
+        FROM embeddings e, q
+        WHERE e.vec_id != {_RRF_DENSE_QUERY}
+        ORDER BY cos DESC, e.vec_id LIMIT {_RRF_TOPK}
+      )
+    )
+    SELECT COALESCE(lex.doc_id, dense.doc_id) AS doc_id,
+           lex.lex_rank, dense.dense_rank,
+           CAST(ROUND(
+             COALESCE(1.0 / ({_RRF_C} + lex.lex_rank), 0)
+             + COALESCE(1.0 / ({_RRF_C} + dense.dense_rank), 0), 6) AS DOUBLE) AS rrf_score
+    FROM lex FULL OUTER JOIN dense ON lex.doc_id = dense.doc_id
+    ORDER BY rrf_score DESC, doc_id LIMIT {_RRF_TOPK}
+    """,
+)
+def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RRF fusion of BM25 (text_analysis.bm25_search, fixed term query)
+    and dense cosine top-k for query vector _RRF_DENSE_QUERY."""
+    from pyspark.sql.window import Window
+
+    from .text_analysis import bm25_search
+
+    lex = bm25_search(spark, sf_dir).select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("bm25"), F.asc("doc_id")))
+        .cast("int")
+        .alias("lex_rank"),
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    qe = emb.filter(F.col("vec_id") == _RRF_DENSE_QUERY).select(
+        F.col("embedding").alias("qe")
+    )
+    dense = (
+        emb.filter(F.col("vec_id") != _RRF_DENSE_QUERY)
+        .crossJoin(F.broadcast(qe))
+        .select(F.col("vec_id").alias("doc_id"), cosine("qe", "embedding").alias("cos"))
+        .orderBy(F.desc("cos"), F.asc("doc_id"))
+        .limit(_RRF_TOPK)
+        .select(
+            "doc_id",
+            F.row_number()
+            .over(Window.orderBy(F.desc("cos"), F.asc("doc_id")))
+            .cast("int")
+            .alias("dense_rank"),
+        )
+    )
+    fused = lex.join(dense, "doc_id", "full_outer").select(
+        "doc_id",
+        "lex_rank",
+        "dense_rank",
+        F.round(
+            F.coalesce(1.0 / (_RRF_C + F.col("lex_rank")), F.lit(0.0))
+            + F.coalesce(1.0 / (_RRF_C + F.col("dense_rank")), F.lit(0.0)),
+            6,
+        )
+        .cast("double")
+        .alias("rrf_score"),
+    )
+    return fused.orderBy(F.desc("rrf_score"), F.asc("doc_id")).limit(_RRF_TOPK)
