@@ -96,6 +96,7 @@ _GRADE_TAIL = [
     "lang_id_heuristic",  # r1-graded green; text family (token/quality) graded
     "simhash_md5",  # LSH-twin family: minhash_lsh_md5 graded in-window
     "hybrid_search_rrf",  # retrieval family: embedding_topk graded in-window
+    "content_reconcile",  # reconciliation family: rowcount_reconcile graded
 ]
 
 

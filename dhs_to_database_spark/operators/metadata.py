@@ -533,3 +533,59 @@ def scd2_asof_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (dim["valid_from"] <= facts["v"])
         & (dim["valid_to"].isNull() | (dim["valid_to"] > facts["v"])),
     ).select("o_orderkey", "o_custkey", "v", "c_acctbal")
+
+
+_RECON_COLS = ["o_orderkey", "o_custkey", "o_orderstatus"]
+
+
+@query(
+    "content_reconcile",
+    oracle="""
+    WITH canon AS (
+      SELECT CAST(('0x' || substr(md5(
+               concat_ws('|', CAST(o_orderkey AS VARCHAR), CAST(o_custkey AS VARCHAR), o_orderstatus)
+             ), 1, 15)) AS BIGINT) AS h
+      FROM orders
+    ),
+    lhs AS (
+      SELECT CAST(h % 256 AS INTEGER) AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS n_left,
+             CAST(bit_xor(h) AS BIGINT) AS xor_left
+      FROM canon GROUP BY bucket
+    ),
+    canon_r AS (
+      SELECT CAST(('0x' || substr(md5(
+               concat_ws('|', CAST(o_orderkey AS VARCHAR), CAST(o_custkey AS VARCHAR),
+                         CASE WHEN o_orderkey % 1000 = 0 THEN 'X' ELSE o_orderstatus END)
+             ), 1, 15)) AS BIGINT) AS h
+      FROM orders
+    ),
+    rhs AS (
+      SELECT CAST(h % 256 AS INTEGER) AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS n_right,
+             CAST(bit_xor(h) AS BIGINT) AS xor_right
+      FROM canon_r GROUP BY bucket
+    )
+    SELECT bucket, n_left, xor_left, n_right, xor_right
+    FROM lhs FULL OUTER JOIN rhs USING (bucket)
+    WHERE n_left IS DISTINCT FROM n_right OR xor_left IS DISTINCT FROM xor_right
+    """,
+)
+def content_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-level reconciliation of a table against a 'migrated' copy
+    with injected corruption (status flipped on orderkey % 1000 == 0):
+    only the buckets holding corrupted rows surface. The content-checksum
+    upgrade of A30's row-count reconciliation — counts match here, XORs
+    don't."""
+    from ..plans.schema_evolution import checksum_diff, content_checksum
+
+    o = load_table(spark, sf_dir, "orders")
+    corrupted = o.withColumn(
+        "o_orderstatus",
+        F.when(F.col("o_orderkey") % 1000 == 0, F.lit("X")).otherwise(
+            F.col("o_orderstatus")
+        ),
+    )
+    return checksum_diff(
+        content_checksum(o, _RECON_COLS), content_checksum(corrupted, _RECON_COLS)
+    ).select("bucket", "n_left", "xor_left", "n_right", "xor_right")

@@ -174,3 +174,27 @@ def test_scd2_apply_updates_inserts_nulls_and_reapply(spark):
     got = {(r["k"], r["valid_from"]): r for r in d4.collect()}
     assert got[(4, 2)]["valid_to"] == 4 and not got[(4, 2)]["is_current"]
     assert got[(4, 4)]["v"] is None and got[(4, 4)]["is_current"]
+
+
+def test_content_checksum_identical_and_partitioning_independent(spark):
+    """Identical content -> empty diff, regardless of partition layout;
+    a single changed row -> exactly that row's bucket surfaces."""
+    from dhs_to_database_spark.plans.schema_evolution import (
+        checksum_diff,
+        content_checksum,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"v{i % 17}") for i in range(1000)], "k bigint, v string"
+    )
+    a = content_checksum(df.repartition(3), ["k", "v"])
+    b = content_checksum(df.repartition(11, "v"), ["k", "v"])
+    assert checksum_diff(a, b).count() == 0
+    from pyspark.sql import functions as F
+
+    mutated = df.withColumn(
+        "v", F.when(F.col("k") == 500, F.lit("CORRUPT")).otherwise(F.col("v"))
+    )
+    d = checksum_diff(a, content_checksum(mutated, ["k", "v"])).collect()
+    # the mutation moves one row's hash: at most 2 buckets disagree (old+new)
+    assert 1 <= len(d) <= 2
