@@ -97,6 +97,7 @@ _GRADE_TAIL = [
     "simhash_md5",  # LSH-twin family: minhash_lsh_md5 graded in-window
     "hybrid_search_rrf",  # retrieval family: embedding_topk graded in-window
     "content_reconcile",  # reconciliation family: rowcount_reconcile graded
+    "moving_average_daily",  # window-frame family: window_functions graded
 ]
 
 

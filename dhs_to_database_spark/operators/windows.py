@@ -452,3 +452,52 @@ def rollup_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         _money(F.col("total_value_dec")).alias("total_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Moving aggregates over an ordered frame (ROWS BETWEEN): 7-day trailing
+# average/min/max of daily event value. The window runs over the ALREADY
+# AGGREGATED per-day table — one row per day — so the global ordering
+# window is a single tiny partition BY CONSTRUCTION (days, not events);
+# the corpus-sized work is the one map-side-combined daily shuffle. The
+# frame average divides an exact DECIMAL sum by the frame row count, so
+# both engines round identically.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "moving_average_daily",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(CAST(date_trunc('day', ts) AS DATE) AS VARCHAR) AS day,
+             CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2) AS DECIMAL(18,2)) AS tv
+      FROM events GROUP BY 1
+    )
+    SELECT day,
+           CAST(tv AS DOUBLE) AS total_value,
+           CAST(ROUND(CAST(SUM(tv) OVER w AS DECIMAL(28,6))
+                      / COUNT(*) OVER w, 4) AS DOUBLE) AS ma7,
+           CAST(MIN(tv) OVER w AS DOUBLE) AS min7,
+           CAST(MAX(tv) OVER w AS DOUBLE) AS max7
+    FROM daily
+    WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    """,
+)
+def moving_average_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    daily = (
+        e.groupBy(F.date_trunc("day", F.col("ts")).cast("date").cast("string").alias("day"))
+        .agg(F.round(F.sum(_dec("value")), 2).cast("decimal(18,2)").alias("tv"))
+    )
+    w = Window.orderBy("day").rowsBetween(-6, 0)
+    return daily.select(
+        "day",
+        F.col("tv").cast("double").alias("total_value"),
+        F.round(F.sum("tv").over(w).cast("decimal(28,6)") / F.count(F.lit(1)).over(w), 4)
+        .cast("double")
+        .alias("ma7"),
+        F.min("tv").over(w).cast("double").alias("min7"),
+        F.max("tv").over(w).cast("double").alias("max7"),
+    )
