@@ -502,9 +502,12 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < _N_QUERIES).collect()
     qids = [r["vec_id"] for r in queries]
     qvecs = np.array([np.asarray(r["embedding"], dtype=np.float64) for r in queries])
+    # TakeOrdered, not a bare limit: a bare limit's row choice depends on
+    # partition layout, which would break the "same corpus -> same codes"
+    # reproducibility the codebooks promise
     sample = [
         np.asarray(r["embedding"], dtype=np.float64)
-        for r in emb.limit(_PQ_TRAIN_SAMPLE).collect()
+        for r in emb.orderBy("vec_id").limit(_PQ_TRAIN_SAMPLE).collect()
     ]
     books = pq_train(sample)
     m, k, dsub = books.shape
