@@ -99,6 +99,7 @@ _GRADE_TAIL = [
     "hybrid_search_rrf",  # retrieval family: embedding_topk graded in-window
     "content_reconcile",  # reconciliation family: rowcount_reconcile graded
     "moving_average_daily",  # window-frame family: window_functions graded
+    "setsim_join_prefix",  # set-sim family: ngram_jaccard/minhash_lsh_md5 graded
 ]
 
 

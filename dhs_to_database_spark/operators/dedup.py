@@ -930,3 +930,109 @@ def simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         signs.unpersist()
     return out
+
+
+# ---------------------------------------------------------------------------
+# Prefix-filtering set-similarity join (PPJoin-lite): all document pairs
+# with word-set Jaccard >= t, WITHOUT the all-pairs product. Under a
+# global token order (frequency-ascending, so prefixes hold the RAREST
+# tokens), any pair with J(x,y) >= t must share a token inside each
+# side's first |x| - ceil(t*|x|) + 1 tokens — so candidates come from a
+# bucket join on prefix tokens only, then exact verification. The filter
+# is LOSSLESS: the oracle computes the naive all-pairs truth and the
+# driver checks the two are value-identical — an algorithm-vs-naive
+# equality proof, not just a recall bound. Scale: bucket fan-out is
+# bounded because prefix tokens are rare by construction (the stop-word
+# buckets that would blow up an inverted-index join never enter a
+# prefix).
+# ---------------------------------------------------------------------------
+
+_SETSIM_T = 0.6
+
+
+@query(
+    "setsim_join_prefix",
+    oracle=f"""
+    WITH toks AS (
+      SELECT DISTINCT doc_id,
+             unnest(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS w
+      FROM documents
+    ),
+    toks_nz AS (SELECT doc_id, w FROM toks WHERE w <> ''),
+    sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz FROM toks_nz GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS n_common
+      FROM toks_nz a JOIN toks_nz b ON a.w = b.w AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(ROUND(CAST(n_common AS DECIMAL(18,6)) / (sa.sz + sb.sz - n_common), 4) AS DOUBLE) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE CAST(n_common AS DECIMAL(18,6)) / (sa.sz + sb.sz - n_common) >= {_SETSIM_T}
+    """,
+)
+def setsim_join_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All pairs with word-set Jaccard >= _SETSIM_T via prefix filtering
+    (see block comment; the oracle is the naive all-pairs join — results
+    must be identical because the filter is lossless)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = (
+        d.select("doc_id", F.explode(tokenize_words("text")).alias("w"))
+        .filter(F.col("w") != "")
+        .distinct()
+    )
+    freq = toks.groupBy("w").agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+    ordered = (
+        toks.join(F.broadcast(freq), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.expr("transform(array_sort(collect_list(struct(freq, w))), x -> x.w)").alias(
+                "tokens"
+            )
+        )
+        .withColumn("sz", F.size("tokens").cast("bigint"))
+        .withColumn(
+            "prefix",
+            F.expr(f"slice(tokens, 1, sz - CAST(ceil({_SETSIM_T} * sz) AS INT) + 1)"),
+        )
+    )
+    ordered.persist()
+    try:
+        pref = ordered.select("doc_id", F.explode("prefix").alias("w")).withColumn(
+            "band_idx", F.lit(0)
+        )
+        # NO hot-bucket cap here: dropping a bucket is fine for LSH
+        # (lossy by design) but would break this operator's lossless
+        # contract. Prefix tokens are globally-rare by construction, so
+        # buckets stay small on natural corpora; this synthetic corpus's
+        # 31-word vocab is the worst case and still verifies exactly.
+        pairs = bucket_pairs(
+            pref.select("doc_id", "band_idx", F.col("w").alias("band_val")),
+            max_bucket_size=2**31,
+        )
+        a = ordered.select(
+            F.col("doc_id").alias("doc_a"), F.col("tokens").alias("t_a"), F.col("sz").alias("sz_a")
+        )
+        b = ordered.select(
+            F.col("doc_id").alias("doc_b"), F.col("tokens").alias("t_b"), F.col("sz").alias("sz_b")
+        )
+        inter = F.size(F.array_intersect("t_a", "t_b")).cast("bigint")
+        jac = inter.cast("decimal(18,6)") / (F.col("sz_a") + F.col("sz_b") - inter)
+        out = (
+            pairs.join(a, "doc_a")
+            .join(b, "doc_b")
+            .select(
+                "doc_a",
+                "doc_b",
+                F.round(jac, 4).cast("double").alias("jaccard"),
+                jac.alias("__j"),
+            )
+            .filter(F.col("__j") >= _SETSIM_T)
+            .drop("__j")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        ordered.unpersist()
+    return out
