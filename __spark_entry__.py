@@ -100,6 +100,7 @@ _GRADE_TAIL = [
     "content_reconcile",  # reconciliation family: rowcount_reconcile graded
     "moving_average_daily",  # window-frame family: window_functions graded
     "setsim_join_prefix",  # set-sim family: ngram_jaccard/minhash_lsh_md5 graded
+    "word_entropy",  # quality family: quality_score/repetition graded
 ]
 
 

@@ -816,3 +816,64 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         tf.unpersist()
     return out
+
+
+# ---------------------------------------------------------------------------
+# Word-distribution entropy: H = -sum_t (c_t/n) ln(c_t/n) per document —
+# the vocabulary-diversity quality signal (repetitive boilerplate scores
+# near 0, diverse prose near ln(vocab)). Same engine-parity policy as
+# the DSIR scorer: each term's contribution is rounded to 8 decimals and
+# summed as DECIMAL(28,8) (exact, order-free), only the final value
+# returns to DOUBLE. One (doc, term) shuffle; everything else is narrow.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "word_entropy",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS term
+      FROM documents
+    ),
+    toks_nz AS (SELECT doc_id, term FROM toks WHERE term <> ''),
+    tf AS (
+      SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS c
+      FROM toks_nz GROUP BY doc_id, term
+    ),
+    dl AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n FROM tf GROUP BY doc_id)
+    SELECT tf.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct_terms,
+           CAST(ROUND(CAST(SUM(
+             CAST(ROUND(-(CAST(c AS DOUBLE) / n) * ln(CAST(c AS DOUBLE) / n), 8) AS DECIMAL(28,8))
+           ) AS DOUBLE), 4) AS DOUBLE) AS entropy_nats
+    FROM tf JOIN dl USING (doc_id)
+    GROUP BY tf.doc_id
+    """,
+)
+def word_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = (
+        d.select(
+            "doc_id",
+            F.explode(
+                F.split(F.regexp_replace(F.lower(F.trim("text")), r"\s+", " "), " ")
+            ).alias("term"),
+        )
+        .filter(F.col("term") != "")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    dl = tf.groupBy("doc_id").agg(F.sum("c").cast("bigint").alias("n"))
+    p = F.col("c").cast("double") / F.col("n")
+    return (
+        tf.join(dl, "doc_id")
+        .select(
+            "doc_id",
+            F.round(-p * F.log(p), 8).cast("decimal(28,8)").alias("h_term"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_distinct_terms"),
+            F.round(F.sum("h_term").cast("double"), 4).cast("double").alias("entropy_nats"),
+        )
+    )
