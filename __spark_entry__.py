@@ -101,6 +101,7 @@ _GRADE_TAIL = [
     "moving_average_daily",  # window-frame family: window_functions graded
     "setsim_join_prefix",  # set-sim family: ngram_jaccard/minhash_lsh_md5 graded
     "word_entropy",  # quality family: quality_score/repetition graded
+    "weighted_sample_langs",  # sampling family: train_test/stratified graded
 ]
 
 

@@ -622,3 +622,60 @@ def importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("dsir_score"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Weighted reservoir sampling (Efraimidis-Spirakis A-ES), deterministic:
+# each row draws u in (0,1] from the md5 of its key (not from run state),
+# and the k rows with the largest u^(1/w) — equivalently largest
+# ln(u)/w — win. Weight-proportional-without-replacement, reproducible
+# on any cluster layout / retry, one window shuffle on the group key —
+# the weighted upgrade of sample_k_per_group (e.g. length-weighted eval
+# subsets). Cross-engine note: ln(u)/w is transcendental; the sort key
+# is ROUNDed to 8 decimals in BOTH engines so a last-ulp divergence
+# cannot flip a rank (and doc_id breaks exact ties).
+# ---------------------------------------------------------------------------
+
+_WS_K = 10
+
+
+@query(
+    "weighted_sample_langs",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT doc_id, lang, n_chars,
+             ROUND(
+               ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'es'), 1, 15)) AS BIGINT) + 1.0)
+                  / 1152921504606846976.0)
+               / n_chars, 8) AS es_key
+      FROM documents
+    )
+    SELECT doc_id, lang, n_chars FROM (
+      SELECT doc_id, lang, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY lang ORDER BY es_key DESC, doc_id) AS rn
+      FROM keyed
+    ) t WHERE rn <= {_WS_K}
+    """,
+)
+def weighted_sample_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k docs per language sampled proportional to n_chars (A-ES keys
+    derived from md5(doc_id) — fully deterministic)."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    u_num = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("es"))), 1, 15),
+            16,
+            10,
+        ).cast("bigint")
+        + 1.0
+    )
+    es_key = F.round(F.log(u_num / F.lit(float(2**60))) / F.col("n_chars"), 8)
+    w = Window.partitionBy("lang").orderBy(F.desc("es_key"), F.asc("doc_id"))
+    return (
+        d.select("doc_id", "lang", "n_chars", es_key.alias("es_key"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _WS_K)
+        .select("doc_id", "lang", "n_chars")
+    )
