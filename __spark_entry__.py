@@ -102,6 +102,7 @@ _GRADE_TAIL = [
     "setsim_join_prefix",  # set-sim family: ngram_jaccard/minhash_lsh_md5 graded
     "word_entropy",  # quality family: quality_score/repetition graded
     "weighted_sample_langs",  # sampling family: train_test/stratified graded
+    "pmi_collocations",  # corpus-stats family: vocab/frequent_terms graded
 ]
 
 

@@ -877,3 +877,109 @@ def word_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("h_term").cast("double"), 4).cast("double").alias("entropy_nats"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# PMI collocations: pointwise mutual information of adjacent word pairs,
+# ln(p(ab) / (p(a) p(b))) — the classic collocation-mining statistic
+# (high PMI = the pair co-occurs far above chance). Three aggregates
+# (bigram counts, unigram counts, totals), all map-side combined; the
+# unigram table broadcasts back onto the bigram table twice. The PMI
+# argument is assembled in ONE double expression of identical shape in
+# both engines, compared after ROUND(,4), ranked by the rounded value.
+# ---------------------------------------------------------------------------
+
+_PMI_MIN_COUNT = 20
+_PMI_TOPK = 30
+
+
+@query(
+    "pmi_collocations",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS t
+      FROM documents
+    ),
+    bigrams AS (
+      SELECT t[i] AS w1, t[i + 1] AS w2
+      FROM toks, UNNEST(generate_series(1, len(t) - 1)) AS u(i)
+      WHERE t[i] <> '' AND t[i + 1] <> ''
+    ),
+    uni AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM (
+        SELECT unnest(t) AS w FROM toks
+      ) WHERE w <> '' GROUP BY w
+    ),
+    tot AS (
+      SELECT CAST((SELECT COUNT(*) FROM bigrams) AS DOUBLE) AS nb,
+             CAST((SELECT SUM(c) FROM uni) AS DOUBLE) AS tu
+    ),
+    pair_counts AS (
+      SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c_ab
+      FROM bigrams GROUP BY w1, w2
+    )
+    SELECT w1, w2, c_ab,
+           CAST(ROUND(ln((CAST(c_ab AS DOUBLE) * tu * tu) / (nb * ua.c * ub.c)), 4) AS DOUBLE) AS pmi
+    FROM pair_counts
+    JOIN uni ua ON ua.w = w1
+    JOIN uni ub ON ub.w = w2
+    CROSS JOIN tot
+    WHERE c_ab >= {_PMI_MIN_COUNT}
+    ORDER BY pmi DESC, w1, w2
+    LIMIT {_PMI_TOPK}
+    """,
+)
+def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        F.split(F.regexp_replace(F.lower(F.trim("text")), r"\s+", " "), " ").alias("t")
+    )
+    bigrams = (
+        toks.select(
+            F.explode(
+                F.expr(
+                    "filter(transform(sequence(1, greatest(size(t) - 1, 1)),"
+                    " i -> struct(t[i - 1] AS w1, t[i] AS w2)),"
+                    " p -> p.w1 <> '' AND p.w2 <> '')"
+                )
+            ).alias("p")
+        )
+        .select("p.w1", "p.w2")
+    )
+    bigrams.persist()
+    try:
+        uni = (
+            toks.select(F.explode("t").alias("w"))
+            .filter(F.col("w") != "")
+            .groupBy("w")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        )
+        pair_counts = bigrams.groupBy("w1", "w2").agg(
+            F.count(F.lit(1)).cast("bigint").alias("c_ab")
+        )
+        tot = bigrams.agg(F.count(F.lit(1)).cast("double").alias("nb")).crossJoin(
+            uni.agg(F.sum("c").cast("double").alias("tu"))
+        )
+        ua = uni.select(F.col("w").alias("w1"), F.col("c").alias("c_a"))
+        ub = uni.select(F.col("w").alias("w2"), F.col("c").alias("c_b"))
+        pmi = F.round(
+            F.log(
+                (F.col("c_ab").cast("double") * F.col("tu") * F.col("tu"))
+                / (F.col("nb") * F.col("c_a") * F.col("c_b"))
+            ),
+            4,
+        ).cast("double")
+        out = (
+            pair_counts.filter(F.col("c_ab") >= _PMI_MIN_COUNT)
+            .join(F.broadcast(ua), "w1")
+            .join(F.broadcast(ub), "w2")
+            .crossJoin(F.broadcast(tot))
+            .select("w1", "w2", "c_ab", pmi.alias("pmi"))
+            .orderBy(F.desc("pmi"), "w1", "w2")
+            .limit(_PMI_TOPK)
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        bigrams.unpersist()
+    return out
