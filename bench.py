@@ -62,6 +62,16 @@ BENCH_QUERIES = [
     "importance_weights",
     "cohort_retention",
     "rollup_maintenance",
+    "value_histogram",
+    "moving_average_daily",
+    "scd2_asof_lookup",
+    "content_reconcile",
+    "setsim_join_prefix",
+    "word_entropy",
+    "weighted_sample_langs",
+    "pmi_collocations",
+    "hybrid_search_rrf",
+    "profile_orders_columns",
 ]
 
 

@@ -934,17 +934,18 @@ def simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # Prefix-filtering set-similarity join (PPJoin-lite): all document pairs
-# with word-set Jaccard >= t, WITHOUT the all-pairs product. Under a
-# global token order (frequency-ascending, so prefixes hold the RAREST
-# tokens), any pair with J(x,y) >= t must share a token inside each
-# side's first |x| - ceil(t*|x|) + 1 tokens — so candidates come from a
-# bucket join on prefix tokens only, then exact verification. The filter
-# is LOSSLESS: the oracle computes the naive all-pairs truth and the
-# driver checks the two are value-identical — an algorithm-vs-naive
-# equality proof, not just a recall bound. Scale: bucket fan-out is
-# bounded because prefix tokens are rare by construction (the stop-word
-# buckets that would blow up an inverted-index join never enter a
-# prefix).
+# whose distinct 3-word-shingle sets have Jaccard >= t, WITHOUT the
+# all-pairs product. Under a global element order (frequency-ascending,
+# so prefixes hold the RAREST shingles), any pair with J(x,y) >= t must
+# share an element inside each side's first |x| - ceil(t*|x|) + 1
+# elements — so candidates come from a bucket join on prefix elements,
+# then exact verification. The filter is LOSSLESS: the oracle computes
+# the naive all-pairs truth and the driver checks the two are
+# value-identical — an algorithm-vs-naive equality proof, not just a
+# recall bound. Shingles (not single words) are the set elements: they
+# are near-unique, so prefix buckets stay tiny and candidates ~ true
+# pairs; single words on a small-vocab corpus would make every doc
+# similar to every other and the problem itself quadratic-sized.
 # ---------------------------------------------------------------------------
 
 _SETSIM_T = 0.6
@@ -954,15 +955,18 @@ _SETSIM_T = 0.6
     "setsim_join_prefix",
     oracle=f"""
     WITH toks AS (
-      SELECT DISTINCT doc_id,
-             unnest(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS w
+      SELECT doc_id,
+             string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS t
       FROM documents
     ),
-    toks_nz AS (SELECT doc_id, w FROM toks WHERE w <> ''),
-    sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz FROM toks_nz GROUP BY doc_id),
+    sh AS (
+      SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS w
+      FROM toks, UNNEST(generate_series(1, greatest(len(t) - 2, 1))) AS u(i)
+    ),
+    sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz FROM sh GROUP BY doc_id),
     inter AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS n_common
-      FROM toks_nz a JOIN toks_nz b ON a.w = b.w AND a.doc_id < b.doc_id
+      FROM sh a JOIN sh b ON a.w = b.w AND a.doc_id < b.doc_id
       GROUP BY a.doc_id, b.doc_id
     )
     SELECT doc_a, doc_b,
@@ -974,13 +978,13 @@ _SETSIM_T = 0.6
     """,
 )
 def setsim_join_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All pairs with word-set Jaccard >= _SETSIM_T via prefix filtering
+    """All pairs with shingle-set Jaccard >= _SETSIM_T via prefix filtering
     (see block comment; the oracle is the naive all-pairs join — results
     must be identical because the filter is lossless)."""
     d = load_table(spark, sf_dir, "documents")
     toks = (
-        d.select("doc_id", F.explode(tokenize_words("text")).alias("w"))
-        .filter(F.col("w") != "")
+        d.select("doc_id", tokenize_words("text").alias("ws"))
+        .select("doc_id", F.explode(word_shingles("ws", 3)).alias("w"))
         .distinct()
     )
     freq = toks.groupBy("w").agg(F.count(F.lit(1)).cast("bigint").alias("freq"))

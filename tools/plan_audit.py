@@ -61,6 +61,16 @@ NOTES = {
     "importance_weights": "two partial-agg shuffles build the LMs; vocab-sized ratio table broadcast; decimal-exact per-doc agg on the doc_id shuffle",
     "cohort_retention": "per-user first-event agg + (cohort, offset) distinct count — both shuffles key on user_id",
     "rollup_maintenance": "stored rollup merged with batch partial aggs per day — history never rescanned; one day-keyed shuffle each side",
+    "value_histogram": "bucket id is constant-folded arithmetic in codegen; one map-side-combined shuffle",
+    "moving_average_daily": "frame window runs over the per-day aggregate (one row per day) — tiny by construction",
+    "scd2_asof_lookup": "dim history built once (full-outer on business key), facts equi-join + validity filter; bucketable on custkey",
+    "content_reconcile": "per-side bucketed XOR digests (n_buckets rows each) full-outer compared — neither table moves",
+    "setsim_join_prefix": "prefix tokens (rare-first) bucket-join candidates; exact array_intersect verify on candidates only; lossless vs naive oracle",
+    "word_entropy": "one (doc,term) shuffle; decimal-exact per-doc entropy agg",
+    "weighted_sample_langs": "narrow A-ES key projection + one group-key window shuffle",
+    "pmi_collocations": "bigram + unigram aggs map-side combined; unigram/totals broadcast onto pair counts",
+    "hybrid_search_rrf": "both branches top-k-bounded before the fusion full-outer join; corpus work stays in branches",
+    "profile_orders_columns": "one column-pruned agg per column, unioned; exact ndv is the one wide stage per column",
 }
 
 
