@@ -103,6 +103,7 @@ _GRADE_TAIL = [
     "word_entropy",  # quality family: quality_score/repetition graded
     "weighted_sample_langs",  # sampling family: train_test/stratified graded
     "pmi_collocations",  # corpus-stats family: vocab/frequent_terms graded
+    "moment_stats",  # stats family: pricing_summary/percentiles graded
 ]
 
 

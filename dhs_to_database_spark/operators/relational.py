@@ -1062,3 +1062,66 @@ def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("o_totalprice").cast("double").alias("hi"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Statistical moments per group: mean / population variance / skewness of
+# order value, computed from EXACT decimal power sums (s1, s2, s3) — the
+# single-pass mergeable-moments formulation (what var_pop/skewness
+# builtins do internally, but engine builtins disagree in last-ulp
+# accumulation order; exact decimal sums make both engines derive the
+# final doubles from near-identical inputs). Variance is reported in
+# millions^2: the 19-digit s2 decimal->double cast itself wobbles by an
+# ulp (~4e-6 absolute at 2e10) between engines, which can flip a
+# ROUND(,4) boundary on the raw value; scaling by 1e6 puts the wobble
+# ~7 orders below the rounding granularity. One map-side-combined
+# shuffle.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "moment_stats",
+    oracle="""
+    WITH sums AS (
+      SELECT o_orderpriority,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS s1,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(o_totalprice AS DECIMAL(18,2))) AS s2,
+             SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(o_totalprice AS DECIMAL(18,2)) AS DECIMAL(28,4))
+                 * CAST(o_totalprice AS DECIMAL(18,2))) AS s3
+      FROM orders GROUP BY o_orderpriority
+    )
+    SELECT o_orderpriority, n,
+           CAST(ROUND(CAST(s1 AS DOUBLE) / n, 4) AS DOUBLE) AS mean_value,
+           CAST(ROUND((CAST(s2 AS DOUBLE) / n - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)) / 1000000.0, 4) AS DOUBLE) AS var_pop_m2,
+           CAST(ROUND(
+             (CAST(s3 AS DOUBLE) / n
+              - 3 * (CAST(s1 AS DOUBLE) / n) * (CAST(s2 AS DOUBLE) / n)
+              + 2 * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))
+             / pow(CAST(s2 AS DOUBLE) / n - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n), 1.5),
+             4) AS DOUBLE) AS skewness
+    FROM sums
+    """,
+)
+def moment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    x = F.col("o_totalprice").cast("decimal(18,2)")
+    sums = o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(x).alias("s1"),
+        F.sum(x * x).alias("s2"),
+        F.sum((x * x).cast("decimal(28,4)") * x).alias("s3"),
+    )
+    m1 = F.col("s1").cast("double") / F.col("n")
+    m2 = F.col("s2").cast("double") / F.col("n")
+    m3 = F.col("s3").cast("double") / F.col("n")
+    var = m2 - m1 * m1
+    return sums.select(
+        "o_orderpriority",
+        "n",
+        F.round(m1, 4).cast("double").alias("mean_value"),
+        F.round(var / 1000000.0, 4).cast("double").alias("var_pop_m2"),
+        F.round((m3 - 3 * m1 * m2 + 2 * m1 * m1 * m1) / F.pow(var, 1.5), 4)
+        .cast("double")
+        .alias("skewness"),
+    )
