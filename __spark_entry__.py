@@ -104,6 +104,7 @@ _GRADE_TAIL = [
     "weighted_sample_langs",  # sampling family: train_test/stratified graded
     "pmi_collocations",  # corpus-stats family: vocab/frequent_terms graded
     "moment_stats",  # stats family: pricing_summary/percentiles graded
+    "term_drift_kl",  # drift family: importance_weights/rarity siblings graded
 ]
 
 

@@ -679,3 +679,87 @@ def weighted_sample_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= _WS_K)
         .select("doc_id", "lang", "n_chars")
     )
+
+
+# ---------------------------------------------------------------------------
+# Term-distribution drift: KL(P_batch || Q_reference) per language, where
+# the "batch" is the 20% test slice and the reference the 80% train
+# slice of the same split — the production data-drift monitor for a
+# continuous ingestion pipeline (an incoming crawl whose unigram
+# distribution diverges from the corpus gets quarantined). Add-1
+# smoothing over the per-language union vocabulary handles terms unseen
+# on either side. Engine parity: per-term contributions p*ln(p/q)
+# rounded to 10 decimals and summed as DECIMAL(28,10) (exact,
+# order-free); one (lang, term) shuffle builds both distributions.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "term_drift_kl",
+    oracle=f"""
+    WITH toks AS (
+      SELECT lang,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT)
+               < {int(0.8 * _BUCKETS)} AS is_train,
+             unnest(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS term
+      FROM documents
+    ),
+    toks_nz AS (SELECT lang, is_train, term FROM toks WHERE term <> ''),
+    counts AS (
+      SELECT lang, term,
+             CAST(COUNT(*) FILTER (WHERE NOT is_train) AS BIGINT) AS c_b,
+             CAST(COUNT(*) FILTER (WHERE is_train) AS BIGINT) AS c_r
+      FROM toks_nz GROUP BY lang, term
+    ),
+    totals AS (
+      SELECT lang,
+             CAST(SUM(c_b) AS BIGINT) AS t_b,
+             CAST(SUM(c_r) AS BIGINT) AS t_r,
+             CAST(COUNT(*) AS BIGINT) AS v
+      FROM counts GROUP BY lang
+    )
+    SELECT c.lang, t.v AS n_terms,
+           CAST(ROUND(CAST(SUM(
+             CAST(ROUND(
+               ((c_b + 1.0) / (t_b + v))
+               * ln(((c_b + 1.0) / (t_b + v)) / ((c_r + 1.0) / (t_r + v))), 10)
+             AS DECIMAL(28,10))
+           ) AS DOUBLE), 4) AS DOUBLE) AS kl_nats
+    FROM counts c JOIN totals t ON c.lang = t.lang
+    GROUP BY c.lang, t.v
+    """,
+)
+def term_drift_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = (
+        d.select(
+            "lang",
+            (split_assignment(F.col("doc_id"), 0.8) == "train").alias("is_train"),
+            F.explode(
+                F.split(F.regexp_replace(F.lower(F.trim("text")), r"\s+", " "), " ")
+            ).alias("term"),
+        )
+        .filter(F.col("term") != "")
+    )
+    counts = toks.groupBy("lang", "term").agg(
+        F.sum((~F.col("is_train")).cast("long")).cast("bigint").alias("c_b"),
+        F.sum(F.col("is_train").cast("long")).cast("bigint").alias("c_r"),
+    )
+    totals = counts.groupBy("lang").agg(
+        F.sum("c_b").cast("bigint").alias("t_b"),
+        F.sum("c_r").cast("bigint").alias("t_r"),
+        F.count(F.lit(1)).cast("bigint").alias("v"),
+    )
+    p = (F.col("c_b") + 1.0) / (F.col("t_b") + F.col("v"))
+    q = (F.col("c_r") + 1.0) / (F.col("t_r") + F.col("v"))
+    return (
+        counts.join(F.broadcast(totals), "lang")
+        .select(
+            "lang",
+            "v",
+            F.round(p * F.log(p / q), 10).cast("decimal(28,10)").alias("contrib"),
+        )
+        .groupBy("lang", "v")
+        .agg(F.round(F.sum("contrib").cast("double"), 4).cast("double").alias("kl_nats"))
+        .select("lang", F.col("v").alias("n_terms"), "kl_nats")
+    )
