@@ -436,3 +436,18 @@ def test_pq_ann_recall_vs_exact_l2(spark):
         recalls.append(len({v for _, v in pairs} & exact[q]) / 10)
     mean_recall = sum(recalls) / len(recalls)
     assert mean_recall >= 0.6, f"PQ recall@10 too low: {mean_recall} ({recalls})"
+
+
+def test_profile_columns_counts_nulls_and_ndv(spark):
+    from dhs_to_database_spark.operators.metadata import profile_columns
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "a"), (4, None), (5, "b")], "k bigint, v string"
+    )
+    prof = {r["column_name"]: r for r in profile_columns(df).collect()}
+    assert prof["k"]["n_rows"] == 5 and prof["k"]["n_nulls"] == 0
+    assert prof["k"]["n_distinct"] == 5
+    assert prof["k"]["min_value"] == "1" and prof["k"]["max_value"] == "5"
+    assert prof["v"]["n_nulls"] == 2
+    assert prof["v"]["n_distinct"] == 2  # nulls excluded from ndv
+    assert prof["v"]["min_value"] == "a" and prof["v"]["max_value"] == "b"
