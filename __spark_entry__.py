@@ -105,6 +105,7 @@ _GRADE_TAIL = [
     "pmi_collocations",  # corpus-stats family: vocab/frequent_terms graded
     "moment_stats",  # stats family: pricing_summary/percentiles graded
     "term_drift_kl",  # drift family: importance_weights/rarity siblings graded
+    "spearman_length_tokens",  # rank family: decile_stats graded in-window
 ]
 
 

@@ -219,3 +219,66 @@ def decile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     handle.unpersist()
     return out
+
+
+# ---------------------------------------------------------------------------
+# Spearman rank correlation between two document metrics — built ON TOP of
+# the distributed global rank (two rank passes, no single-partition
+# window), so the correlation of two columns over a 100 TB table costs
+# two range-partitioned rank passes + one tiny aggregate. Ranks use
+# row_number with a doc_id tie-break (deterministic; the
+# average-rank-for-ties variant would replace row_number with an avg over
+# the tie group). d^2 sums are exact integers, so the only float op is
+# the final closed-form division — engine-identical.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "spearman_length_tokens",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id, length(text) AS x,
+             len(string_split_regex(trim(text), '\\s+')) AS y
+      FROM documents
+    ),
+    r AS (
+      SELECT doc_id,
+             ROW_NUMBER() OVER (ORDER BY x, doc_id) AS rx,
+             ROW_NUMBER() OVER (ORDER BY y, doc_id) AS ry
+      FROM m
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM((rx - ry) * (rx - ry)) AS BIGINT) AS sum_d2,
+           CAST(ROUND(
+             1.0 - 6.0 * SUM((rx - ry) * (rx - ry))
+                   / (COUNT(*) * (CAST(COUNT(*) AS DOUBLE) * COUNT(*) - 1.0)), 6
+           ) AS DOUBLE) AS rho
+    FROM r
+    """,
+)
+def spearman_length_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    m = d.select(
+        "doc_id",
+        F.length("text").alias("x"),
+        F.size(F.split(F.trim("text"), r"\s+")).alias("y"),
+    )
+    rx, total, hx = global_rank_parts(m, ["x", "doc_id"], rank_name="rx")
+    ry, _, hy = global_rank_parts(rx, ["y", "doc_id"], rank_name="ry")
+    dlt = (F.col("rx") - F.col("ry")).cast("bigint")
+    out = ry.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(dlt * dlt).cast("bigint").alias("sum_d2"),
+        F.round(
+            1.0
+            - 6.0
+            * F.sum(dlt * dlt)
+            / (F.count(F.lit(1)) * (F.count(F.lit(1)).cast("double") * F.count(F.lit(1)) - 1.0)),
+            6,
+        )
+        .cast("double")
+        .alias("rho"),
+    ).localCheckpoint(eager=True)  # 1 row; lets both rank inputs release
+    hy.unpersist()
+    hx.unpersist()
+    return out
