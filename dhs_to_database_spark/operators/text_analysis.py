@@ -983,3 +983,63 @@ def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         bigrams.unpersist()
     return out
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch term frequencies — the linear (mergeable) counterpart
+# of the Misra-Gries heavy-hitter sketch above. Spark's built-in
+# ``stat.countMinSketch`` builds per-partition sketches JVM-side and
+# merges them (CMS is linear: merge = elementwise add), so the full term
+# stream is summarized in eps-width * depth counters with NO shuffle of
+# the stream itself. Guarantees: est >= true always (counts only
+# over-estimate), est <= true + eps*N with probability 1 - delta.
+# Estimates are hash-dependent (seeded, engine-specific) -> rows-only
+# check; the bounds are pinned by a test against exact counts.
+# ---------------------------------------------------------------------------
+
+_CMS_EPS = 0.001
+_CMS_DELTA = 0.01
+_CMS_SEED = 42
+
+
+def term_cms(df: DataFrame, text_col: str = "text"):
+    """CountMinSketch over the whitespace term stream of ``text_col``.
+
+    Built with the SQL aggregate ``count_min_sketch`` (JVM-side,
+    partial-merged like any aggregate — the stream never shuffles; only
+    the eps*depth counter blobs do) and deserialized through the JVM
+    sketch class for point queries.
+    """
+    toks = df.select(
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("term")
+    )
+    blob = toks.agg(
+        F.expr(
+            f"count_min_sketch(term, CAST({_CMS_EPS} AS DOUBLE),"
+            f" CAST({1 - _CMS_DELTA} AS DOUBLE), {_CMS_SEED})"
+        ).alias("cms")
+    ).collect()[0]["cms"]
+    jvm = df.sparkSession._jvm
+    sketch = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(bytes(blob))
+    return sketch, toks
+
+
+@query("cms_term_estimates")  # sketch estimates are seed/hash-specific: rows-only
+def cms_term_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Estimated frequencies of the exact top-N terms from one Count-Min
+    sketch pass (plus the exact counts for comparison — the driver's
+    rows-only check sees a stable row count; the test pins the bounds)."""
+    d = load_table(spark, sf_dir, "documents")
+    sketch, toks = term_cms(d)
+    exact = (
+        toks.groupBy("term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("exact_n"))
+        .orderBy(F.desc("exact_n"), "term")
+        .limit(_TOPK_TERMS)
+        .collect()
+    )
+    rows = [
+        (r["term"], r["exact_n"], int(sketch.estimateCount(r["term"])))
+        for r in exact
+    ]
+    return spark.createDataFrame(rows, "term string, exact_n bigint, est_n bigint")

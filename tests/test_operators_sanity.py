@@ -451,3 +451,22 @@ def test_profile_columns_counts_nulls_and_ndv(spark):
     assert prof["v"]["n_nulls"] == 2
     assert prof["v"]["n_distinct"] == 2  # nulls excluded from ndv
     assert prof["v"]["min_value"] == "a" and prof["v"]["max_value"] == "b"
+
+
+def test_count_min_sketch_bounds(spark):
+    """CMS guarantees: est >= true always; est <= true + eps*N w.h.p."""
+    from dhs_to_database_spark.operators.text_analysis import (
+        _CMS_EPS,
+        cms_term_estimates,
+    )
+
+    rows = cms_term_estimates(spark, SF_DIR).collect()
+    assert rows
+    n_stream = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select(F.explode(F.split(F.trim("text"), r"\s+")).alias("t"))
+        .count()
+    )
+    for r in rows:
+        assert r["est_n"] >= r["exact_n"], r
+        assert r["est_n"] <= r["exact_n"] + _CMS_EPS * n_stream, r
