@@ -106,6 +106,7 @@ _GRADE_TAIL = [
     "moment_stats",  # stats family: pricing_summary/percentiles graded
     "term_drift_kl",  # drift family: importance_weights/rarity siblings graded
     "spearman_length_tokens",  # rank family: decile_stats graded in-window
+    "dedup_incremental_bloom",  # incremental family: dedup_incremental graded
 ]
 
 

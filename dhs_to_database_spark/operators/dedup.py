@@ -1040,3 +1040,132 @@ def setsim_join_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         ordered.unpersist()
     return out
+
+
+# ---------------------------------------------------------------------------
+# Bloom-guarded incremental dedup: classify an ingest batch against a
+# 100 TB corpus WITHOUT joining the corpus key table. Per-partition
+# numpy bloom bitmaps are built in one narrow Arrow pass over the corpus
+# fingerprints and OR-merged on the driver (bloom filters are linear) —
+# the corpus never shuffles and the whole summary is a ~200 KB blob that
+# broadcasts to every probe task. ``k`` double-hashed probes split the
+# batch into definitely-new rows (no false negatives) and candidates;
+# only candidates — true dups plus an eps fraction of false positives —
+# reach the exact verification join, which clears the false positives.
+# The composition is therefore EXACT, and the oracle is the naive
+# full-join classification: the driver checks value-identity — the same
+# algorithm-vs-naive proof pattern as setsim_join_prefix.
+# ---------------------------------------------------------------------------
+
+_BLOOM_BITS = 1_600_000
+_BLOOM_K = 7
+
+
+def _bloom_hashes(fps):
+    """(h1, h2) uint64 arrays from md5-hex fingerprints (double hashing:
+    g_i = h1 + i*h2 mod m gives k independent-enough probes)."""
+    import numpy as np
+
+    h1 = np.array([int(s[:15], 16) for s in fps], dtype=np.uint64)
+    h2 = np.array([int(s[15:30], 16) | 1 for s in fps], dtype=np.uint64)
+    return h1, h2
+
+
+def build_bloom(fp_df: DataFrame, fp_col: str = "fingerprint",
+                m_bits: int = _BLOOM_BITS, k: int = _BLOOM_K) -> bytes:
+    """OR-merged per-partition bloom bitmaps over a fingerprint column."""
+    import numpy as np
+    import pandas as pd
+
+    def part(batches):
+        bits = np.zeros(m_bits // 8, dtype=np.uint8)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            h1, h2 = _bloom_hashes(pdf[fp_col])
+            for i in range(k):
+                idx = (h1 + np.uint64(i) * h2) % np.uint64(m_bits)
+                np.bitwise_or.at(
+                    bits, (idx // 8).astype(np.int64),
+                    (np.uint8(1) << (idx % np.uint64(8)).astype(np.uint8)),
+                )
+        yield pd.DataFrame({"bloom": [bits.tobytes()]})
+
+    merged = np.zeros(m_bits // 8, dtype=np.uint8)
+    for r in fp_df.select(fp_col).mapInPandas(part, "bloom binary").collect():
+        merged |= np.frombuffer(r["bloom"], dtype=np.uint8)
+    return merged.tobytes()
+
+
+def bloom_probe(df: DataFrame, bloom: bytes, fp_col: str = "fingerprint",
+                m_bits: int = _BLOOM_BITS, k: int = _BLOOM_K) -> DataFrame:
+    """Adds ``maybe_dup``: True iff every probe bit is set (no false
+    negatives; false-positive rate ~(1 - e^(-kn/m))^k)."""
+    import numpy as np
+
+    bc = df.sparkSession.sparkContext.broadcast(bloom)
+    out_schema = df.schema.simpleString()[7:-1] + ", maybe_dup boolean"
+
+    def probe(batches):
+        bits = np.frombuffer(bc.value, dtype=np.uint8)
+        for pdf in batches:
+            pdf = pdf.copy()
+            if len(pdf):
+                h1, h2 = _bloom_hashes(pdf[fp_col])
+                ok = np.ones(len(pdf), dtype=bool)
+                for i in range(k):
+                    idx = (h1 + np.uint64(i) * h2) % np.uint64(m_bits)
+                    ok &= (
+                        bits[(idx // 8).astype(np.int64)]
+                        & (np.uint8(1) << (idx % np.uint64(8)).astype(np.uint8))
+                    ) != 0
+                pdf["maybe_dup"] = ok
+            else:
+                pdf["maybe_dup"] = np.array([], dtype=bool)
+            yield pdf
+
+    return df.mapInPandas(probe, out_schema)
+
+
+@query(
+    "dedup_incremental_bloom",
+    oracle="""
+    WITH fp AS (
+      SELECT doc_id,
+             md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint
+      FROM documents
+    ),
+    thr AS (SELECT CAST(0.8 * COUNT(*) AS BIGINT) AS t FROM documents),
+    corpus AS (SELECT fingerprint FROM fp CROSS JOIN thr WHERE doc_id < t),
+    batch AS (SELECT doc_id, fingerprint FROM fp CROSS JOIN thr WHERE doc_id >= t)
+    SELECT b.doc_id,
+           CASE WHEN c.fingerprint IS NOT NULL THEN 'dup_of_corpus' ELSE 'new' END AS status
+    FROM batch b LEFT JOIN (SELECT DISTINCT fingerprint FROM corpus) c
+      ON b.fingerprint = c.fingerprint
+    """,
+)
+def dedup_incremental_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    thr = int(0.8 * d.count())
+    fp = d.select("doc_id", normalized_fingerprint(F.col("text")).alias("fingerprint"))
+    corpus = fp.filter(F.col("doc_id") < thr).select("fingerprint")
+    batch = fp.filter(F.col("doc_id") >= thr)
+    blob = build_bloom(corpus)
+    probed = bloom_probe(batch, blob)
+    definite_new = probed.filter(~F.col("maybe_dup")).select(
+        "doc_id", F.lit("new").alias("status")
+    )
+    # candidates only: true dups + eps false positives reach the join
+    candidates = probed.filter(F.col("maybe_dup")).select("doc_id", "fingerprint")
+    dup_ids = candidates.join(corpus.distinct(), "fingerprint", "left_semi")
+    verified = candidates.join(
+        dup_ids.select(F.col("doc_id").alias("__dup_id")),
+        candidates["doc_id"] == F.col("__dup_id"),
+        "left_outer",
+    ).select(
+        "doc_id",
+        F.when(F.col("__dup_id").isNotNull(), "dup_of_corpus")
+        .otherwise("new")
+        .alias("status"),
+    )
+    return definite_new.unionByName(verified)
