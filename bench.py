@@ -72,6 +72,10 @@ BENCH_QUERIES = [
     "pmi_collocations",
     "hybrid_search_rrf",
     "profile_orders_columns",
+    "moment_stats",
+    "term_drift_kl",
+    "spearman_length_tokens",
+    "dedup_incremental_bloom",
 ]
 
 

@@ -71,6 +71,10 @@ NOTES = {
     "pmi_collocations": "bigram + unigram aggs map-side combined; unigram/totals broadcast onto pair counts",
     "hybrid_search_rrf": "both branches top-k-bounded before the fusion full-outer join; corpus work stays in branches",
     "profile_orders_columns": "one column-pruned agg per column, unioned; exact ndv is the one wide stage per column",
+    "moment_stats": "single-pass exact decimal power sums, map-side combined; one shuffle",
+    "term_drift_kl": "one (lang, term) shuffle builds both distributions; totals broadcast; decimal-exact KL agg",
+    "spearman_length_tokens": "two range-partitioned global-rank passes + 1-row aggregate — no single-partition window",
+    "dedup_incremental_bloom": "corpus summarized into a broadcast bloom blob (narrow pass + driver OR-merge); only bloom-positive candidates reach the verify join",
 }
 
 
