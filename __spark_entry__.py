@@ -107,6 +107,7 @@ _GRADE_TAIL = [
     "term_drift_kl",  # drift family: importance_weights/rarity siblings graded
     "spearman_length_tokens",  # rank family: decile_stats graded in-window
     "dedup_incremental_bloom",  # incremental family: dedup_incremental graded
+    "window_unique_users",  # window family: tumbling/segment graded
 ]
 
 

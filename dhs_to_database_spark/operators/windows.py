@@ -501,3 +501,38 @@ def moving_average_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("tv").over(w).cast("double").alias("min7"),
         F.max("tv").over(w).cast("double").alias("max7"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Windowed distinct users: exact COUNT(DISTINCT) per tumbling hour in
+# batch (two-phase: (window, user) partial-distinct then window agg —
+# Spark plans this automatically). The STREAMING twin
+# (streaming.events.windowed_unique_users) swaps in
+# approx_count_distinct: exact distinct needs per-key state proportional
+# to cardinality and is unsupported in streaming aggregation, while the
+# HLL sketch is mergeable per micro-batch with bounded state — the
+# standard batch-exact / stream-approximate split, equivalence-bounded
+# in tests.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "window_unique_users",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS window_start,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events
+    GROUP BY 1
+    """,
+)
+def window_unique_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        )
+        .select(F.col("w.start").alias("window_start"), "n_users", "n_events")
+    )

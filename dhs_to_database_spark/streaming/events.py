@@ -194,3 +194,18 @@ def enriched_segment_counts(
         .agg(F.count(F.lit(1)).alias("n_events"))
         .select(F.col("w.start").alias("window_start"), "segment", "n_events")
     )
+
+
+def windowed_unique_users(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Streaming twin of ``operators.windows.window_unique_users``:
+    approx_count_distinct (mergeable HLL, bounded state) instead of the
+    exact distinct that streaming aggregation cannot hold."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.02).alias("n_users_est"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(F.col("w.start").alias("window_start"), "n_users_est", "n_events")
+    )

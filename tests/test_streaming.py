@@ -393,3 +393,27 @@ def test_scd2_stream_matches_batch_apply_and_ignores_replay(spark, tmp_path):
     }
     # manual replay of an already-applied batch id is a guarded no-op
     assert scd2_apply_batch(spark, s2, 1, dim_dir, ["k"], ["v"]) is False
+
+
+def test_windowed_unique_users_stream_within_hll_bounds(spark, events_stream):
+    """Streaming HLL distinct-user counts must track the exact batch
+    counts within the sketch's relative error (rsd=0.02 -> allow 5x)."""
+    from dhs_to_database_spark.operators.windows import window_unique_users
+    from dhs_to_database_spark.streaming.events import windowed_unique_users
+
+    run_to_memory(
+        windowed_unique_users(events_stream), "t_uu", output_mode="complete"
+    )
+    got = {
+        r["window_start"]: (r["n_users_est"], r["n_events"])
+        for r in spark.table("t_uu").collect()
+    }
+    want = {
+        r["window_start"]: (r["n_users"], r["n_events"])
+        for r in window_unique_users(spark, SF_DIR).collect()
+    }
+    assert set(got) == set(want)
+    for w, (est, n_ev) in got.items():
+        exact, n_ev_want = want[w]
+        assert n_ev == n_ev_want  # plain counts must be exact
+        assert abs(est - exact) <= max(2, 0.1 * exact), (w, est, exact)
