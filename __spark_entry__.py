@@ -108,6 +108,7 @@ _GRADE_TAIL = [
     "spearman_length_tokens",  # rank family: decile_stats graded in-window
     "dedup_incremental_bloom",  # incremental family: dedup_incremental graded
     "window_unique_users",  # window family: tumbling/segment graded
+    "range_frame_trailing",  # window-frame family: moving_average sibling
 ]
 
 

@@ -536,3 +536,63 @@ def window_unique_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("w.start").alias("window_start"), "n_users", "n_events")
     )
+
+
+# ---------------------------------------------------------------------------
+# RANGE frame over a gapped time axis: trailing-7-day event totals where
+# some days are MISSING from the table — the case that separates RANGE
+# (frame = value interval, gaps shrink the window) from ROWS (frame =
+# row count, silently reaches across gaps; moving_average_daily above is
+# the ROWS variant on a dense axis). The frame key is an integer epoch
+# day, so both engines share exact frame-boundary arithmetic. Window
+# over the per-day aggregate: tiny by construction.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "range_frame_trailing",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT) AS epoch_day,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2) AS DECIMAL(18,2)) AS tv
+      FROM events
+      WHERE CAST(date_part('day', ts) AS INTEGER) % 5 <> 0
+      GROUP BY 1
+    )
+    SELECT epoch_day,
+           n_events,
+           CAST(SUM(n_events) OVER w AS BIGINT) AS n_7d,
+           CAST(COUNT(*) OVER w AS BIGINT) AS days_present_7d,
+           CAST(SUM(tv) OVER w AS DOUBLE) AS total_value_7d
+    FROM daily
+    WINDOW w AS (ORDER BY epoch_day RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+    """,
+)
+def range_frame_trailing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day totals by VALUE range on a day axis with holes
+    (every 5th calendar day filtered out), so days_present_7d < 7 around
+    gaps — RANGE semantics, not ROWS."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    daily = (
+        e.filter(F.dayofmonth("ts") % 5 != 0)
+        .groupBy(
+            F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01").cast("date"))
+            .cast("bigint")
+            .alias("epoch_day")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.round(F.sum(_dec("value")), 2).cast("decimal(18,2)").alias("tv"),
+        )
+    )
+    w = Window.orderBy("epoch_day").rangeBetween(-6, 0)
+    return daily.select(
+        "epoch_day",
+        "n_events",
+        F.sum("n_events").over(w).cast("bigint").alias("n_7d"),
+        F.count(F.lit(1)).over(w).cast("bigint").alias("days_present_7d"),
+        F.sum("tv").over(w).cast("double").alias("total_value_7d"),
+    )
