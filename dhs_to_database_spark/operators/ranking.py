@@ -282,3 +282,34 @@ def spearman_length_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     hy.unpersist()
     hx.unpersist()
     return out
+
+
+@query(
+    "quantile_normalize",
+    oracle="""
+    WITH m AS (SELECT doc_id, length(text) AS raw FROM documents)
+    SELECT doc_id, CAST(raw AS BIGINT) AS raw,
+           CAST(ROUND(
+             CAST(ROW_NUMBER() OVER (ORDER BY raw, doc_id) AS DOUBLE)
+             / COUNT(*) OVER (), 6) AS DOUBLE) AS qnorm
+    FROM m
+    """,
+)
+def quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-based quantile normalization of a score column into (0, 1] —
+    the distribution-free rescaling ML pipelines apply before mixing
+    heterogeneous quality signals. Built on the distributed global rank
+    (no single-partition window); total row count comes free from the
+    rank's offset pass."""
+    d = load_table(spark, sf_dir, "documents")
+    m = d.select("doc_id", F.length("text").cast("bigint").alias("raw"))
+    ranked, total, handle = global_rank_parts(m, ["raw", "doc_id"], rank_name="r")
+    out = ranked.select(
+        "doc_id",
+        "raw",
+        F.round(F.col("r").cast("double") / F.lit(float(total)), 6)
+        .cast("double")
+        .alias("qnorm"),
+    ).localCheckpoint(eager=True)
+    handle.unpersist()
+    return out

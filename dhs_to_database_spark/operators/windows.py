@@ -596,3 +596,57 @@ def range_frame_trailing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(w).cast("bigint").alias("days_present_7d"),
         F.sum("tv").over(w).cast("double").alias("total_value_7d"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Period-over-period growth: weekly totals with lag-based deltas — the
+# BI staple. Percent change divides exact decimals and only the final
+# rounded value returns to double; weeks with no predecessor report NULL
+# growth (standard semantics). Window over the per-week aggregate.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "wow_growth",
+    oracle="""
+    WITH weekly AS (
+      SELECT CAST(CAST(date_trunc('week', ts) AS DATE) AS VARCHAR) AS week,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2) AS DECIMAL(18,2)) AS tv
+      FROM events GROUP BY 1
+    )
+    SELECT week, n_events,
+           CAST(tv AS DOUBLE) AS total_value,
+           CAST(lag(n_events) OVER w AS BIGINT) AS prev_n_events,
+           CAST(ROUND(
+             (tv - lag(tv) OVER w) / lag(tv) OVER w * 100, 4
+           ) AS DOUBLE) AS value_growth_pct
+    FROM weekly
+    WINDOW w AS (ORDER BY week)
+    """,
+)
+def wow_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    weekly = (
+        e.groupBy(
+            F.date_trunc("week", F.col("ts")).cast("date").cast("string").alias("week")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.round(F.sum(_dec("value")), 2).cast("decimal(18,2)").alias("tv"),
+        )
+    )
+    w = Window.orderBy("week")
+    return weekly.select(
+        "week",
+        "n_events",
+        F.col("tv").cast("double").alias("total_value"),
+        F.lag("n_events").over(w).cast("bigint").alias("prev_n_events"),
+        F.round(
+            (F.col("tv") - F.lag("tv").over(w)) / F.lag("tv").over(w) * 100, 4
+        )
+        .cast("double")
+        .alias("value_growth_pct"),
+    )
