@@ -111,6 +111,7 @@ _GRADE_TAIL = [
     "range_frame_trailing",  # window-frame family: moving_average sibling
     "wow_growth",  # period-over-period family: window_functions graded
     "quantile_normalize",  # rank family: decile_stats graded in-window
+    "curation_pipeline_v2",  # composite of individually-graded round-2 stages
 ]
 
 

@@ -763,3 +763,113 @@ def term_drift_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.round(F.sum("contrib").cast("double"), 4).cast("double").alias("kl_nats"))
         .select("lang", F.col("v").alias("n_terms"), "kl_nats")
     )
+
+
+# ---------------------------------------------------------------------------
+# Curation pipeline v2 — the round-2 composition proof: quality gate ->
+# exact dedup (keep-first) -> DSIR importance filter (keep docs that
+# sound MORE like the quality-gated target than the raw corpus,
+# dsir_score > 0) -> deterministic split -> per-(lang, split) doc/token
+# totals. Every stage is an individually-oracle-verified operator; this
+# query pins that they compose. Plan shape: the gate fuses into the
+# scan, dedup is one digest shuffle, the importance join brings the
+# per-doc scores (built from one corpus shuffle + broadcast ratios), and
+# the split is a narrow hash — no stage rescans history.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "curation_pipeline_v2",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, text,
+             unnest(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS term
+      FROM documents
+    ),
+    toks_nz AS (
+      SELECT doc_id, term,
+             (length(text) >= 100 AND length(text) <= 20000
+              AND len(string_split_regex(trim(text), '\\s+')) >= 20) AS is_target
+      FROM toks WHERE term <> ''
+    ),
+    counts AS (
+      SELECT term,
+             CAST(COUNT(*) AS BIGINT) AS c_raw,
+             CAST(COUNT(*) FILTER (WHERE is_target) AS BIGINT) AS c_tgt
+      FROM toks_nz GROUP BY term
+    ),
+    totals AS (
+      SELECT CAST(SUM(c_raw) AS BIGINT) AS t_raw, CAST(SUM(c_tgt) AS BIGINT) AS t_tgt,
+             CAST(COUNT(*) AS BIGINT) AS v
+      FROM counts
+    ),
+    ratios AS (
+      SELECT term,
+             CAST(ROUND(ln(((c_tgt + 1.0) * (t_raw + v)) / ((t_tgt + v) * (c_raw + 1.0))), 8)
+                  AS DECIMAL(28,10)) AS lr
+      FROM counts CROSS JOIN totals
+    ),
+    scores AS (
+      SELECT t.doc_id,
+             CAST(ROUND(CAST(SUM(lr) AS DOUBLE) / COUNT(*), 4) AS DOUBLE) AS dsir_score
+      FROM toks_nz t JOIN ratios USING (term)
+      GROUP BY t.doc_id
+    ),
+    passed AS (
+      SELECT doc_id, lang, text,
+             len(string_split_regex(trim(text), '\\s+')) AS n_tokens
+      FROM documents
+      WHERE length(text) >= 100 AND length(text) <= 20000
+        AND len(string_split_regex(trim(text), '\\s+')) >= 20
+    ),
+    deduped AS (
+      SELECT doc_id, lang, n_tokens FROM (
+        SELECT doc_id, lang, n_tokens,
+               ROW_NUMBER() OVER (
+                 PARTITION BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+                 ORDER BY doc_id
+               ) AS rn
+        FROM passed
+      ) t WHERE rn = 1
+    ),
+    kept AS (
+      SELECT d.doc_id, d.lang, d.n_tokens
+      FROM deduped d JOIN scores s USING (doc_id)
+      WHERE s.dsir_score > 0
+    )
+    SELECT lang,
+           CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT)
+                     < {int(0.8 * _BUCKETS)}
+                THEN 'train' ELSE 'test' END AS split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+    FROM kept
+    GROUP BY 1, 2
+    """,
+)
+def curation_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text_analysis import n_tokens as _n_tokens
+    from ..operators.text_analysis import normalized_fingerprint
+    from .sampling import importance_weights  # self-module import for clarity
+
+    d = load_table(spark, sf_dir, "documents")
+    passed = d.filter(_quality_gate(F.col("text"))).select(
+        "doc_id",
+        "lang",
+        _n_tokens(F.col("text")).cast("bigint").alias("n_tokens"),
+        normalized_fingerprint(F.col("text")).alias("fingerprint"),
+    )
+    first_ids = passed.groupBy("fingerprint").agg(F.min("doc_id").alias("doc_id"))
+    deduped = passed.join(first_ids.select("doc_id"), "doc_id", "left_semi")
+    scores = importance_weights(spark, sf_dir).select("doc_id", "dsir_score")
+    kept = deduped.join(scores, "doc_id").filter(F.col("dsir_score") > 0)
+    return (
+        kept.select(
+            "lang", "n_tokens", split_assignment(F.col("doc_id"), 0.8).alias("split")
+        )
+        .groupBy("lang", "split")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        )
+    )
