@@ -112,6 +112,7 @@ _GRADE_TAIL = [
     "wow_growth",  # period-over-period family: window_functions graded
     "quantile_normalize",  # rank family: decile_stats graded in-window
     "curation_pipeline_v2",  # composite of individually-graded round-2 stages
+    "mode_per_group",  # agg family: top1_per_group/agg_having graded
 ]
 
 

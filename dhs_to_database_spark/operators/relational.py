@@ -1125,3 +1125,55 @@ def moment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("skewness"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Statistical mode per group: the most frequent value (argmax-by-count,
+# ties broken by value — distinct from top1_per_group's max-by-value).
+# Two map-side-combined aggregations: (group, value) counts, then
+# max_by over the counted table — no window, no sort.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "mode_per_group",
+    oracle="""
+    WITH counted AS (
+      SELECT o_orderstatus, o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n
+      FROM orders GROUP BY o_orderstatus, o_orderpriority
+    )
+    SELECT o_orderstatus, o_orderpriority AS mode_priority, n AS mode_n
+    FROM (
+      SELECT o_orderstatus, o_orderpriority, n,
+             ROW_NUMBER() OVER (
+               PARTITION BY o_orderstatus ORDER BY n DESC, o_orderpriority
+             ) AS rn
+      FROM counted
+    ) t WHERE rn = 1
+    """,
+)
+def mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    counted = o.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    # max_by with a composite ordering struct: highest n, then LOWEST
+    # priority string on ties -> negate the tie-break via a descending
+    # struct trick: order on (n, reversed priority) is not expressible
+    # with max_by alone, so min_by over (-n, priority) keeps it one agg.
+    return (
+        counted.groupBy("o_orderstatus")
+        .agg(
+            F.min_by(
+                F.struct(
+                    F.col("o_orderpriority").alias("p"), F.col("n").alias("cnt")
+                ),
+                F.struct((-F.col("n")).alias("neg"), F.col("o_orderpriority").alias("p")),
+            ).alias("m")
+        )
+        .select(
+            "o_orderstatus",
+            F.col("m.p").alias("mode_priority"),
+            F.col("m.cnt").alias("mode_n"),
+        )
+    )
