@@ -113,6 +113,7 @@ _GRADE_TAIL = [
     "quantile_normalize",  # rank family: decile_stats graded in-window
     "curation_pipeline_v2",  # composite of individually-graded round-2 stages
     "mode_per_group",  # agg family: top1_per_group/agg_having graded
+    "funnel_stages",  # event-analytics family: session_windows/window_functions graded (r2-green, displaced by survey_update_check)
 ]
 
 

@@ -24,8 +24,10 @@ Scale design (the part that matters at 100 TB):
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+import math
 import tempfile
 
 from ..sources.tables import load_table
@@ -609,10 +611,10 @@ def incremental_dedup(
     oracle="""
     WITH batch AS (
       SELECT doc_id, lang, source FROM documents
-      WHERE doc_id >= (SELECT CAST(0.8 * COUNT(*) AS BIGINT) FROM documents)
+      WHERE doc_id >= (SELECT CAST(FLOOR(0.8 * COUNT(*)) AS BIGINT) FROM documents)
     ), corpus AS (
       SELECT DISTINCT lang, source FROM documents
-      WHERE doc_id < (SELECT CAST(0.8 * COUNT(*) AS BIGINT) FROM documents)
+      WHERE doc_id < (SELECT CAST(FLOOR(0.8 * COUNT(*)) AS BIGINT) FROM documents)
     ), firsts AS (
       SELECT lang, source, MIN(doc_id) AS fid FROM batch GROUP BY lang, source
     )
@@ -630,7 +632,10 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     80%'s (lang, source) load keys — the reference's duplicate-load check
     in incremental form."""
     d = load_table(spark, sf_dir, "documents")
-    thr = int(0.8 * d.count())
+    # Convention: the corpus/batch split threshold is FLOOR(0.8 * n) on
+    # BOTH sides — DuckDB's CAST(x AS BIGINT) rounds-to-nearest, so the
+    # oracle wraps the product in FLOOR() to match Python's math.floor.
+    thr = math.floor(0.8 * d.count())
     return incremental_dedup(
         d.filter(F.col("doc_id") >= thr).select("doc_id", "lang", "source"),
         d.filter(F.col("doc_id") < thr),
@@ -790,10 +795,15 @@ def minhash_lsh_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("band_val")
             )
         )
+        # NO hot-bucket cap: this is the ORACLE-VERIFIED twin — its DuckDB
+        # oracle joins bands with no cap, so a silently dropped hot bucket
+        # would break the declared value-identity (the lossy capped path is
+        # minhash_near_dup). Same convention as setsim_join_prefix.
         pairs = bucket_pairs(
             bands.select(
                 "doc_id", "band_idx", F.col("band_val").alias("band_val")
-            )
+            ),
+            max_bucket_size=2**31,
         )
         sa = sig.select(F.col("doc_id").alias("doc_a"), "i", F.col("m").alias("m_a"))
         sb = sig.select(F.col("doc_id").alias("doc_b"), "i", F.col("m").alias("m_b"))
@@ -912,7 +922,13 @@ def simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).cast("bigint").alias("band_val")
             )
         )
-        pairs = bucket_pairs(bands.select("doc_id", "band_idx", "band_val"))
+        # NO hot-bucket cap: oracle-verified twin (6-bit band values DO
+        # overflow the default 1000-row cap at sf0.1 — measured max 1602 —
+        # and the DuckDB oracle has no cap, so capping silently diverges).
+        pairs = bucket_pairs(
+            bands.select("doc_id", "band_idx", "band_val"),
+            max_bucket_size=2**31,
+        )
         sa = signs.select(F.col("doc_id").alias("doc_a"), "bit", F.col("s").alias("s_a"))
         sb = signs.select(F.col("doc_id").alias("doc_b"), "bit", F.col("s").alias("s_b"))
         out = (
@@ -987,9 +1003,18 @@ def setsim_join_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.explode(word_shingles("ws", 3)).alias("w"))
         .distinct()
     )
-    freq = toks.groupBy("w").agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+    # Attach the per-shingle corpus frequency with a window partitioned on
+    # the shingle itself: ONE shuffle of toks on `w`, no join, and crucially
+    # no broadcast — the distinct-shingle "vocabulary" is corpus-scale at
+    # 100 TB (billions of rows), so materializing it on the driver (the r2
+    # design, F.broadcast(freq)) would OOM long before the prefix filter
+    # runs. The prefix logic only needs a globally consistent total order;
+    # (freq, w) from the window is exactly that.
     ordered = (
-        toks.join(F.broadcast(freq), "w")
+        toks.withColumn(
+            "freq",
+            F.count(F.lit(1)).over(W.partitionBy("w")).cast("bigint"),
+        )
         .groupBy("doc_id")
         .agg(
             F.expr("transform(array_sort(collect_list(struct(freq, w))), x -> x.w)").alias(
@@ -1135,7 +1160,7 @@ def bloom_probe(df: DataFrame, bloom: bytes, fp_col: str = "fingerprint",
              md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint
       FROM documents
     ),
-    thr AS (SELECT CAST(0.8 * COUNT(*) AS BIGINT) AS t FROM documents),
+    thr AS (SELECT CAST(FLOOR(0.8 * COUNT(*)) AS BIGINT) AS t FROM documents),
     corpus AS (SELECT fingerprint FROM fp CROSS JOIN thr WHERE doc_id < t),
     batch AS (SELECT doc_id, fingerprint FROM fp CROSS JOIN thr WHERE doc_id >= t)
     SELECT b.doc_id,
@@ -1146,7 +1171,10 @@ def bloom_probe(df: DataFrame, bloom: bytes, fp_col: str = "fingerprint",
 )
 def dedup_incremental_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    thr = int(0.8 * d.count())
+    # Convention: the corpus/batch split threshold is FLOOR(0.8 * n) on
+    # BOTH sides — DuckDB's CAST(x AS BIGINT) rounds-to-nearest, so the
+    # oracle wraps the product in FLOOR() to match Python's math.floor.
+    thr = math.floor(0.8 * d.count())
     fp = d.select("doc_id", normalized_fingerprint(F.col("text")).alias("fingerprint"))
     corpus = fp.filter(F.col("doc_id") < thr).select("fingerprint")
     batch = fp.filter(F.col("doc_id") >= thr)

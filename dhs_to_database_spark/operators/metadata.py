@@ -589,3 +589,80 @@ def content_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return checksum_diff(
         content_checksum(o, _RECON_COLS), content_checksum(corrupted, _RECON_COLS)
     ).select("bucket", "n_left", "xor_left", "n_right", "xor_right")
+
+
+# ---------------------------------------------------------------------------
+# Stage-1 survey-catalog update check (pipeline.check_for_updates) as a
+# driver-graded query. Reference: 01_Check_For_Survey_Updates.ipynb —
+# three-table UNION DISTINCT presence probe (raw :1243-1250), catalog
+# anti-join "surveys we don't have" (raw :1340), known-issue exclusion
+# (cells 21-23). Transposed onto TPC-H: the "catalog" is ``customer``,
+# the three presence tables are the three order-status slices of
+# RECENT ``orders`` (a customer is "current" if any slice holds an
+# order placed on/after 2000-01-01 — the notebook's presence probe with
+# a recency twist so the missing set is non-empty on this corpus), and
+# the "known issues" list is the negative-balance customers. Output =
+# the refresh list, enriched with the nation dimension (broadcast).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "survey_update_check",
+    oracle="""
+    WITH ours AS (
+      SELECT DISTINCT o_custkey AS surveyid FROM orders
+      WHERE o_orderstatus = 'O' AND o_orderdate >= DATE '2000-01-01'
+      UNION
+      SELECT DISTINCT o_custkey FROM orders
+      WHERE o_orderstatus = 'F' AND o_orderdate >= DATE '2000-01-01'
+      UNION
+      SELECT DISTINCT o_custkey FROM orders
+      WHERE o_orderstatus = 'P' AND o_orderdate >= DATE '2000-01-01'
+    ),
+    missing AS (
+      SELECT c.* FROM customer c
+      WHERE NOT EXISTS (SELECT 1 FROM ours WHERE ours.surveyid = c.c_custkey)
+    ),
+    known_issues AS (SELECT c_custkey AS surveynum FROM customer WHERE c_acctbal < 0),
+    to_fetch AS (
+      SELECT m.* FROM missing m
+      WHERE NOT EXISTS (SELECT 1 FROM known_issues k WHERE k.surveynum = m.c_custkey)
+    )
+    SELECT t.c_custkey AS custkey,
+           t.c_mktsegment AS mktsegment,
+           n.n_name AS nation
+    FROM to_fetch t JOIN nation n ON t.c_nationkey = n.n_nationkey
+    """,
+)
+def survey_update_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Refresh list from the stage-1 composite: catalog customers with no
+    RECENT order in ANY status slice, minus the known-issue
+    (negative-balance) list, enriched with nation. Exercises the
+    union-distinct presence probe + double anti-join shape end-to-end."""
+    from ..pipeline import check_for_updates
+
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    n = load_table(spark, sf_dir, "nation")
+    res = check_for_updates(
+        catalog=c,
+        presence_tables=[
+            o.filter(
+                (F.col("o_orderstatus") == s)
+                & (F.col("o_orderdate") >= F.lit("2000-01-01").cast("date"))
+            ).select(F.col("o_custkey").alias("surveyid"))
+            for s in ("O", "F", "P")
+        ],
+        catalog_key="c_custkey",
+        known_issues=c.filter(F.col("c_acctbal") < 0).select(
+            F.col("c_custkey").alias("surveynum")
+        ),
+        issue_key="surveynum",
+    )
+    return res.survey_data_to_look_for.join(
+        F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey")
+    ).select(
+        F.col("c_custkey").alias("custkey"),
+        F.col("c_mktsegment").alias("mktsegment"),
+        F.col("n_name").alias("nation"),
+    )

@@ -2,14 +2,16 @@
 
 Pattern: image/audio/video payloads are opaque ``binary`` columns with a
 typed metadata struct alongside; all compute over them runs as Arrow-batched
-``mapInPandas`` (bytes never round-trip through Python row objects). The
-actual media decode (PIL/ffmpeg/torchaudio) is NOT available in this
-container, so the decode kernels are stubbed: ``decode_media`` raises
-``NotImplementedError`` unless handed a registered codec, and tests use the
-deterministic ``fake_codec``. The Spark-side plumbing — schema, batch shape,
-partitioning, UDF signatures — is real and oracle-checked via
-``multimodal_features`` (byte-length + digest features computed in Python
-inside the UDF, reproduced by DuckDB's octet_length/md5).
+``mapInPandas`` (bytes never round-trip through Python row objects).
+``real_image_codec`` is a REAL stdlib-only decoder for PNG and GIF headers
+(struct + zlib CRC validation — true width/height/channels, tested against
+a real PNG fixture through mapInPandas); only formats that genuinely need
+an external library (JPEG entropy decode; ffmpeg/torchaudio media) raise
+``NotImplementedError``. ``fake_codec`` remains for library-free plumbing
+tests. The Spark-side plumbing — schema, batch shape, partitioning, UDF
+signatures — is oracle-checked via ``multimodal_features`` (byte-length +
+digest features computed in Python inside the UDF, reproduced by DuckDB's
+octet_length/md5).
 
 At 100 TB: binary payloads dominate row size, so the rules are (1) keep
 metadata in separate columns so pruning can skip payload bytes entirely
@@ -74,16 +76,47 @@ def fake_codec(payload: bytes) -> dict:
     }
 
 
-def real_image_codec(payload: bytes) -> dict:  # pragma: no cover - env-gated
-    """Real decode path; requires an image library not present here."""
-    try:
-        import PIL.Image  # noqa: F401
-    except ImportError as e:
-        raise NotImplementedError(
-            "image decoding requires PIL/pillow, which is not installed in "
-            "this environment; use fake_codec for plumbing tests"
-        ) from e
-    raise NotImplementedError("real decode intentionally stubbed in this build")
+def real_image_codec(payload: bytes) -> dict:
+    """REAL image metadata decode, stdlib-only (struct + zlib): parses PNG
+    and GIF containers to their true width/height/channel count, validating
+    the PNG IHDR CRC so corrupt headers fail loudly instead of yielding
+    garbage dimensions. Formats whose decode genuinely needs an external
+    library (JPEG entropy decode etc.) raise ``NotImplementedError`` — the
+    env-gated stub now covers ONLY what stdlib cannot express.
+    """
+    import struct
+    import zlib
+
+    digest = hashlib.md5(payload).hexdigest()
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        # PNG: 8-byte signature, then chunks; first MUST be IHDR
+        # (len(4) type(4) data(len) crc(4)); IHDR data = width(4) height(4)
+        # bitdepth(1) colortype(1) ...
+        (length, ctype) = struct.unpack(">I4s", payload[8:16])
+        if ctype != b"IHDR" or length != 13:
+            raise ValueError("malformed PNG: first chunk is not a 13-byte IHDR")
+        data = payload[16 : 16 + 13]
+        (crc,) = struct.unpack(">I", payload[16 + 13 : 16 + 17])
+        if zlib.crc32(b"IHDR" + data) & 0xFFFFFFFF != crc:
+            raise ValueError("malformed PNG: IHDR CRC mismatch")
+        width, height, _bitdepth, colortype = struct.unpack(">IIBB", data[:10])
+        channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(colortype)
+        if channels is None:
+            raise ValueError(f"malformed PNG: unknown color type {colortype}")
+        return {
+            "width": width,
+            "height": height,
+            "n_channels": channels,
+            "digest": digest,
+        }
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        # GIF: 6-byte version, then logical screen width/height (LE u16)
+        width, height = struct.unpack("<HH", payload[6:10])
+        return {"width": width, "height": height, "n_channels": 3, "digest": digest}
+    raise NotImplementedError(
+        "stdlib codec handles PNG/GIF; other formats (e.g. JPEG) require an "
+        "image library not installed in this environment"
+    )
 
 
 def decode_media(media: DataFrame, codec: Codec | None = None) -> DataFrame:

@@ -586,12 +586,15 @@ _RRF_DENSE_QUERY = 0  # fuse dense results for this query vector
         ),
         dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
         qtf AS (SELECT * FROM tf WHERE term IN ('spark', 'shuffle', 'partition'))
+        -- ROUND(...,4) BEFORE ranking: the Spark branch ranks bm25_search's
+        -- rounded score, and module policy is to order by rounded values so
+        -- last-ulp ln() drift can't flip ranks between engines.
         SELECT qtf.doc_id,
-               SUM(
+               CAST(ROUND(SUM(
                  ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
                  * (tf * (1.2 + 1.0))
                  / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
-               ) AS bm25
+               ), 4) AS DOUBLE) AS bm25
         FROM qtf JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
         GROUP BY qtf.doc_id
         ORDER BY bm25 DESC, qtf.doc_id LIMIT {_RRF_TOPK}
@@ -624,34 +627,40 @@ _RRF_DENSE_QUERY = 0  # fuse dense results for this query vector
 def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RRF fusion of BM25 (text_analysis.bm25_search, fixed term query)
     and dense cosine top-k for query vector _RRF_DENSE_QUERY."""
-    from pyspark.sql.window import Window
-
     from .text_analysis import bm25_search
 
-    lex = bm25_search(spark, sf_dir).select(
-        "doc_id",
-        F.row_number()
-        .over(Window.orderBy(F.desc("bm25"), F.asc("doc_id")))
-        .cast("int")
-        .alias("lex_rank"),
-    )
+    # Ranks here are over <= _RRF_TOPK rows (post-limit slices), so instead
+    # of a global WindowExec (single-partition funnel, warning) each branch
+    # ranks via one aggregate: collect the tiny slice into an array,
+    # array_sort on (negated score, id), posexplode index -> rank. Exact,
+    # deterministic, and the aggregation buffer is bounded by TOPK rows.
+    def _rank_tiny(df, score, rank_name):
+        return (
+            df.agg(
+                F.array_sort(
+                    F.collect_list(F.struct((-F.col(score)).alias("nk"), F.col("doc_id")))
+                ).alias("a")
+            )
+            .select(F.posexplode("a").alias("pos", "x"))
+            .select(
+                F.col("x.doc_id").alias("doc_id"),
+                (F.col("pos") + 1).cast("int").alias(rank_name),
+            )
+        )
+
+    lex = _rank_tiny(bm25_search(spark, sf_dir), "bm25", "lex_rank")
     emb = load_table(spark, sf_dir, "embeddings")
     qe = emb.filter(F.col("vec_id") == _RRF_DENSE_QUERY).select(
         F.col("embedding").alias("qe")
     )
-    dense = (
+    dense = _rank_tiny(
         emb.filter(F.col("vec_id") != _RRF_DENSE_QUERY)
         .crossJoin(F.broadcast(qe))
         .select(F.col("vec_id").alias("doc_id"), cosine("qe", "embedding").alias("cos"))
         .orderBy(F.desc("cos"), F.asc("doc_id"))
-        .limit(_RRF_TOPK)
-        .select(
-            "doc_id",
-            F.row_number()
-            .over(Window.orderBy(F.desc("cos"), F.asc("doc_id")))
-            .cast("int")
-            .alias("dense_rank"),
-        )
+        .limit(_RRF_TOPK),
+        "cos",
+        "dense_rank",
     )
     fused = lex.join(dense, "doc_id", "full_outer").select(
         "doc_id",

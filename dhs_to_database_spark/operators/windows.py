@@ -21,6 +21,57 @@ from .registry import query
 from .relational import _dec, _money
 
 
+# ---------------------------------------------------------------------------
+# Boundary-carry partitioning for trailing window frames on a calendar
+# axis. A bare ``Window.orderBy(...)`` funnels every row through ONE
+# partition (Spark's "No Partition Defined" warning). These axes are
+# post-aggregation (one row per day/week — thousands of rows even at
+# 100 TB), so the funnel is bounded, but the bound is implicit and the
+# single task serializes the window. Instead: split the ordered axis
+# into calendar partitions (year / fixed-size day block) and REPLICATE
+# each partition's last ``lookback`` rows (or days, for RANGE frames)
+# into the next partition, flagged ``__carry``. Trailing frames
+# (N PRECEDING .. CURRENT ROW) of real rows then see exactly the same
+# preceding rows as the global window would; carry rows exist only to
+# feed frames and their own outputs are dropped. Result is
+# value-identical to the global window, but executes as parallel
+# per-partition tasks with an explicit, documented carry bound.
+# ---------------------------------------------------------------------------
+
+
+def with_rows_carry(df: DataFrame, order_col: str, part_col, n_carry: int) -> DataFrame:
+    """Add ``__part`` (int partition key, monotone with ``order_col``) and
+    ``__carry``; the last ``n_carry`` ROWS of each partition are duplicated
+    into the following partition. For ROWS frames / lag up to ``n_carry``."""
+    from pyspark.sql import Window
+
+    d = df.withColumn("__part", part_col.cast("int"))
+    tail = Window.partitionBy("__part").orderBy(F.desc(order_col))
+    carry = (
+        d.withColumn("__rn", F.row_number().over(tail))
+        .filter(F.col("__rn") <= n_carry)
+        .drop("__rn")
+        .withColumn("__part", F.col("__part") + 1)
+        .withColumn("__carry", F.lit(True))
+    )
+    return d.withColumn("__carry", F.lit(False)).unionByName(carry)
+
+
+def with_range_carry(
+    df: DataFrame, day_col: str, block_days: int, lookback: int
+) -> DataFrame:
+    """Same, for RANGE frames on an integer day axis: partition =
+    ``day div block_days``; rows within ``lookback`` days of the next
+    block's start are duplicated into it."""
+    d = df.withColumn("__part", (F.col(day_col) / block_days).cast("int"))
+    carry = (
+        d.filter(F.col(day_col) >= (F.col("__part") + 1) * block_days - lookback)
+        .withColumn("__part", F.col("__part") + 1)
+        .withColumn("__carry", F.lit(True))
+    )
+    return d.withColumn("__carry", F.lit(False)).unionByName(carry)
+
+
 @query(
     "tumbling_window",
     oracle="""
@@ -457,11 +508,12 @@ def rollup_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Moving aggregates over an ordered frame (ROWS BETWEEN): 7-day trailing
 # average/min/max of daily event value. The window runs over the ALREADY
-# AGGREGATED per-day table — one row per day — so the global ordering
-# window is a single tiny partition BY CONSTRUCTION (days, not events);
-# the corpus-sized work is the one map-side-combined daily shuffle. The
-# frame average divides an exact DECIMAL sum by the frame row count, so
-# both engines round identically.
+# AGGREGATED per-day table (one row per day; the corpus-sized work is the
+# one map-side-combined daily shuffle) and is partitioned by calendar
+# year with a 6-row boundary carry (see with_rows_carry) — parallel
+# per-year tasks, value-identical to a global window. The frame average
+# divides an exact DECIMAL sum by the frame row count, so both engines
+# round identically.
 # ---------------------------------------------------------------------------
 
 
@@ -491,15 +543,25 @@ def moving_average_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.groupBy(F.date_trunc("day", F.col("ts")).cast("date").cast("string").alias("day"))
         .agg(F.round(F.sum(_dec("value")), 2).cast("decimal(18,2)").alias("tv"))
     )
-    w = Window.orderBy("day").rowsBetween(-6, 0)
-    return daily.select(
-        "day",
-        F.col("tv").cast("double").alias("total_value"),
-        F.round(F.sum("tv").over(w).cast("decimal(28,6)") / F.count(F.lit(1)).over(w), 4)
-        .cast("double")
-        .alias("ma7"),
-        F.min("tv").over(w).cast("double").alias("min7"),
-        F.max("tv").over(w).cast("double").alias("max7"),
+    # Year partitions + 6-row carry across the Jan-1 boundary: identical
+    # frames to the global window, no single-partition WindowExec.
+    carried = with_rows_carry(daily, "day", F.substring("day", 1, 4), 6)
+    w = Window.partitionBy("__part").orderBy("day").rowsBetween(-6, 0)
+    return (
+        carried.select(
+            "day",
+            "__carry",
+            F.col("tv").cast("double").alias("total_value"),
+            F.round(
+                F.sum("tv").over(w).cast("decimal(28,6)") / F.count(F.lit(1)).over(w), 4
+            )
+            .cast("double")
+            .alias("ma7"),
+            F.min("tv").over(w).cast("double").alias("min7"),
+            F.max("tv").over(w).cast("double").alias("max7"),
+        )
+        .filter(~F.col("__carry"))
+        .drop("__carry")
     )
 
 
@@ -545,7 +607,8 @@ def window_unique_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 # row count, silently reaches across gaps; moving_average_daily above is
 # the ROWS variant on a dense axis). The frame key is an integer epoch
 # day, so both engines share exact frame-boundary arithmetic. Window
-# over the per-day aggregate: tiny by construction.
+# over the per-day aggregate, partitioned into 365-day blocks
+# with a 6-day boundary carry (with_range_carry).
 # ---------------------------------------------------------------------------
 
 
@@ -588,13 +651,21 @@ def range_frame_trailing(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(_dec("value")), 2).cast("decimal(18,2)").alias("tv"),
         )
     )
-    w = Window.orderBy("epoch_day").rangeBetween(-6, 0)
-    return daily.select(
-        "epoch_day",
-        "n_events",
-        F.sum("n_events").over(w).cast("bigint").alias("n_7d"),
-        F.count(F.lit(1)).over(w).cast("bigint").alias("days_present_7d"),
-        F.sum("tv").over(w).cast("double").alias("total_value_7d"),
+    # 365-day blocks + 6-day carry: RANGE frames only look 6 days back,
+    # so replicating the 6 boundary days makes per-block windows exact.
+    carried = with_range_carry(daily, "epoch_day", 365, 6)
+    w = Window.partitionBy("__part").orderBy("epoch_day").rangeBetween(-6, 0)
+    return (
+        carried.select(
+            "epoch_day",
+            "n_events",
+            "__carry",
+            F.sum("n_events").over(w).cast("bigint").alias("n_7d"),
+            F.count(F.lit(1)).over(w).cast("bigint").alias("days_present_7d"),
+            F.sum("tv").over(w).cast("double").alias("total_value_7d"),
+        )
+        .filter(~F.col("__carry"))
+        .drop("__carry")
     )
 
 
@@ -602,7 +673,8 @@ def range_frame_trailing(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Period-over-period growth: weekly totals with lag-based deltas — the
 # BI staple. Percent change divides exact decimals and only the final
 # rounded value returns to double; weeks with no predecessor report NULL
-# growth (standard semantics). Window over the per-week aggregate.
+# growth (standard semantics). Window over the per-week
+# aggregate, partitioned by year with a 1-row carry (with_rows_carry).
 # ---------------------------------------------------------------------------
 
 
@@ -638,15 +710,23 @@ def wow_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(_dec("value")), 2).cast("decimal(18,2)").alias("tv"),
         )
     )
-    w = Window.orderBy("week")
-    return weekly.select(
-        "week",
-        "n_events",
-        F.col("tv").cast("double").alias("total_value"),
-        F.lag("n_events").over(w).cast("bigint").alias("prev_n_events"),
-        F.round(
-            (F.col("tv") - F.lag("tv").over(w)) / F.lag("tv").over(w) * 100, 4
+    # lag(1) needs one carry row per year boundary (the week string keeps
+    # its start-date's year, so string order == partition-then-order).
+    carried = with_rows_carry(weekly, "week", F.substring("week", 1, 4), 1)
+    w = Window.partitionBy("__part").orderBy("week")
+    return (
+        carried.select(
+            "week",
+            "n_events",
+            "__carry",
+            F.col("tv").cast("double").alias("total_value"),
+            F.lag("n_events").over(w).cast("bigint").alias("prev_n_events"),
+            F.round(
+                (F.col("tv") - F.lag("tv").over(w)) / F.lag("tv").over(w) * 100, 4
+            )
+            .cast("double")
+            .alias("value_growth_pct"),
         )
-        .cast("double")
-        .alias("value_growth_pct"),
+        .filter(~F.col("__carry"))
+        .drop("__carry")
     )

@@ -146,3 +146,115 @@ def run_pipeline(
             acc = acc.unionByName(f2)
         result.unknown_tag_counts = acc
     return result
+
+
+# ---------------------------------------------------------------------------
+# Stage 1 — survey-catalog update check (the step a real user starts with).
+#
+# Reference: 01_Check_For_Survey_Updates.ipynb —
+#   - recent-updates x catalog inner join (cell 13, raw :1225),
+#   - "our surveys" presence probe as a UNION of DISTINCT surveyid over
+#     three record tables (cell 15, raw :1243-1250),
+#   - "surveys we don't have" anti-join (cell 18, raw :1340),
+#   - known-issue exclusion (cells 21-23),
+#   - GPS branch: characteristic-contains filter + anti-joins (cells 25-34).
+#
+# Spark shape: presence tables are corpus-scale, so each probe is a
+# DISTINCT projection of ONE column (map-side combined) and the catalog
+# side of every join is a small dimension — Catalyst broadcasts it; the
+# big tables are never shuffled wider than their distinct survey ids.
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class UpdateCheckResult:
+    """Stage-1 outputs, one DataFrame per notebook artifact."""
+
+    our_surveys: DataFrame
+    potential_recent_updates: DataFrame | None
+    surveys_we_dont_have: DataFrame
+    survey_data_to_look_for: DataFrame
+    gps_data_to_look_for: DataFrame | None = None
+
+
+def check_for_updates(
+    catalog: DataFrame,
+    presence_tables: list[DataFrame],
+    *,
+    catalog_key: str = "SurveyNum",
+    presence_key: str = "surveyid",
+    recent_updates: DataFrame | None = None,
+    update_join_key: str = "SurveyId",
+    known_issues: DataFrame | None = None,
+    issue_key: str = "surveynum",
+    gps_presence: DataFrame | None = None,
+    gps_characteristic_col: str | None = None,
+    gps_characteristic: str = "26",
+    known_gps_issues: DataFrame | None = None,
+) -> UpdateCheckResult:
+    """Diff the survey-catalog listing against locally loaded data and emit
+    the fetch/refresh lists (reference stage 1; see module block comment).
+
+    ``presence_tables`` are the record tables whose rows prove a survey is
+    loaded (reference: RECH1 / REC01 / MREC01). A survey is "ours" if any
+    of them contains its id. ``known_issues`` rows (already filtered to
+    real issues by the caller, as notebook cell 21 does) are excluded from
+    the fetch list. The GPS branch activates when ``gps_presence`` and
+    ``gps_characteristic_col`` are given: catalog rows whose characteristic
+    list contains ``gps_characteristic`` but have no local GPS rows.
+    """
+    from pyspark.sql import functions as F
+
+    probes = [
+        t.select(F.col(presence_key).alias("surveyid")).distinct()
+        for t in presence_tables
+    ]
+    ours = probes[0]
+    for p in probes[1:]:
+        ours = ours.unionByName(p)
+    our_surveys = ours.distinct()
+
+    potential = None
+    if recent_updates is not None:
+        potential = recent_updates.join(catalog, update_join_key, "inner")
+
+    missing = catalog.join(
+        our_surveys,
+        catalog[catalog_key] == our_surveys["surveyid"],
+        "left_anti",
+    )
+    to_fetch = missing
+    if known_issues is not None:
+        issues = known_issues.select(F.col(issue_key).alias("__issue_key"))
+        to_fetch = missing.join(
+            issues, missing[catalog_key] == issues["__issue_key"], "left_anti"
+        )
+
+    gps = None
+    if gps_presence is not None and gps_characteristic_col is not None:
+        available = catalog.filter(
+            F.col(gps_characteristic_col).contains(gps_characteristic)
+        )
+        # joins are reference-QUALIFIED: catalog listings carry a
+        # 'SurveyId' column, which Spark's case-insensitive resolver
+        # would otherwise conflate with the probe's 'surveyid'
+        gprobe = gps_presence.select(
+            F.col(presence_key).alias("surveyid")
+        ).distinct()
+        gps = available.join(
+            gprobe, available[catalog_key] == gprobe["surveyid"], "left_anti"
+        )
+        if known_gps_issues is not None:
+            gissues = known_gps_issues.select(
+                F.col(issue_key).alias("__issue_key")
+            )
+            gps = gps.join(
+                gissues, gps[catalog_key] == gissues["__issue_key"], "left_anti"
+            )
+    return UpdateCheckResult(
+        our_surveys=our_surveys,
+        potential_recent_updates=potential,
+        surveys_we_dont_have=missing,
+        survey_data_to_look_for=to_fetch,
+        gps_data_to_look_for=gps,
+    )

@@ -1,0 +1,84 @@
+"""Synthesizes an sf1-scale documents/embeddings corpus (10x sf0.1) for the
+slow-tail scaling probe (tools/scale_probe.py --sf1).
+
+The driver ships testdata only up to sf0.1; proving the text/retrieval
+operators hold linear throughput over 1000x (sf0.001 -> sf1) needs a bigger
+corpus, so this derives one from sf0.1 deterministically:
+
+- ``documents``: 10 replicas, doc_id shifted by k * 10_000_000. Replica
+  text is PERTURBED (every 4th word, phase k, replaced by a replica-unique
+  token) so replicas are NOT near-duplicates of each other — otherwise
+  every doc would form a 10-clone cluster and pair-output itself would grow
+  quadratically, which is a property of the synthetic corpus, not of the
+  operators under test. Within-replica near-dup structure survives (both
+  members of a planted pair get the same transformation).
+- ``embeddings``: 10 replicas, vec_id shifted, one coordinate nudged by a
+  replica-dependent epsilon so no exact-duplicate vectors exist.
+
+Output: /root/repo/.scale_sf1/{documents,embeddings}.parquet (gitignored).
+Idempotent: skips work if outputs exist. Stdlib + duckdb only.
+"""
+
+from __future__ import annotations
+
+import os
+
+import duckdb
+
+SRC = "/root/testdata/sf0.1"
+OUT = "/root/repo/.scale_sf1"
+REPLICAS = 10
+SHIFT = 10_000_000
+
+
+def main() -> None:
+    os.makedirs(OUT, exist_ok=True)
+    con = duckdb.connect()
+    docs_out = os.path.join(OUT, "documents.parquet")
+    if not os.path.exists(docs_out):
+        con.execute(
+            f"""
+            COPY (
+              SELECT doc_id + k * {SHIFT} AS doc_id,
+                     array_to_string(
+                       list_transform(
+                         string_split(text, ' '),
+                         (w, i) -> CASE WHEN (i + k) % 4 = 0
+                                        THEN 'rep' || CAST(k AS VARCHAR)
+                                        ELSE w END
+                       ), ' ') AS text,
+                     lang,
+                     source,
+                     n_chars
+              FROM read_parquet('{SRC}/documents.parquet')
+              CROSS JOIN (SELECT unnest(range({REPLICAS})) AS k)
+            ) TO '{docs_out}' (FORMAT PARQUET)
+            """
+        )
+    emb_out = os.path.join(OUT, "embeddings.parquet")
+    if not os.path.exists(emb_out):
+        con.execute(
+            f"""
+            COPY (
+              SELECT vec_id + k * {SHIFT} AS vec_id,
+                     list_transform(
+                       embedding,
+                       (x, i) -> CASE WHEN i = 1
+                                      THEN CAST(x + 0.001 * k AS FLOAT)
+                                      ELSE x END
+                     ) AS embedding,
+                     label
+              FROM read_parquet('{SRC}/embeddings.parquet')
+              CROSS JOIN (SELECT unnest(range({REPLICAS})) AS k)
+            ) TO '{emb_out}' (FORMAT PARQUET)
+            """
+        )
+    for t in ("documents", "embeddings"):
+        n = con.execute(
+            f"SELECT COUNT(*) FROM read_parquet('{OUT}/{t}.parquet')"
+        ).fetchone()[0]
+        print(f"{t}: {n} rows")
+
+
+if __name__ == "__main__":
+    main()

@@ -6,7 +6,9 @@ TREND: a scan-shaped operator whose throughput holds (or grows, as fixed
 overhead amortizes) across 100x of data is shuffle/partition-clean; one
 whose per-row cost grows is hiding quadratic work.
 
-Usage: python tools/scale_probe.py
+Usage: python tools/scale_probe.py          # full table, sf0.001-0.1
+       python tools/scale_probe.py --sf1    # slow-tail subset incl. sf1
+                                            # (runs tools/gen_sf1.py first)
 """
 
 from __future__ import annotations
@@ -80,6 +82,58 @@ PROBES = {
 }
 
 
+# The bench tail — the 5 most expensive r2 queries (VERDICT r2 item 5).
+# Probed to sf1 (10x sf0.1, synthesized by tools/gen_sf1.py — documents +
+# embeddings only, which is all these five touch) to prove linear
+# throughput holds over 1000x of data.
+SF1_DIR = "/root/repo/.scale_sf1"
+SLOW_TAIL = {
+    "setsim_join_prefix": "documents",
+    "importance_weights": "documents",
+    "bm25_search": "documents",
+    "hybrid_search_rrf": "documents",
+    "benchmark_decontaminate": "documents",
+}
+
+
+def probe_sf1() -> None:
+    import subprocess
+
+    import __spark_entry__ as em
+    from dhs_to_database_spark.session import get_spark
+    from dhs_to_database_spark.sources.tables import load_table
+
+    subprocess.run([sys.executable, "/root/repo/tools/gen_sf1.py"], check=True)
+    spark = get_spark("scale-probe-sf1")
+    qs = em.queries()
+    sfs = SFS + [SF1_DIR]
+    counts = {
+        sf: load_table(spark, sf, "documents").count() for sf in sfs
+    }
+    lines = [
+        "\n## Slow-tail probe to sf1 (1000x; sf1 = 10x sf0.1 synthesized by"
+        " `tools/gen_sf1.py`)\n",
+        "| query | "
+        + " | ".join(f"{sf.rsplit('/', 1)[-1].replace('.scale_', '')} (s / krows/s)" for sf in sfs)
+        + " |",
+        "|---|" + "---|" * len(sfs),
+    ]
+    for name, table in SLOW_TAIL.items():
+        cells = []
+        for sf in sfs:
+            runs = []
+            for _ in range(2):
+                t0 = time.time()
+                qs[name](spark, sf).write.format("noop").mode("overwrite").save()
+                runs.append(time.time() - t0)
+            dt = min(runs)
+            cells.append(f"{dt:.2f} / {counts[sf] / dt / 1000:,.0f}")
+        lines.append(f"| {name} | " + " | ".join(cells) + " |")
+        print(lines[-1])
+    with open("/root/repo/SCALING.md", "a") as f:
+        f.write("\n".join(lines) + "\n")
+
+
 def main() -> None:
     import __spark_entry__ as em
     from dhs_to_database_spark.session import get_spark
@@ -122,4 +176,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if "--sf1" in sys.argv:
+        probe_sf1()
+    else:
+        main()
