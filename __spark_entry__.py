@@ -114,6 +114,8 @@ _GRADE_TAIL = [
     "curation_pipeline_v2",  # composite of individually-graded round-2 stages
     "mode_per_group",  # agg family: top1_per_group/agg_having graded
     "funnel_stages",  # event-analytics family: session_windows/window_functions graded (r2-green, displaced by survey_update_check)
+    "temperature_mix",  # mixture family: token_budget_mix/train_test_split graded
+    "dup_rate_by_source",  # dedup-diagnostic family: dedup_exact/duplicate_load_detect graded
 ]
 
 

@@ -76,6 +76,11 @@ BENCH_QUERIES = [
     "term_drift_kl",
     "spearman_length_tokens",
     "dedup_incremental_bloom",
+    "survey_update_check",
+    "temperature_mix",
+    "dup_rate_by_source",
+    "range_frame_trailing",
+    "wow_growth",
 ]
 
 

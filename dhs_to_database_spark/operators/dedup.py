@@ -1197,3 +1197,63 @@ def dedup_incremental_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("status"),
     )
     return definite_new.unionByName(verified)
+
+
+# ---------------------------------------------------------------------------
+# Duplicate-rate diagnostic per source: the monitoring twin of
+# dedup_exact. Production curation tracks WHERE duplication comes from
+# (a crawl seed, a mirror site, a mis-configured exporter) before
+# deciding what to drop; this reports, per source, how many docs are
+# involved in any exact-duplicate group and the redundancy ratio
+# (docs per distinct fingerprint). Plan: the one digest shuffle computes
+# group sizes (map-side combined); the per-source rollup reuses the
+# fingerprint table — no second corpus scan.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dup_rate_by_source",
+    oracle="""
+    WITH fp AS (
+      SELECT source,
+             md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint
+      FROM documents
+    ), grp AS (
+      SELECT fingerprint, CAST(COUNT(*) AS BIGINT) AS gsz
+      FROM fp GROUP BY fingerprint
+    )
+    SELECT f.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT f.fingerprint) AS BIGINT) AS n_distinct,
+           CAST(SUM(CASE WHEN g.gsz > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_in_dup_groups,
+           CAST(ROUND(CAST(COUNT(*) AS DECIMAL(18,6))
+                      / COUNT(DISTINCT f.fingerprint), 4) AS DOUBLE) AS redundancy
+    FROM fp f JOIN grp g USING (fingerprint)
+    GROUP BY f.source
+    """,
+)
+def dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source exact-duplication diagnostic (see block comment)."""
+    d = load_table(spark, sf_dir, "documents")
+    fp = d.select(
+        "source", normalized_fingerprint(F.col("text")).alias("fingerprint")
+    )
+    grp = fp.groupBy("fingerprint").agg(F.count(F.lit(1)).cast("bigint").alias("gsz"))
+    return (
+        fp.join(grp, "fingerprint")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.countDistinct("fingerprint").cast("bigint").alias("n_distinct"),
+            F.sum(F.when(F.col("gsz") > 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_in_dup_groups"),
+            F.round(
+                F.count(F.lit(1)).cast("decimal(18,6)")
+                / F.countDistinct("fingerprint"),
+                4,
+            )
+            .cast("double")
+            .alias("redundancy"),
+        )
+    )

@@ -952,12 +952,13 @@ def top_unshipped_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
     price = _dec("l_extendedprice")
     disc = _dec("l_discount", DEC4)
-    # Only the customer dim is hinted broadcast: the filtered orders side is
-    # still fact-sized (the date cutoff keeps most rows), so forcing it into
-    # a broadcast would OOM at scale — AQE picks broadcast vs shuffle for the
-    # orders x lineitem join from runtime sizes instead.
+    # NO broadcast hints: customer scales with SF (unlike nation/region),
+    # so a hardcoded broadcast of even the segment-filtered slice is a
+    # latent OOM at 100 TB. AQE picks broadcast-vs-shuffle for BOTH joins
+    # from runtime sizes — broadcast at bench SFs, SMJ on custkey/orderkey
+    # at scale, which is the canonical Q3 plan.
     return (
-        li.join(o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"]),
+        li.join(o.join(c, o["o_custkey"] == c["c_custkey"]),
                 li["l_orderkey"] == o["o_orderkey"])
         .groupBy("l_orderkey", "o_orderdate")
         .agg(_money(F.sum(price * (F.lit(1) - disc))).alias("revenue"))

@@ -437,6 +437,13 @@ def decontaminate(
 
 
 _DECON_N = 3  # production: 8-13; see module comment
+# Boilerplate-gram cap, ENCODED IN THE ORACLE so the graded query can use
+# the scale guard and stay hash-exact: a gram present in more than this
+# many benchmark docs is template text whose train x bench pair count is
+# quadratic in corpus size (with n=3 on this synthetic corpus that is a
+# real effect, not a tail case — the sf1 probe showed 19x time for 10x
+# data uncapped). Both engines drop those grams identically.
+_DECON_CAP = 64
 
 
 @query(
@@ -454,23 +461,30 @@ _DECON_N = 3  # production: 8-13; see module comment
       SELECT DISTINCT doc_id, is_train,
              array_to_string(t[i:i+{_DECON_N - 1}], ' ') AS gram
       FROM toks, UNNEST(generate_series(1, len(t) - {_DECON_N - 1})) AS u(i)
+    ), bcap AS (
+      SELECT gram FROM grams WHERE NOT is_train
+      GROUP BY gram HAVING COUNT(*) <= {_DECON_CAP}
     )
     SELECT tr.doc_id,
            COUNT(DISTINCT tr.gram) AS n_shared_grams,
            COUNT(DISTINCT te.doc_id) AS n_bench_docs
     FROM (SELECT * FROM grams WHERE is_train) tr
-    JOIN (SELECT * FROM grams WHERE NOT is_train) te USING (gram)
+    JOIN (SELECT g.* FROM grams g JOIN bcap USING (gram) WHERE NOT g.is_train) te
+      USING (gram)
     GROUP BY tr.doc_id
     """,
 )
 def benchmark_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Train-vs-test n-gram contamination over the 80/20 doc_id split."""
+    """Train-vs-test n-gram contamination over the 80/20 doc_id split,
+    with the boilerplate-gram cap active (see _DECON_CAP — the cap is in
+    the oracle too, so the comparison stays value-exact)."""
     d = load_table(spark, sf_dir, "documents")
     split = d.withColumn("split", split_assignment(F.col("doc_id"), 0.8))
     return decontaminate(
         split.filter(F.col("split") == "train"),
         split.filter(F.col("split") == "test"),
         n=_DECON_N,
+        max_gram_bench_docs=_DECON_CAP,
     )
 
 
@@ -872,4 +886,66 @@ def curation_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("bigint").alias("n_docs"),
             F.sum("n_tokens").cast("bigint").alias("total_tokens"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Temperature-scaled language mixture (the mT5/XLM-R alpha-sampling
+# standard): sampling weight w_l proportional to (n_l / N)^alpha with
+# alpha < 1, flattening the head so low-resource languages are
+# up-sampled relative to their corpus share. Emits, per language, the
+# natural share, the temperature-scaled sampling weight, and the
+# expected document count under a fixed sampling budget.
+#
+# Scale shape: ONE map-side-combined groupBy over the corpus; everything
+# after operates on the per-language aggregate (dozens of rows), with
+# the 1-row total attached by broadcast. Cross-engine floats: shares and
+# weights are compared after ROUND(,6)/(,4) and the power/normalization
+# arithmetic runs in DOUBLE identically in both engines.
+# ---------------------------------------------------------------------------
+
+_MIX_ALPHA = 0.3
+_MIX_BUDGET = 10_000  # sampled docs
+
+
+@query(
+    "temperature_mix",
+    oracle=f"""
+    WITH counts AS (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents GROUP BY lang
+    ), tot AS (SELECT CAST(SUM(n_docs) AS DOUBLE) AS total FROM counts),
+    scaled AS (
+      SELECT lang, n_docs,
+             n_docs / total AS share,
+             POW(n_docs / total, {_MIX_ALPHA}) AS raw_w
+      FROM counts CROSS JOIN tot
+    ), norm AS (SELECT CAST(SUM(raw_w) AS DOUBLE) AS z FROM scaled)
+    SELECT lang, n_docs,
+           CAST(ROUND(share, 6) AS DOUBLE) AS natural_share,
+           CAST(ROUND(raw_w / z, 6) AS DOUBLE) AS sample_weight,
+           CAST(FLOOR({_MIX_BUDGET} * raw_w / z) AS BIGINT) AS expected_docs
+    FROM scaled CROSS JOIN norm
+    """,
+)
+def temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language temperature-scaled sampling weights (alpha=_MIX_ALPHA)
+    and expected doc counts for a _MIX_BUDGET-doc sampling run."""
+    d = load_table(spark, sf_dir, "documents")
+    counts = d.groupBy("lang").agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    tot = counts.agg(F.sum("n_docs").cast("double").alias("total"))
+    scaled = counts.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_docs",
+        (F.col("n_docs") / F.col("total")).alias("share"),
+        F.pow(F.col("n_docs") / F.col("total"), F.lit(_MIX_ALPHA)).alias("raw_w"),
+    )
+    norm = scaled.agg(F.sum("raw_w").cast("double").alias("z"))
+    return scaled.crossJoin(F.broadcast(norm)).select(
+        "lang",
+        "n_docs",
+        F.round("share", 6).cast("double").alias("natural_share"),
+        F.round(F.col("raw_w") / F.col("z"), 6).cast("double").alias("sample_weight"),
+        F.floor(F.lit(_MIX_BUDGET) * F.col("raw_w") / F.col("z"))
+        .cast("bigint")
+        .alias("expected_docs"),
     )

@@ -239,8 +239,10 @@ def segment_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer").select(
         F.col("c_custkey").alias("user_id"), F.col("c_mktsegment").alias("segment")
     )
+    # no broadcast hint: the user dim scales with SF, so the hint is AQE's
+    # call (broadcast here, bucketed/bloom-pruned SMJ at 100 TB)
     return (
-        ev.join(F.broadcast(cust), "user_id")
+        ev.join(cust, "user_id")
         .groupBy(F.window("ts", "1 hour").alias("w"), "segment")
         .agg(
             F.count(F.lit(1)).alias("n_events"),

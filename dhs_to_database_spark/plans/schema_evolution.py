@@ -69,7 +69,16 @@ def pack_wide_table(df: DataFrame, key_columns: list[str] | None = None) -> Data
     ``F.to_json(col('data'))`` round-trips to the reference's jsonb text."""
     keys = key_columns if key_columns is not None else [c for c in df.columns if is_key_column(c)]
     payload = [c for c in df.columns if c not in keys]
-    kv = list(chain.from_iterable((F.lit(c), F.col(c).cast("string")) for c in payload))
+    # packed values are never NULL: absent -> empty STRING, mirroring the
+    # reference's JSON path fillna('') (lib04:455). The inverse of the
+    # demux rule (''->NULL, fixed_width.project_record) — the two paths'
+    # asymmetry is the reference's own, pinned here deliberately.
+    kv = list(
+        chain.from_iterable(
+            (F.lit(c), F.coalesce(F.col(c).cast("string"), F.lit("")))
+            for c in payload
+        )
+    )
     return df.select(*keys, F.create_map(*kv).alias("data"))
 
 

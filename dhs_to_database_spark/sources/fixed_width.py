@@ -110,12 +110,24 @@ def read_tagged_lines(spark: SparkSession, path: str | list[str], spec: DatSpec)
 
 
 def project_record(tagged: DataFrame, rec: RecordSpec) -> DataFrame:
-    """Select one record type's rows and split them into named columns."""
+    """Select one record type's rows and split them into named columns.
+
+    NULL rule (pinned; SURVEY §7 item 5): a non-key field that trims to
+    the empty string loads as NULL — the reference's table-load path COPYs
+    with ``null=''`` (lib04:432-434), so '' and SQL NULL are the same
+    storage state there and we normalize to NULL at demux time. Keys
+    (CASEID/HHID) are exempt: they are never trimmed and never nulled,
+    their padding being part of the key. The one deliberate asymmetry is
+    the JSON/map-packed path, where absent values are the empty STRING
+    (reference ``fillna('')`` lib04:455) — see
+    ``plans.schema_evolution.pack_wide_table``. Property-tested end-to-end
+    in tests/test_properties.py.
+    """
     cols = []
     for fspec in rec.fields:
         c = F.substring("value", fspec.start, fspec.length)
         if fspec.name not in NO_TRIM_KEYS:
-            c = F.trim(c)
+            c = F.nullif(F.trim(c), F.lit(""))
         cols.append(c.alias(fspec.name))
     return tagged.filter(F.col("record_type") == rec.record_type_value).select(
         "surveyid", *cols

@@ -51,9 +51,22 @@ def jdbc_options(
     return opts
 
 
-def write_jdbc(df: DataFrame, mode: str = "append", **options: str) -> None:
-    """Append/overwrite to a JDBC table (requires a driver jar)."""
+def write_jdbc(df: DataFrame, mode: str = "append", **options: str) -> int:
+    """Append/overwrite to a JDBC table (requires a driver jar).
+
+    ``numPartitions`` is the write-side THROTTLE: each writer partition
+    opens one connection, so at 1000 executors an unthrottled write is a
+    1000-connection storm on the target DB. Spark's JDBC writer coalesces
+    to ``numPartitions`` internally (JdbcUtils.saveTable); we apply the
+    same coalesce explicitly so the bound is part of OUR plan and
+    assertable — the returned value is the number of writer partitions
+    actually used (== connections opened), which tests pin.
+    """
+    n = options.get("numPartitions")
+    if n is not None and int(n) < df.rdd.getNumPartitions():
+        df = df.coalesce(int(n))
     df.write.format("jdbc").options(**options).mode(mode).save()
+    return df.rdd.getNumPartitions()
 
 
 def write_spec_csvs(items: DataFrame, values: DataFrame, relations: DataFrame, out_dir: str) -> None:

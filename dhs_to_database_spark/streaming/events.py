@@ -181,6 +181,12 @@ def enriched_segment_counts(
     snapshot is picked up automatically) and carries no streaming state;
     broadcast keeps the join shuffle-free, so the only stateful operator
     is the watermarked window aggregation.
+
+    The broadcast assumes the caller passes a broadcast-SIZED dimension
+    (e.g. a segment lookup pre-aggregated from the user dim). For a dim
+    that scales with the corpus, drop the hint and pre-bucket the static
+    side on the join key instead — per-micro-batch shuffle of the stream
+    side only.
     """
     dim = F.broadcast(
         customer_dim.select(

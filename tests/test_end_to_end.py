@@ -89,10 +89,11 @@ def test_golden_pipeline(spark, tmp_path):
         .orderBy("surveyid")
     )
     got = [tuple(r) for r in joined.collect()]
-    # hand-computed: 511's H4A line has only a space at SH110A's col 21;
-    # 512's has '8' there
+    # hand-computed: 511's H4A line has only a space at SH110A's col 21 —
+    # under the pinned NULL rule (blank non-key field -> NULL, the COPY
+    # null='' convention lib04:432-434) that loads as None; 512's has '8'
     assert got == [
-        ("511", CASEID_511, "1", "25", ""),
+        ("511", CASEID_511, "1", "25", None),
         ("512", CASEID_512, "2", "61", "8"),
     ]
 

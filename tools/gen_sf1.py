@@ -6,12 +6,22 @@ operators hold linear throughput over 1000x (sf0.001 -> sf1) needs a bigger
 corpus, so this derives one from sf0.1 deterministically:
 
 - ``documents``: 10 replicas, doc_id shifted by k * 10_000_000. Replica
-  text is PERTURBED (every 4th word, phase k, replaced by a replica-unique
-  token) so replicas are NOT near-duplicates of each other — otherwise
-  every doc would form a 10-clone cluster and pair-output itself would grow
-  quadratically, which is a property of the synthetic corpus, not of the
-  operators under test. Within-replica near-dup structure survives (both
-  members of a planted pair get the same transformation).
+  text is PERTURBED: every 3rd word (phase k mod 3) is prefixed with a
+  replica-id tag ('r<k>' || word — an INJECTIVE per-replica word map, so
+  the replica's word/shingle frequency distribution is exactly isomorphic
+  to the original corpus's). Period 3 == the operators' shingle/gram
+  width, so EVERY 3-token window contains a tagged word and replicas
+  share ZERO 3-shingles/3-grams. The result is 10 disjoint isomorphic
+  copies: corpus 10x, vocabulary 10x (Heaps-law-like growth, what a real
+  10x crawl does), per-shingle frequencies UNCHANGED — so bucket sizes,
+  candidate counts, and match counts all scale linearly, and the probe
+  measures the operators, not a synthetic-vocab pathology. (Constant
+  replacement tokens — the first attempt — pooled shingle frequencies
+  and made prefix buckets superlinearly dense; a replacement period
+  longer than the gram width leaves windows shared across replicas.
+  Both are corpus artifacts, not operator behavior.) Within-replica
+  near-dup structure survives (both members of a planted pair get the
+  same transformation).
 - ``embeddings``: 10 replicas, vec_id shifted, one coordinate nudged by a
   replica-dependent epsilon so no exact-duplicate vectors exist.
 
@@ -43,8 +53,8 @@ def main() -> None:
                      array_to_string(
                        list_transform(
                          string_split(text, ' '),
-                         (w, i) -> CASE WHEN (i + k) % 4 = 0
-                                        THEN 'rep' || CAST(k AS VARCHAR)
+                         (w, i) -> CASE WHEN (i + k) % 3 = 0
+                                        THEN 'r' || CAST(k AS VARCHAR) || w
                                         ELSE w END
                        ), ' ') AS text,
                      lang,

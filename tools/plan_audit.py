@@ -40,9 +40,9 @@ NOTES = {
     "vocab_stats": "explode + two-phase distinct agg ((term,doc) partial then term); shuffle volume ~vocab-sized after map-side collapse",
     "train_test_split": "pure narrow map — zero shuffles, no state",
     "dedup_components": "CC is tiered: small edge sets (observed count, zero extra jobs) collect to a driver union-find; big graphs run large/small-star rounds with localCheckpoint lineage cuts",
-    "top_unshipped_orders": "both filtered dims broadcast into lineitem; TakeOrderedAndProject, no global sort",
+    "top_unshipped_orders": "no broadcast hints — customer scales with SF, AQE picks broadcast-vs-SMJ per join from runtime sizes; TakeOrderedAndProject, no global sort",
     "gap_fill_hourly": "agg shuffle + LOCF window shuffle, both on user_id; AQE broadcasts the grid join at this SF (co-partitioned at scale)",
-    "segment_window_counts": "dim broadcast; one shuffle for the window agg",
+    "segment_window_counts": "user dim join left to AQE (dim scales with SF — no hardcoded broadcast); one shuffle for the window agg",
     "decile_stats": "range-partition + pure-JVM pid/local-idx tag (monotonically_increasing_id decomposition — no Python workers) + broadcast offset join — NO single-partition window; materialization tiered memory/disk (temp-parquet tier survives executor loss, pins nothing)",
     "funnel_stages": "three conditional-min windows share one user_id exchange",
     "sequence_pack": "one shard shuffle + window cumsum; shards pack independently",
@@ -52,7 +52,7 @@ NOTES = {
     "token_budget_mix": "one partial-agg shuffle for lang totals; thresholds broadcast-joined back; keep-filter is a narrow hash compare",
     "token_rarity_score": "model phase = one partial-agg shuffle (vocab); scoring = term join (AQE handles Zipf skew) + per-doc agg; integer rarity keeps the oracle bit-exact",
     "semantic_dedup": "quadratic work confined to k-means cells (one numpy gram per cell in applyInPandas); CC runs on the sparse within-cell pair graph only — linear corpus passes otherwise",
-    "benchmark_decontaminate": "bench-side gram table broadcast — corpus gram stream probed map-side, never shuffled; only surviving (contaminated) grams reach the per-doc agg shuffle",
+    "benchmark_decontaminate": "bench-side gram table (boilerplate-capped, cap in the oracle) broadcast — corpus gram stream probed map-side, never shuffled; only surviving grams reach the per-doc agg shuffle",
     "dedup_incremental": "corpus key set joins batch-side only (stored corpus table is bucketed by the sink at scale — batch is the only shuffled side); keep-first is a map-side-combined min over the batch",
     "zorder_key": "pure bit arithmetic in whole-stage codegen — a free narrow map; the layout write is one range shuffle after which both dimensions prune",
     "tfidf_topk": "map-side-combined tf shuffle is the only full-token-stream exchange; the later df agg + per-doc rank window re-shuffle only the collapsed tf table (vocab/doc-sized)",
@@ -62,19 +62,24 @@ NOTES = {
     "cohort_retention": "per-user first-event agg + (cohort, offset) distinct count — both shuffles key on user_id",
     "rollup_maintenance": "stored rollup merged with batch partial aggs per day — history never rescanned; one day-keyed shuffle each side",
     "value_histogram": "bucket id is constant-folded arithmetic in codegen; one map-side-combined shuffle",
-    "moving_average_daily": "frame window runs over the per-day aggregate (one row per day) — tiny by construction",
+    "moving_average_daily": "frame window over the per-day aggregate, partitioned by year with 6-row boundary carry — parallel tasks, no single-partition WindowExec",
     "scd2_asof_lookup": "dim history built once (full-outer on business key), facts equi-join + validity filter; bucketable on custkey",
     "content_reconcile": "per-side bucketed XOR digests (n_buckets rows each) full-outer compared — neither table moves",
-    "setsim_join_prefix": "prefix tokens (rare-first) bucket-join candidates; exact array_intersect verify on candidates only; lossless vs naive oracle",
+    "setsim_join_prefix": "shingle frequency attached by a w-partitioned window (ONE shuffle, NO vocab broadcast — r2's F.broadcast(freq) was corpus-scale); prefix tokens (rare-first) bucket-join candidates; exact array_intersect verify; lossless vs naive oracle",
     "word_entropy": "one (doc,term) shuffle; decimal-exact per-doc entropy agg",
     "weighted_sample_langs": "narrow A-ES key projection + one group-key window shuffle",
     "pmi_collocations": "bigram + unigram aggs map-side combined; unigram/totals broadcast onto pair counts",
-    "hybrid_search_rrf": "both branches top-k-bounded before the fusion full-outer join; corpus work stays in branches",
     "profile_orders_columns": "one column-pruned agg per column, unioned; exact ndv is the one wide stage per column",
     "moment_stats": "single-pass exact decimal power sums, map-side combined; one shuffle",
     "term_drift_kl": "one (lang, term) shuffle builds both distributions; totals broadcast; decimal-exact KL agg",
     "spearman_length_tokens": "two range-partitioned global-rank passes + 1-row aggregate — no single-partition window",
     "dedup_incremental_bloom": "corpus summarized into a broadcast bloom blob (narrow pass + driver OR-merge); only bloom-positive candidates reach the verify join",
+    "temperature_mix": "one map-side-combined lang agg; 1-row total + normalizer broadcast — everything after the first shuffle is dozens of rows",
+    "dup_rate_by_source": "one digest shuffle builds group sizes; per-source rollup reuses the fingerprint table (no second corpus scan)",
+    "survey_update_check": "stage-1 composite: three DISTINCT presence probes union-distinct (map-side combined), catalog side anti-joined twice; nation dim broadcast",
+    "range_frame_trailing": "RANGE window over the per-day aggregate in 365-day blocks with 6-day carry — no single-partition WindowExec",
+    "wow_growth": "lag window over the per-week aggregate, year-partitioned with 1-row carry",
+    "hybrid_search_rrf": "both branches top-k-bounded before the fusion full-outer join; ranks via array-sort aggregate (no global WindowExec); corpus work stays in branches",
 }
 
 
