@@ -116,6 +116,12 @@ def main() -> None:
             df = qs[name](spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
             runs.append(time.time() - t0)
+        # noise guard: if the two steady-state runs disagree by >15% the
+        # box was busy during one of them — take one more and keep the min
+        if abs(runs[0] - runs[1]) > 0.15 * min(runs):
+            t0 = time.time()
+            qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            runs.append(time.time() - t0)
         timings[name] = round(min(runs), 3)
 
     total = round(sum(timings.values()), 3)

@@ -923,7 +923,10 @@ _MIX_BUDGET = 10_000  # sampled docs
     SELECT lang, n_docs,
            CAST(ROUND(share, 6) AS DOUBLE) AS natural_share,
            CAST(ROUND(raw_w / z, 6) AS DOUBLE) AS sample_weight,
-           CAST(FLOOR({_MIX_BUDGET} * raw_w / z) AS BIGINT) AS expected_docs
+           -- FLOOR over the ROUNDED weight: both engines floor the exact
+           -- same double, so a last-ulp drift in raw_w/z can never flip
+           -- the integer on a boundary
+           CAST(FLOOR({_MIX_BUDGET} * ROUND(raw_w / z, 6)) AS BIGINT) AS expected_docs
     FROM scaled CROSS JOIN norm
     """,
 )
@@ -945,7 +948,7 @@ def temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_docs",
         F.round("share", 6).cast("double").alias("natural_share"),
         F.round(F.col("raw_w") / F.col("z"), 6).cast("double").alias("sample_weight"),
-        F.floor(F.lit(_MIX_BUDGET) * F.col("raw_w") / F.col("z"))
+        F.floor(F.lit(_MIX_BUDGET) * F.round(F.col("raw_w") / F.col("z"), 6))
         .cast("bigint")
         .alias("expected_docs"),
     )
