@@ -63,7 +63,9 @@ def with_range_carry(
     """Same, for RANGE frames on an integer day axis: partition =
     ``day div block_days``; rows within ``lookback`` days of the next
     block's start are duplicated into it."""
-    d = df.withColumn("__part", (F.col(day_col) / block_days).cast("int"))
+    # floor, not int-cast: cast truncates toward zero, which would assign
+    # pre-epoch (negative) days to the wrong block
+    d = df.withColumn("__part", F.floor(F.col(day_col) / block_days).cast("int"))
     carry = (
         d.filter(F.col(day_col) >= (F.col("__part") + 1) * block_days - lookback)
         .withColumn("__part", F.col("__part") + 1)
