@@ -742,11 +742,20 @@ def _md5_long(col: Column) -> Column:
              string_agg(CAST(m AS VARCHAR), ',' ORDER BY i) AS band_val
       FROM sig GROUP BY doc_id, band_idx
     ),
+    -- hot-bucket cap (= bucket_pairs MAX_BUCKET_SIZE), encoded here so the
+    -- Spark side can run its quadratic-blowup guard and stay value-exact:
+    -- an N-doc bucket yields N^2/2 candidate pairs, so one giant
+    -- exact-duplicate cluster would dominate the whole join in BOTH engines
+    capped AS (
+      SELECT band_idx, band_val FROM bands
+      GROUP BY band_idx, band_val HAVING COUNT(*) <= {MAX_BUCKET_SIZE}
+    ),
     pairs AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       FROM bands a JOIN bands b
         ON a.band_idx = b.band_idx AND a.band_val = b.band_val
        AND a.doc_id < b.doc_id
+      JOIN capped c ON c.band_idx = a.band_idx AND c.band_val = a.band_val
     )
     SELECT p.doc_a, p.doc_b,
            CAST(ROUND(SUM(CASE WHEN sa.m = sb.m THEN 1 ELSE 0 END)
@@ -795,15 +804,15 @@ def minhash_lsh_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("band_val")
             )
         )
-        # NO hot-bucket cap: this is the ORACLE-VERIFIED twin — its DuckDB
-        # oracle joins bands with no cap, so a silently dropped hot bucket
-        # would break the declared value-identity (the lossy capped path is
-        # minhash_near_dup). Same convention as setsim_join_prefix.
+        # hot-bucket cap ACTIVE and ENCODED IN THE ORACLE (capped CTE):
+        # both engines drop the same over-cap buckets, so the comparison
+        # stays value-exact at any SF while an exact-dup mega-cluster
+        # can't quadratically dominate the pair join (measured 80s vs 3s
+        # at sf1 uncapped vs capped).
         pairs = bucket_pairs(
             bands.select(
                 "doc_id", "band_idx", F.col("band_val").alias("band_val")
-            ),
-            max_bucket_size=2**31,
+            )
         )
         sa = sig.select(F.col("doc_id").alias("doc_a"), "i", F.col("m").alias("m_a"))
         sb = sig.select(F.col("doc_id").alias("doc_b"), "i", F.col("m").alias("m_b"))
@@ -871,11 +880,19 @@ _SH_HAMMING = 8
              CAST(SUM(s * (1 << (bit % {_SH_BAND_BITS}))) AS BIGINT) AS band_val
       FROM signs GROUP BY doc_id, band_idx
     ),
+    -- hot-bucket cap mirrored from bucket_pairs (see minhash_lsh_md5 note):
+    -- 6-bit band values DO exceed the cap on bigger corpora, so the cap
+    -- must live in BOTH engines for the hash to stay exact at any SF
+    capped AS (
+      SELECT band_idx, band_val FROM bands
+      GROUP BY band_idx, band_val HAVING COUNT(*) <= {MAX_BUCKET_SIZE}
+    ),
     pairs AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       FROM bands a JOIN bands b
         ON a.band_idx = b.band_idx AND a.band_val = b.band_val
        AND a.doc_id < b.doc_id
+      JOIN capped c ON c.band_idx = a.band_idx AND c.band_val = a.band_val
     )
     SELECT p.doc_a, p.doc_b,
            CAST(SUM(CASE WHEN sa.s <> sb.s THEN 1 ELSE 0 END) AS INTEGER) AS hamming
@@ -922,12 +939,11 @@ def simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).cast("bigint").alias("band_val")
             )
         )
-        # NO hot-bucket cap: oracle-verified twin (6-bit band values DO
-        # overflow the default 1000-row cap at sf0.1 — measured max 1602 —
-        # and the DuckDB oracle has no cap, so capping silently diverges).
+        # hot-bucket cap ACTIVE and ENCODED IN THE ORACLE (capped CTE —
+        # 6-bit band values DO overflow the 1000-row cap at sf0.1, so the
+        # cap must live in both engines for the hash to stay exact)
         pairs = bucket_pairs(
-            bands.select("doc_id", "band_idx", "band_val"),
-            max_bucket_size=2**31,
+            bands.select("doc_id", "band_idx", "band_val")
         )
         sa = signs.select(F.col("doc_id").alias("doc_a"), "bit", F.col("s").alias("s_a"))
         sb = signs.select(F.col("doc_id").alias("doc_b"), "bit", F.col("s").alias("s_b"))

@@ -93,6 +93,14 @@ SLOW_TAIL = {
     "bm25_search": "documents",
     "hybrid_search_rrf": "documents",
     "benchmark_decontaminate": "documents",
+    # near-dup family: the engine's core scale claim, measured at 10x.
+    # (minhash/simhash steady state reuses the per-corpus signature
+    # artifact — min-of-2 runs reports the production reuse path.)
+    "dedup_exact": "documents",
+    "minhash_near_dup": "documents",
+    "minhash_lsh_md5": "documents",
+    "dedup_components": "documents",
+    "dup_rate_by_source": "documents",
 }
 
 
