@@ -120,3 +120,59 @@ def test_golden_pipeline(spark, tmp_path):
     assert sorted(res2.staged) == sorted(res.staged)  # all skipped-as-existing
     # 3 members in survey 511 + 2 in 512, unchanged after the re-run
     assert read_evolved(spark, res2.tables["RECH1"]).count() == 5
+
+
+def test_stage1_update_check_drives_the_pipeline(spark, tmp_path):
+    """The full reference lifecycle in one story: the stage-1 catalog diff
+    (01 nb: presence probe + anti-join) decides WHICH surveys to fetch,
+    and the fetch list drives run_pipeline. Survey 511 is already loaded;
+    the catalog advertises 511 + 512; the update check emits exactly 512,
+    whose zip is then staged/parsed/loaded, after which a re-check finds
+    nothing left to fetch (the loop's fixpoint)."""
+    from dhs_to_database_spark.pipeline import check_for_updates
+    from dhs_to_database_spark.plans.schema_evolution import read_evolved
+
+    downloads = tmp_path / "downloads"
+    downloads.mkdir()
+    _make_zip(downloads / "511.TESTFC.zip", "\n".join(DAT_LINES) + "\n")
+    res1 = run_pipeline(
+        spark,
+        staging_folder=str(tmp_path / "staging"),
+        warehouse_dir=str(tmp_path / "warehouse"),
+        downloads_folder=str(downloads),
+    )
+
+    catalog = spark.createDataFrame(
+        [("XX2015DHS", 511), ("YY2017DHS", 512)], "SurveyId string, SurveyNum int"
+    )
+
+    def presence():
+        # "our surveys" = ids present in the loaded record tables (the
+        # notebook's RECH1/REC01/MREC01 probe, transposed to our tables)
+        return [
+            read_evolved(spark, res1.tables[t]).select(
+                F.col("surveyid").cast("int").alias("surveyid")
+            )
+            for t in ("RECH0", "RECH1")
+        ]
+
+    check = check_for_updates(catalog, presence())
+    assert {r["SurveyNum"] for r in check.survey_data_to_look_for.collect()} == {512}
+
+    # "fetch" 512 (drop its zip in downloads) and run the pipeline again
+    _make_zip(downloads / "512.TESTFC.zip", "\n".join(_DAT_LINES_512) + "\n")
+    res2 = run_pipeline(
+        spark,
+        staging_folder=str(tmp_path / "staging"),
+        warehouse_dir=str(tmp_path / "warehouse"),
+        downloads_folder=str(downloads),
+    )
+    loaded = {
+        r["surveyid"]
+        for r in read_evolved(spark, res2.tables["RECH1"]).select("surveyid").distinct().collect()
+    }
+    assert loaded == {"511", "512"}
+
+    # fixpoint: nothing left to fetch
+    res1 = res2  # presence() closes over res1's table paths; same warehouse
+    assert check_for_updates(catalog, presence()).survey_data_to_look_for.count() == 0
