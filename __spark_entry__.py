@@ -116,6 +116,7 @@ _GRADE_TAIL = [
     "funnel_stages",  # event-analytics family: session_windows/window_functions graded (r2-green, displaced by survey_update_check)
     "temperature_mix",  # mixture family: token_budget_mix/train_test_split graded
     "dup_rate_by_source",  # dedup-diagnostic family: dedup_exact/duplicate_load_detect graded
+    "interval_join_attribution",  # banded-join family: asof_join/funnel_stages graded; streaming twin equivalence-tested
 ]
 
 

@@ -79,6 +79,7 @@ BENCH_QUERIES = [
     "survey_update_check",
     "temperature_mix",
     "dup_rate_by_source",
+    "interval_join_attribution",
     "range_frame_trailing",
     "wow_growth",
 ]

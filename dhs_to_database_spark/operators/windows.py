@@ -734,3 +734,63 @@ def wow_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(~F.col("__carry"))
         .drop("__carry")
     )
+
+
+# ---------------------------------------------------------------------------
+# Interval (banded) self-join — batch twin of
+# streaming.events.clicks_before_purchase, oracle-graded: each purchase
+# with the count/first-timestamp of the same user's clicks in the
+# preceding hour (the attribution-join shape). Plan: both filtered sides
+# shuffle once on user_id (equi key); the time band is a join residual —
+# at 100 TB this is the sort-merge-join-with-range-condition Spark
+# handles natively, with no quadratic risk because the equi key bounds
+# each merge group to one user's events.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "interval_join_attribution",
+    oracle="""
+    WITH clicks AS (
+      SELECT user_id, ts AS click_ts FROM events WHERE event_type = 'click'
+    ),
+    purch AS (
+      SELECT user_id, event_id, ts AS purchase_ts
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT p.event_id AS purchase_id,
+           p.user_id,
+           CAST(p.purchase_ts AS TIMESTAMP) AS purchase_ts,
+           CAST(COUNT(c.click_ts) AS BIGINT) AS n_clicks_1h,
+           CAST(MIN(c.click_ts) AS TIMESTAMP) AS first_click_ts
+    FROM purch p LEFT JOIN clicks c
+      ON c.user_id = p.user_id
+     AND c.click_ts <= p.purchase_ts
+     AND c.click_ts >= p.purchase_ts - INTERVAL 1 HOUR
+    GROUP BY 1, 2, 3
+    """,
+)
+def interval_join_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per purchase: same-user clicks within the preceding hour (left
+    join, so click-less purchases report 0 / NULL)."""
+    e = load_table(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("click_ts")
+    )
+    purch = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"), F.col("ts").alias("purchase_ts")
+    )
+    return (
+        purch.join(
+            clicks,
+            (F.col("user_id") == F.col("c_user"))
+            & (F.col("click_ts") <= F.col("purchase_ts"))
+            & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 1 HOUR")),
+            "left",
+        )
+        .groupBy("purchase_id", "user_id", "purchase_ts")
+        .agg(
+            F.count("click_ts").cast("bigint").alias("n_clicks_1h"),
+            F.min("click_ts").alias("first_click_ts"),
+        )
+    )

@@ -76,6 +76,7 @@ NOTES = {
     "dedup_incremental_bloom": "corpus summarized into a broadcast bloom blob (narrow pass + driver OR-merge); only bloom-positive candidates reach the verify join",
     "temperature_mix": "one map-side-combined lang agg; 1-row total + normalizer broadcast — everything after the first shuffle is dozens of rows",
     "dup_rate_by_source": "one digest shuffle builds group sizes; per-source rollup reuses the fingerprint table (no second corpus scan)",
+    "interval_join_attribution": "both filtered event slices shuffle once on user_id; time band is a join residual inside each merge group — no quadratic risk past the equi key",
     "survey_update_check": "stage-1 composite: three DISTINCT presence probes union-distinct (map-side combined), catalog side anti-joined twice; nation dim broadcast",
     "range_frame_trailing": "RANGE window over the per-day aggregate in 365-day blocks with 6-day carry — no single-partition WindowExec",
     "wow_growth": "lag window over the per-week aggregate, year-partitioned with 1-row carry",
