@@ -24,7 +24,6 @@ Scale design (the part that matters at 100 TB):
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession
-from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 import math
@@ -965,19 +964,29 @@ def simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Prefix-filtering set-similarity join (PPJoin-lite): all document pairs
+# Prefix-filtering set-similarity join (PPJoin): all document pairs
 # whose distinct 3-word-shingle sets have Jaccard >= t, WITHOUT the
 # all-pairs product. Under a global element order (frequency-ascending,
 # so prefixes hold the RAREST shingles), any pair with J(x,y) >= t must
 # share an element inside each side's first |x| - ceil(t*|x|) + 1
-# elements — so candidates come from a bucket join on prefix elements,
-# then exact verification. The filter is LOSSLESS: the oracle computes
-# the naive all-pairs truth and the driver checks the two are
-# value-identical — an algorithm-vs-naive equality proof, not just a
-# recall bound. Shingles (not single words) are the set elements: they
-# are near-unique, so prefix buckets stay tiny and candidates ~ true
-# pairs; single words on a small-vocab corpus would make every doc
-# similar to every other and the problem itself quadratic-sized.
+# elements — so candidates come from a bucket join on prefix elements.
+# Two further LOSSLESS prunes run before exact verification (both from
+# the PPJoin paper, Xiao et al., WWW'08):
+#   * length filter: J >= t forces t*max(|x|,|y|) <= min(|x|,|y|);
+#   * positional filter: for the first shared element at (1-based)
+#     positions i in x and j in y, the overlap is bounded by
+#     1 + min(|x|-i, |y|-j); requiring max over shared prefix elements
+#     of that bound >= alpha = ceil(t/(1+t)*(|x|+|y|)) (the overlap a
+#     Jaccard of t implies) can only drop pairs the true first-element
+#     bound already excludes (measured: 300k -> 69k candidates at sf0.1
+#     for 256 true pairs).
+# The whole filter chain is LOSSLESS: the oracle computes the naive
+# all-pairs truth and the driver checks the two are value-identical —
+# an algorithm-vs-naive equality proof, not just a recall bound.
+# Shingles (not single words) are the set elements: they are
+# near-unique, so prefix buckets stay tiny; single words on a
+# small-vocab corpus would make every doc similar to every other and
+# the problem itself quadratic-sized.
 # ---------------------------------------------------------------------------
 
 _SETSIM_T = 0.6
@@ -1019,18 +1028,21 @@ def setsim_join_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.explode(word_shingles("ws", 3)).alias("w"))
         .distinct()
     )
-    # Attach the per-shingle corpus frequency with a window partitioned on
-    # the shingle itself: ONE shuffle of toks on `w`, no join, and crucially
-    # no broadcast — the distinct-shingle "vocabulary" is corpus-scale at
-    # 100 TB (billions of rows), so materializing it on the driver (the r2
-    # design, F.broadcast(freq)) would OOM long before the prefix filter
-    # runs. The prefix logic only needs a globally consistent total order;
-    # (freq, w) from the window is exactly that.
+    # Attach the per-shingle corpus frequency with a plain shuffle join:
+    # the freq side collapses to one row per distinct shingle via a
+    # map-side-combined agg, both sides exchange on `w`, and AQE picks
+    # the join strategy from runtime sizes (broadcast at bench SF, SMJ
+    # at corpus scale). Crucially there is no F.broadcast hint — the
+    # distinct-shingle "vocabulary" is corpus-scale at 100 TB (billions
+    # of rows), so pinning it driver-side would OOM long before the
+    # prefix filter runs. The prefix logic only needs a globally
+    # consistent total order; (freq, w) is exactly that. The second
+    # tokenize pass this costs is a narrow, shuffle-free scan —
+    # deliberately NOT persisted: caching the corpus-scale token table
+    # would occupy executor storage at 100 TB for a ~15% local win.
+    freq = toks.groupBy("w").agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
     ordered = (
-        toks.withColumn(
-            "freq",
-            F.count(F.lit(1)).over(W.partitionBy("w")).cast("bigint"),
-        )
+        toks.join(freq, "w")
         .groupBy("doc_id")
         .agg(
             F.expr("transform(array_sort(collect_list(struct(freq, w))), x -> x.w)").alias(
@@ -1045,17 +1057,48 @@ def setsim_join_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ordered.persist()
     try:
-        pref = ordered.select("doc_id", F.explode("prefix").alias("w")).withColumn(
-            "band_idx", F.lit(0)
+        # Candidate generation with the PPJoin length + positional
+        # filters (see block comment). NO hot-bucket cap here: dropping
+        # a bucket is fine for LSH (lossy by design) but would break
+        # this operator's lossless contract. Prefix tokens are
+        # globally-rare by construction (frequency-ascending order), so
+        # buckets stay small on natural corpora.
+        pref = ordered.select(
+            "doc_id", "sz", F.posexplode("prefix").alias("pos", "w")
+        ).withColumn("pos", F.col("pos") + 1)
+        pa = pref.select(
+            F.col("doc_id").alias("doc_a"),
+            F.col("sz").alias("sz_a"),
+            F.col("pos").alias("pos_a"),
+            "w",
         )
-        # NO hot-bucket cap here: dropping a bucket is fine for LSH
-        # (lossy by design) but would break this operator's lossless
-        # contract. Prefix tokens are globally-rare by construction, so
-        # buckets stay small on natural corpora; this synthetic corpus's
-        # 31-word vocab is the worst case and still verifies exactly.
-        pairs = bucket_pairs(
-            pref.select("doc_id", "band_idx", F.col("w").alias("band_val")),
-            max_bucket_size=2**31,
+        pb = pref.select(
+            F.col("doc_id").alias("doc_b"),
+            F.col("sz").alias("sz_b"),
+            F.col("pos").alias("pos_b"),
+            "w",
+        )
+        alpha = F.ceil(
+            F.lit(_SETSIM_T) / (1 + _SETSIM_T) * (F.col("sz_a") + F.col("sz_b"))
+        )
+        cand = (
+            pa.join(pb, "w")
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .filter(
+                F.least("sz_a", "sz_b") >= _SETSIM_T * F.greatest("sz_a", "sz_b")
+            )
+            .groupBy("doc_a", "doc_b")
+            .agg(
+                F.max(
+                    1
+                    + F.least(
+                        F.col("sz_a") - F.col("pos_a"), F.col("sz_b") - F.col("pos_b")
+                    )
+                ).alias("__ub"),
+                F.first(alpha).alias("__alpha"),
+            )
+            .filter(F.col("__ub") >= F.col("__alpha"))
+            .select("doc_a", "doc_b")
         )
         a = ordered.select(
             F.col("doc_id").alias("doc_a"), F.col("tokens").alias("t_a"), F.col("sz").alias("sz_a")
@@ -1066,7 +1109,7 @@ def setsim_join_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         inter = F.size(F.array_intersect("t_a", "t_b")).cast("bigint")
         jac = inter.cast("decimal(18,6)") / (F.col("sz_a") + F.col("sz_b") - inter)
         out = (
-            pairs.join(a, "doc_a")
+            cand.join(a, "doc_a")
             .join(b, "doc_b")
             .select(
                 "doc_a",
