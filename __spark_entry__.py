@@ -117,6 +117,8 @@ _GRADE_TAIL = [
     "temperature_mix",  # mixture family: token_budget_mix/train_test_split graded
     "dup_rate_by_source",  # dedup-diagnostic family: dedup_exact/duplicate_load_detect graded
     "interval_join_attribution",  # banded-join family: asof_join/funnel_stages graded; streaming twin equivalence-tested
+    "doc_perplexity",  # LM-scoring family: importance_weights/token_rarity graded
+    "bpe_pair_counts",  # corpus-stats family: pmi_collocations/vocab_stats graded
 ]
 
 

@@ -1043,3 +1043,218 @@ def cms_term_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
         for r in exact
     ]
     return spark.createDataFrame(rows, "term string, exact_n bigint, est_n bigint")
+
+# ---------------------------------------------------------------------------
+# CCNet-style LM perplexity scoring: per-document cross-entropy under a
+# corpus bigram language model (Wenzek et al., "CCNet", LREC 2020 filter
+# documents by KenLM perplexity; here the LM is the corpus itself —
+# swap the model side for a reference-corpus table in production). The
+# bigram probability interpolates the MLE bigram with an add-1-smoothed
+# unigram back-off: p(w2|w1) = L*c2/c1(w1) + (1-L)*(c1(w2)+1)/(T+V).
+# Scale design: the corpus token stream is shuffled only by
+# map-side-combined aggs ((doc,w1,w2) tf, (w1,w2) model counts); the
+# probability table is assembled on the bigram-VOCAB table (model-sized)
+# and attached to per-doc bigram counts by a plain shuffle join — no
+# broadcast of the bigram vocabulary, which is corpus-scale at 100 TB
+# (unigram attachment onto the model table IS broadcast: word vocab is
+# bounded). Cross-engine exactness: per-distinct-(doc,bigram) surprisal
+# is ROUNDed to 8 decimals into DECIMAL before the count-weighted sum —
+# associativity-proof — and the mean is ROUNDed to 4 at the end.
+# ---------------------------------------------------------------------------
+
+_PPL_LAMBDA = 0.8
+
+
+@query(
+    "doc_perplexity",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS t
+      FROM documents
+    ),
+    words AS (SELECT doc_id, unnest(t) AS w FROM toks),
+    words_nz AS (SELECT doc_id, w FROM words WHERE w <> ''),
+    uni AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c1 FROM words_nz GROUP BY w),
+    tot AS (
+      SELECT CAST(SUM(c1) AS BIGINT) AS t_tokens,
+             CAST(COUNT(*) AS BIGINT) AS v
+      FROM uni
+    ),
+    bigrams AS (
+      SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+      FROM toks, UNNEST(generate_series(1, len(t) - 1)) AS u(i)
+      WHERE t[i] <> '' AND t[i + 1] <> ''
+    ),
+    dbg AS (
+      SELECT doc_id, w1, w2, CAST(COUNT(*) AS BIGINT) AS k
+      FROM bigrams GROUP BY doc_id, w1, w2
+    ),
+    model AS (
+      SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c2
+      FROM bigrams GROUP BY w1, w2
+    ),
+    probs AS (
+      SELECT m.w1, m.w2,
+             CAST(ROUND(-ln(
+               {_PPL_LAMBDA} * CAST(m.c2 AS DOUBLE) / ua.c1
+               + {1 - _PPL_LAMBDA} * (ub.c1 + 1.0) / (t_tokens + v)
+             ), 8) AS DECIMAL(28,8)) AS nll
+      FROM model m
+      JOIN uni ua ON ua.w = m.w1
+      JOIN uni ub ON ub.w = m.w2
+      CROSS JOIN tot
+    )
+    SELECT d.doc_id,
+           CAST(SUM(k) AS BIGINT) AS n_bigrams,
+           CAST(ROUND(CAST(SUM(nll * k) AS DOUBLE) / SUM(k), 4) AS DOUBLE)
+             AS xent_nats
+    FROM dbg d JOIN probs p ON p.w1 = d.w1 AND p.w2 = d.w2
+    GROUP BY d.doc_id
+    """,
+)
+def doc_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc mean bigram surprisal (nats) under the corpus bigram LM —
+    the CCNet perplexity-filter shape (docs with no bigram are excluded,
+    matching the oracle's inner joins)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.split(F.regexp_replace(F.lower(F.trim("text")), r"\s+", " "), " ").alias("t"),
+    )
+    bigrams = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "filter(transform(sequence(1, greatest(size(t) - 1, 1)),"
+                " i -> struct(t[i - 1] AS w1, t[i] AS w2)),"
+                " p -> p.w1 <> '' AND p.w2 <> '')"
+            )
+        ).alias("p"),
+    ).select("doc_id", "p.w1", "p.w2")
+    bigrams.persist()
+    try:
+        uni = (
+            toks.select(F.explode("t").alias("w"))
+            .filter(F.col("w") != "")
+            .groupBy("w")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("c1"))
+        )
+        tot = uni.agg(
+            F.sum("c1").cast("bigint").alias("t_tokens"),
+            F.count(F.lit(1)).cast("bigint").alias("v"),
+        )
+        dbg = bigrams.groupBy("doc_id", "w1", "w2").agg(
+            F.count(F.lit(1)).cast("bigint").alias("k")
+        )
+        model = bigrams.groupBy("w1", "w2").agg(
+            F.count(F.lit(1)).cast("bigint").alias("c2")
+        )
+        ua = uni.select(F.col("w").alias("w1"), F.col("c1").alias("c1_a"))
+        ub = uni.select(F.col("w").alias("w2"), F.col("c1").alias("c1_b"))
+        nll = F.round(
+            -F.log(
+                F.lit(_PPL_LAMBDA) * F.col("c2").cast("double") / F.col("c1_a")
+                + F.lit(1 - _PPL_LAMBDA)
+                * (F.col("c1_b") + 1.0)
+                / (F.col("t_tokens") + F.col("v"))
+            ),
+            8,
+        ).cast("decimal(28,8)")
+        probs = (
+            model.join(F.broadcast(ua), "w1")
+            .join(F.broadcast(ub), "w2")
+            .crossJoin(F.broadcast(tot))
+            .select("w1", "w2", nll.alias("nll"))
+        )
+        out = (
+            dbg.join(probs, ["w1", "w2"])
+            .groupBy("doc_id")
+            .agg(
+                F.sum("k").cast("bigint").alias("n_bigrams"),
+                F.round(
+                    F.sum(F.col("nll") * F.col("k")).cast("double") / F.sum("k"), 4
+                )
+                .cast("double")
+                .alias("xent_nats"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        bigrams.unpersist()
+    return out
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer-training pair statistics: the first merge-selection step
+# of byte-pair encoding (Sennrich et al., ACL 2016) at corpus scale.
+# Words are counted once (map-side-combined agg — the ONLY corpus-scale
+# shuffle, collapsing to the word vocabulary), then each DISTINCT word
+# is split into characters + an end-of-word marker and every adjacent
+# symbol pair is counted weighted by the word's corpus frequency. The
+# quadratic-ish explode therefore runs over the VOCAB table (bounded —
+# tens of MB at any corpus size), not the corpus: exactly how production
+# BPE trainers structure the count (word-frequency dict first). Output:
+# the top merge candidates, ranked (count DESC, pair) for a
+# deterministic cross-engine order.
+# ---------------------------------------------------------------------------
+
+_BPE_EOW = "</w>"
+_BPE_TOPK = 30
+
+
+@query(
+    "bpe_pair_counts",
+    oracle=f"""
+    WITH words AS (
+      SELECT unnest(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS w
+      FROM documents
+    ),
+    wc AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS n FROM words WHERE w <> '' GROUP BY w
+    ),
+    syms AS (
+      SELECT w, n, list_append(string_split(w, ''), '{_BPE_EOW}') AS s FROM wc
+    ),
+    pairs AS (
+      SELECT s[i] AS sym_a, s[i + 1] AS sym_b, n
+      FROM syms, UNNEST(generate_series(1, len(s) - 1)) AS u(i)
+    )
+    SELECT sym_a, sym_b, CAST(SUM(n) AS BIGINT) AS pair_count
+    FROM pairs
+    GROUP BY sym_a, sym_b
+    ORDER BY pair_count DESC, sym_a, sym_b
+    LIMIT {_BPE_TOPK}
+    """,
+)
+def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-weighted adjacent-symbol pair counts over the word
+    vocabulary — the statistic BPE training maximizes at each merge."""
+    d = load_table(spark, sf_dir, "documents")
+    wc = (
+        d.select(
+            F.explode(
+                F.split(F.regexp_replace(F.lower(F.trim("text")), r"\s+", " "), " ")
+            ).alias("w")
+        )
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    pairs = wc.select(
+        "n",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, length(w)),"
+                f" i -> struct(substring(w, i, 1) AS sym_a,"
+                f" CASE WHEN i = length(w) THEN '{_BPE_EOW}'"
+                f" ELSE substring(w, i + 1, 1) END AS sym_b))"
+            )
+        ).alias("p"),
+    ).select("p.sym_a", "p.sym_b", "n")
+    return (
+        pairs.groupBy("sym_a", "sym_b")
+        .agg(F.sum("n").cast("bigint").alias("pair_count"))
+        .orderBy(F.desc("pair_count"), "sym_a", "sym_b")
+        .limit(_BPE_TOPK)
+    )
