@@ -498,3 +498,45 @@ def test_count_min_sketch_bounds(spark):
     for r in rows:
         assert r["est_n"] >= r["exact_n"], r
         assert r["est_n"] <= r["exact_n"] + _CMS_EPS * n_stream, r
+
+
+def test_setsim_ppjoin_lossless_on_adversarial_corpus(spark, tmp_path):
+    """setsim_join_prefix's prefix + length + positional filters must be
+    LOSSLESS: on a worst-case corpus (3-word vocabulary, so shingles
+    repeat massively and every doc resembles every other, plus planted
+    exact dups and sub/superset docs) the result equals a brute-force
+    all-pairs Jaccard computed in python."""
+    import itertools
+    import random
+
+    from dhs_to_database_spark.operators.dedup import _SETSIM_T, setsim_join_prefix
+
+    rng = random.Random(7)
+    vocab = ["aa", "bb", "cc"]
+    rows = []
+    for i in range(40):
+        n = rng.randint(1, 12)  # includes docs shorter than the shingle width
+        rows.append((i, " ".join(rng.choice(vocab) for _ in range(n)), "en", "s", 0))
+    rows.append((100, rows[0][1], "en", "s", 0))  # exact dup of doc 0
+    rows.append((101, rows[1][1] + " aa", "en", "s", 0))  # near-superset of doc 1
+    sf_dir = str(tmp_path)
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    ).write.parquet(f"{sf_dir}/documents.parquet")
+
+    def shingles(text):
+        t = text.lower().split()
+        return {" ".join(t[i : i + 3]) for i in range(max(len(t) - 2, 1))}
+
+    sets = {i: shingles(tx) for i, tx, *_ in rows}
+    expect = set()
+    for a, b in itertools.combinations(sorted(sets), 2):
+        inter = len(sets[a] & sets[b])
+        if inter and inter / len(sets[a] | sets[b]) >= _SETSIM_T:
+            expect.add((a, b))
+
+    got = {
+        (r["doc_a"], r["doc_b"]) for r in setsim_join_prefix(spark, sf_dir).collect()
+    }
+    assert expect, "fixture planted no qualifying pair — vacuous"
+    assert got == expect
