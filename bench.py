@@ -82,6 +82,8 @@ BENCH_QUERIES = [
     "interval_join_attribution",
     "range_frame_trailing",
     "wow_growth",
+    "doc_perplexity",
+    "bpe_pair_counts",
 ]
 
 

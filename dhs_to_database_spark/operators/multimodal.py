@@ -3,10 +3,11 @@
 Pattern: image/audio/video payloads are opaque ``binary`` columns with a
 typed metadata struct alongside; all compute over them runs as Arrow-batched
 ``mapInPandas`` (bytes never round-trip through Python row objects).
-``real_image_codec`` is a REAL stdlib-only decoder for PNG and GIF headers
-(struct + zlib CRC validation — true width/height/channels, tested against
-a real PNG fixture through mapInPandas); only formats that genuinely need
-an external library (JPEG entropy decode; ffmpeg/torchaudio media) raise
+``real_image_codec`` is a REAL stdlib-only decoder for PNG, GIF and JPEG
+headers (struct + zlib CRC validation, JPEG SOF marker walk — true
+width/height/channels, tested against real PNG/JPEG fixtures through
+mapInPandas); only formats that genuinely need an external library
+(pixel/entropy decode; ffmpeg/torchaudio media) raise
 ``NotImplementedError``. ``fake_codec`` remains for library-free plumbing
 tests. The Spark-side plumbing — schema, batch shape, partitioning, UDF
 signatures — is oracle-checked via ``multimodal_features`` (byte-length +
@@ -77,11 +78,12 @@ def fake_codec(payload: bytes) -> dict:
 
 
 def real_image_codec(payload: bytes) -> dict:
-    """REAL image metadata decode, stdlib-only (struct + zlib): parses PNG
-    and GIF containers to their true width/height/channel count, validating
-    the PNG IHDR CRC so corrupt headers fail loudly instead of yielding
-    garbage dimensions. Formats whose decode genuinely needs an external
-    library (JPEG entropy decode etc.) raise ``NotImplementedError`` — the
+    """REAL image metadata decode, stdlib-only (struct + zlib): parses
+    PNG, GIF and JPEG containers to their true width/height/channel count,
+    validating the PNG IHDR CRC and JPEG segment structure so corrupt
+    headers fail loudly instead of yielding garbage dimensions. Formats
+    whose decode genuinely needs an external library (audio/video
+    containers; pixel-level decode) raise ``NotImplementedError`` — the
     env-gated stub now covers ONLY what stdlib cannot express.
     """
     import struct
@@ -113,9 +115,41 @@ def real_image_codec(payload: bytes) -> dict:
         # GIF: 6-byte version, then logical screen width/height (LE u16)
         width, height = struct.unpack("<HH", payload[6:10])
         return {"width": width, "height": height, "n_channels": 3, "digest": digest}
+    if payload[:2] == b"\xff\xd8":
+        # JPEG: walk the marker segments after SOI until a start-of-frame
+        # (SOF0-SOF15 minus DHT/JPG/DAC = 0xC0-0xCF minus C4/C8/CC); its
+        # payload is precision(1) height(2) width(2) n_components(1).
+        # This is container/header metadata, not entropy decode — the
+        # pixel decode itself still needs a real library.
+        pos = 2
+        while pos + 4 <= len(payload):
+            if payload[pos] != 0xFF:
+                raise ValueError("malformed JPEG: expected marker byte")
+            marker = payload[pos + 1]
+            if marker == 0xD8 or 0xD0 <= marker <= 0xD7:  # SOI/RSTn: bare
+                pos += 2
+                continue
+            (seglen,) = struct.unpack(">H", payload[pos + 2 : pos + 4])
+            if seglen < 2:
+                raise ValueError("malformed JPEG: segment length < 2")
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                body = payload[pos + 4 : pos + 2 + seglen]
+                if len(body) < 6:
+                    raise ValueError("malformed JPEG: truncated SOF segment")
+                _prec, height, width, n_comp = struct.unpack(">BHHB", body[:6])
+                return {
+                    "width": width,
+                    "height": height,
+                    "n_channels": n_comp,
+                    "digest": digest,
+                }
+            if marker == 0xDA:  # start of scan: no SOF seen -> malformed
+                break
+            pos += 2 + seglen
+        raise ValueError("malformed JPEG: no start-of-frame segment found")
     raise NotImplementedError(
-        "stdlib codec handles PNG/GIF; other formats (e.g. JPEG) require an "
-        "image library not installed in this environment"
+        "stdlib codec handles PNG/GIF/JPEG headers; audio/video containers "
+        "require media libraries not installed in this environment"
     )
 
 

@@ -116,8 +116,33 @@ def test_real_codec_rejects_corrupt_and_unknown():
     png[18] ^= 0xFF  # flip a width byte -> IHDR CRC must catch it
     with pytest.raises(ValueError, match="CRC"):
         real_image_codec(bytes(png))
-    with pytest.raises(NotImplementedError):  # JPEG needs a real library
+    with pytest.raises(ValueError, match="JPEG"):  # corrupt segment length
         real_image_codec(b"\xff\xd8\xff\xe0" + b"\x00" * 32)
+    with pytest.raises(NotImplementedError):  # audio/video need real libs
+        real_image_codec(b"RIFF\x00\x00\x00\x00WAVE" + b"\x00" * 16)
+
+
+def _make_jpeg(width: int, height: int, n_comp: int = 3) -> bytes:
+    """Minimal REAL JPEG header (stdlib only): SOI + APP0(JFIF) + SOF0.
+    No scan data — enough for any header parser to find dimensions."""
+    import struct
+
+    app0 = b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00"
+    sof0 = struct.pack(">BHHB", 8, height, width, n_comp) + b"\x01\x11\x00" * n_comp
+    return (
+        b"\xff\xd8"
+        + b"\xff\xe0" + struct.pack(">H", 2 + len(app0)) + app0
+        + b"\xff\xc0" + struct.pack(">H", 2 + len(sof0)) + sof0
+    )
+
+
+def test_real_codec_decodes_jpeg_header():
+    from dhs_to_database_spark.operators.multimodal import real_image_codec
+
+    out = real_image_codec(_make_jpeg(1920, 1080, 3))
+    assert (out["width"], out["height"], out["n_channels"]) == (1920, 1080, 3)
+    gray = real_image_codec(_make_jpeg(64, 48, 1))
+    assert (gray["width"], gray["height"], gray["n_channels"]) == (64, 48, 1)
 
 
 def test_real_codec_through_mapinpandas(spark):

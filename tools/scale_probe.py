@@ -79,6 +79,8 @@ PROBES = {
     "dedup_incremental_bloom": "documents",
     "window_unique_users": "events",
     "cms_term_estimates": "documents",
+    "doc_perplexity": "documents",
+    "bpe_pair_counts": "documents",
 }
 
 
