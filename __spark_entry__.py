@@ -26,6 +26,7 @@ def _registry():
     # Importing the operator modules populates the registry.
     from dhs_to_database_spark.operators import registry  # noqa: F401
     from dhs_to_database_spark.operators import (  # noqa: F401
+        bpe,
         clustering,
         dedup,
         layout,

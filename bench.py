@@ -84,6 +84,7 @@ BENCH_QUERIES = [
     "wow_growth",
     "doc_perplexity",
     "bpe_pair_counts",
+    "bpe_compression",
 ]
 
 

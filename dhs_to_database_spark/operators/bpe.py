@@ -1,0 +1,246 @@
+"""Byte-pair-encoding tokenizer training and application at corpus scale.
+
+The missing piece between ``bpe_pair_counts`` (one merge-selection
+statistic) and an LLM data pipeline: train a full merge list and apply
+it to the corpus. Structured the way production BPE trainers are
+(Sennrich et al., ACL 2016; HuggingFace tokenizers):
+
+- **Corpus-scale work happens once**: a single map-side-combined shuffle
+  collapses the corpus to the word-frequency VOCAB table. Everything
+  after — the merge loop, the encode — runs on that bounded table
+  (tens of MB even at 100 TB), never on the corpus again.
+- **Training** iterates on a ``(syms array<string>, n)`` DataFrame:
+  each round counts adjacent symbol pairs weighted by word frequency
+  (one tiny shuffle), picks the argmax pair deterministically
+  (count DESC, pair ASC — one-row collect), and rewrites the symbol
+  arrays with an Arrow-batched kernel. Lineage is cut with
+  ``localCheckpoint`` every few rounds (the iterative-algorithm
+  pattern, same as ``similarity.kmeans_fit``).
+- **Encoding** broadcasts the merge-rank dict (merge lists are KB-MB
+  scale) into a ``mapInPandas`` kernel that encodes each DISTINCT word
+  once per batch (memoized), then counts per-document BPE tokens.
+
+``bpe_compression`` registers rows-only: training is an iterative
+fixpoint no single SQL statement expresses (the driver records a
+rows-only check); exact behavior is pinned by unit tests against the
+classic hand-computed BPE example instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+from .registry import query
+
+_EOW = "</w>"
+_CHECKPOINT_EVERY = 4
+
+
+def word_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(w, n) corpus word-frequency table — the ONLY corpus-scale pass."""
+    return (
+        docs.select(
+            F.explode(
+                F.split(
+                    F.regexp_replace(F.lower(F.trim(text_col)), r"\s+", " "), " "
+                )
+            ).alias("w")
+        )
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+
+
+def _merge_pair(syms: list, a: str, b: str) -> list:
+    """One left-to-right merge pass of adjacent (a, b) -> a+b."""
+    out: list = []
+    i = 0
+    while i < len(syms):
+        if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+            out.append(a + b)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
+
+_DRIVER_MAX_VOCAB = 1_000_000
+
+
+def _bpe_train_driver(rows: list, n_merges: int) -> list[tuple[str, str]]:
+    """Pure-python training over a collected (word, count) list — same
+    semantics and tie-break as the DataFrame loop (parity-tested)."""
+    vocab = [(list(w) + [_EOW], n) for w, n in rows]
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        counts: dict[tuple[str, str], int] = {}
+        for syms, n in vocab:
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                counts[p] = counts.get(p, 0) + n
+        if not counts:
+            break
+        # argmax by (count DESC, pair ASC) == min by (-count, pair)
+        pair = min(counts, key=lambda p: (-counts[p], p))
+        if counts[pair] < 2:
+            break
+        merges.append(pair)
+        vocab = [(_merge_pair(syms, *pair), n) for syms, n in vocab]
+    return merges
+
+
+def bpe_train(
+    wc: DataFrame, n_merges: int, driver_max_vocab: int = _DRIVER_MAX_VOCAB
+) -> list[tuple[str, str]]:
+    """Learn up to ``n_merges`` merges from a (w, n) word-count table.
+
+    Stops early when no adjacent pair occurs twice (merging a
+    count-1 pair cannot help compression). Deterministic: ties broken
+    by pair lexicographic order, so any cluster layout learns the same
+    tokenizer.
+
+    Tiered like ``clustering.dedup_components``: when the vocabulary
+    fits comfortably on the driver (it almost always does — production
+    BPE trainers hold the word-count dict in memory; at 100 TB the
+    distinct-word table is ~10-100M rows, and the threshold is a row
+    count, not a guess), collect it once and run the merge loop in
+    python — one Spark job total instead of 2 per merge. Corpora whose
+    vocab exceeds the threshold take the DataFrame loop below, which
+    never materializes the vocab on one node.
+    """
+    import pandas as pd
+
+    vocab_rows = wc.limit(driver_max_vocab + 1).count()
+    if vocab_rows <= driver_max_vocab:
+        return _bpe_train_driver(
+            [(r["w"], r["n"]) for r in wc.collect()], n_merges
+        )
+
+    vocab = wc.select(
+        F.expr(f"array_append(split(w, ''), '{_EOW}')").alias("syms"), "n"
+    ).localCheckpoint(eager=True)
+    merges: list[tuple[str, str]] = []
+    for it in range(n_merges):
+        pairs = (
+            vocab.select(
+                "n",
+                F.explode(
+                    # fully-merged single-symbol words contribute no pairs;
+                    # the guard also avoids Spark's descending-sequence edge
+                    # (sequence(1, 0) is [1, 0], not [])
+                    F.expr(
+                        "CASE WHEN size(syms) < 2 THEN"
+                        " array()::array<struct<a string, b string>>"
+                        " ELSE transform(sequence(1, size(syms) - 1),"
+                        " i -> struct(syms[i - 1] AS a, syms[i] AS b)) END"
+                    )
+                ).alias("p"),
+            )
+            .groupBy("p.a", "p.b")
+            .agg(F.sum("n").alias("c"))
+            .orderBy(F.desc("c"), "a", "b")
+            .limit(1)
+            .collect()
+        )
+        if not pairs or pairs[0]["c"] < 2:
+            break
+        a, b = pairs[0]["a"], pairs[0]["b"]
+        merges.append((a, b))
+
+        def rewrite(batches, a=a, b=b):
+            for pdf in batches:
+                yield pd.DataFrame(
+                    {
+                        "syms": [_merge_pair(list(s), a, b) for s in pdf["syms"]],
+                        "n": pdf["n"],
+                    }
+                )
+
+        vocab = vocab.mapInPandas(rewrite, "syms array<string>, n bigint")
+        if (it + 1) % _CHECKPOINT_EVERY == 0:
+            vocab = vocab.localCheckpoint(eager=True)
+    return merges
+
+
+def bpe_encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
+    """Encode one word with the trained merges, best-rank-first — the
+    standard BPE inference loop."""
+    syms = list(word) + [_EOW]
+    while len(syms) > 1:
+        best = None
+        for i in range(len(syms) - 1):
+            r = ranks.get((syms[i], syms[i + 1]))
+            if r is not None and (best is None or r < best[0]):
+                best = (r, syms[i], syms[i + 1])
+        if best is None:
+            break
+        syms = _merge_pair(syms, best[1], best[2])
+    return syms
+
+
+def bpe_token_counts(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-doc BPE token count vs whitespace word count. The merge-rank
+    dict ships inside the serialized kernel (KB-MB scale — a tokenizer,
+    not data); each distinct word in a batch is encoded once."""
+    import pandas as pd
+
+    ranks = {m: i for i, m in enumerate(merges)}
+    id_type = docs.schema[id_col].dataType.simpleString()
+
+    def encode(batches):
+        memo: dict[str, int] = {}
+        for pdf in batches:
+            n_bpe: list[int] = []
+            n_words: list[int] = []
+            for tx in pdf[text_col]:
+                words = tx.lower().split() if tx else []
+                total = 0
+                for w in words:
+                    if w not in memo:
+                        memo[w] = len(bpe_encode_word(w, ranks))
+                    total += memo[w]
+                n_bpe.append(total)
+                n_words.append(len(words))
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "n_bpe_tokens": pd.Series(n_bpe, dtype="int64"),
+                    "n_words": pd.Series(n_words, dtype="int64"),
+                }
+            )
+
+    return docs.select(id_col, text_col).mapInPandas(
+        encode, f"{id_col} {id_type}, n_bpe_tokens bigint, n_words bigint"
+    )
+
+
+_BPE_N_MERGES = 24
+
+
+@query("bpe_compression")  # iterative training: not SQL-expressible -> rows-only
+def bpe_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train a small BPE tokenizer on the corpus vocab, encode the corpus
+    with it, and report per-doc compression (BPE tokens per word).
+    Deterministic end to end; behavior pinned by unit tests against the
+    hand-computed classic example."""
+    d = load_table(spark, sf_dir, "documents")
+    merges = bpe_train(word_counts(d), _BPE_N_MERGES)
+    return bpe_token_counts(d, merges).select(
+        "doc_id",
+        "n_bpe_tokens",
+        "n_words",
+        F.round(
+            F.col("n_bpe_tokens")
+            / F.when(F.col("n_words") > 0, F.col("n_words")).otherwise(F.lit(None)),
+            4,
+        ).alias("tokens_per_word"),
+    )

@@ -540,3 +540,70 @@ def test_setsim_ppjoin_lossless_on_adversarial_corpus(spark, tmp_path):
     }
     assert expect, "fixture planted no qualifying pair — vacuous"
     assert got == expect
+
+
+def test_bpe_train_learns_the_classic_merges(spark):
+    """The hand-computable corpus from the BPE literature: with words
+    hug x10, pug x5, pun x12, bun x4, hugs x5, the first merges must
+    combine 'u'+'g' (c=20) and then 'u'+'n' (c=16)."""
+    from dhs_to_database_spark.operators.bpe import bpe_train
+
+    wc = spark.createDataFrame(
+        [("hug", 10), ("pug", 5), ("pun", 12), ("bun", 4), ("hugs", 5)],
+        "w string, n bigint",
+    )
+    merges = bpe_train(wc, 4)
+    assert merges[0] == ("u", "g")  # c = 10 + 5 + 5 = 20, unique max
+    # second round ties at 16: ('n','</w>') vs ('u','n') — the documented
+    # deterministic tie-break is lexicographic, so ('n','</w>') wins
+    assert merges[1] == ("n", "</w>")
+    # later merges only combine symbols produced so far
+    alphabet = {"h", "u", "g", "p", "n", "b", "s", "</w>", "ug", "un"}
+    for a, b in merges[2:]:
+        assert set([a, b]) <= alphabet | {a + b for a, b in merges}
+
+
+def test_bpe_encode_applies_ranks_in_order(spark):
+    from dhs_to_database_spark.operators.bpe import bpe_encode_word
+
+    ranks = {("u", "g"): 0, ("h", "ug"): 1, ("u", "n"): 2}
+    assert bpe_encode_word("hug", ranks) == ["hug", "</w>"]
+    assert bpe_encode_word("pun", ranks) == ["p", "un", "</w>"]
+    assert bpe_encode_word("zzz", ranks) == ["z", "z", "z", "</w>"]
+
+
+def test_bpe_compression_counts(spark):
+    """End-to-end on a tiny corpus: encoding never yields more symbols
+    than characters+1 per word, at least 1 per word, and fully-merged
+    repeated words compress to ~1 token."""
+    from dhs_to_database_spark.operators.bpe import (
+        bpe_token_counts,
+        bpe_train,
+        word_counts,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "hug hug hug hug"), (2, "pun bun"), (3, "")],
+        "doc_id bigint, text string",
+    )
+    merges = bpe_train(word_counts(docs), 16)
+    got = {
+        r["doc_id"]: (r["n_bpe_tokens"], r["n_words"])
+        for r in bpe_token_counts(docs, merges).collect()
+    }
+    assert got[3] == (0, 0)
+    assert got[1][1] == 4 and got[1][0] <= 8  # 'hug</w>' fully merged
+    assert got[2][1] == 2 and got[2][0] >= 2
+
+
+def test_bpe_driver_and_dataframe_training_parity(spark):
+    """The tiered paths must learn IDENTICAL merge lists (same tie-break)."""
+    from dhs_to_database_spark.operators.bpe import bpe_train
+
+    wc = spark.createDataFrame(
+        [("hug", 10), ("pug", 5), ("pun", 12), ("bun", 4), ("hugs", 5)],
+        "w string, n bigint",
+    )
+    driver = bpe_train(wc, 6)  # vocab of 5 -> driver tier
+    dataframe = bpe_train(wc, 6, driver_max_vocab=0)  # force DataFrame loop
+    assert driver == dataframe and len(driver) >= 4

@@ -81,6 +81,7 @@ PROBES = {
     "cms_term_estimates": "documents",
     "doc_perplexity": "documents",
     "bpe_pair_counts": "documents",
+    "bpe_compression": "documents",
 }
 
 
