@@ -120,6 +120,8 @@ _GRADE_TAIL = [
     "interval_join_attribution",  # banded-join family: asof_join/funnel_stages graded; streaming twin equivalence-tested
     "doc_perplexity",  # LM-scoring family: importance_weights/token_rarity graded
     "bpe_pair_counts",  # corpus-stats family: pmi_collocations/vocab_stats graded
+    "rich_inactive_customers_sql",  # subquery family: join_anti/agg_having graded
+    "returned_orders_by_priority_sql",  # subquery family: join_semi graded
 ]
 
 

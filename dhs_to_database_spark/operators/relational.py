@@ -1178,3 +1178,67 @@ def mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("m.cnt").alias("mode_n"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Raw ANSI-SQL surface: the engine accepts SQL text directly (spark.sql
+# over registered table views), which matters for reference parity — the
+# reference's whole query surface IS hand-written SQL strings (README.md:
+# 88-129, lib03/lib04 embedded queries). These two queries exercise the
+# hardest SQL-only constructs Catalyst must decorrelate: a correlated
+# NOT EXISTS (null-aware anti join — the rewrite the reference documents
+# doing BY HAND in doc/04_Stage_Readme.txt:44-46, "NOT IN never
+# completes, LEFT JOIN + IS NULL is instant"; Catalyst performs it
+# automatically), a correlated EXISTS (left semi join), and scalar
+# subqueries (broadcast one-row aggregates). The oracle is the SAME SQL
+# text — both engines parse one statement, so this also pins our SQL
+# dialect to ANSI. Money comparisons go through DECIMAL (sum * count
+# cross-multiplication instead of AVG) so no float summation-order
+# divergence can flip the threshold.
+# ---------------------------------------------------------------------------
+
+_Q22_SQL = """
+SELECT c_custkey,
+       CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS acctbal
+FROM customer c
+WHERE c_acctbal > 0.0
+  AND CAST(c_acctbal AS DECIMAL(18,2))
+      * (SELECT COUNT(*) FROM customer WHERE c_acctbal > 0.0)
+      > (SELECT SUM(CAST(c_acctbal AS DECIMAL(18,2)))
+         FROM customer WHERE c_acctbal > 0.0)
+  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                  AND o.o_orderpriority = '1-URGENT')
+ORDER BY c_custkey
+"""
+
+_Q4_SQL = """
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders o
+WHERE EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+def _register_views(spark: SparkSession, sf_dir: str, *tables: str) -> None:
+    for t in tables:
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+
+
+@query("rich_inactive_customers_sql", oracle=_Q22_SQL)
+def rich_inactive_customers_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape, executed AS SQL TEXT: above-average-balance
+    customers with no urgent orders (scalar subqueries + correlated
+    NOT EXISTS with an extra predicate, so the result is non-trivial at
+    every gated SF). The identical statement is the DuckDB oracle."""
+    _register_views(spark, sf_dir, "customer", "orders")
+    return spark.sql(_Q22_SQL)
+
+
+@query("returned_orders_by_priority_sql", oracle=_Q4_SQL)
+def returned_orders_by_priority_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape as SQL text: per-priority counts of orders with at
+    least one returned line (correlated EXISTS -> left semi join)."""
+    _register_views(spark, sf_dir, "orders", "lineitem")
+    return spark.sql(_Q4_SQL)
