@@ -169,6 +169,42 @@ def clicks_before_purchase(events: DataFrame, lookback: str = "1 hour", watermar
     ).select("user_id", "event_id", "purchase_ts", "click_id", "click_ts", "value")
 
 
+def clicks_before_purchase_outer(
+    events: DataFrame, lookback: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """LEFT OUTER stream-stream interval join: like
+    ``clicks_before_purchase``, but purchases with NO qualifying click
+    still emit — once, with null click columns, after the click-side
+    watermark passes ``purchase_ts`` (the latest instant a matching
+    click could still arrive). That deferred-null emission is the part
+    batch left joins get for free and streaming state management must
+    earn: Spark holds each purchase in state until the watermark proves
+    a match impossible, then emits exactly one null row and evicts.
+    Unattributed purchases are the rows a real attribution pipeline
+    alerts on, so dropping them (the inner join) is not an option."""
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select("user_id", F.col("ts").alias("purchase_ts"), "event_id", "value")
+        .withWatermark("purchase_ts", watermark)
+    )
+    return purchases.join(
+        clicks,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr(f"INTERVAL {lookback}")),
+        "leftOuter",
+    ).select("user_id", "event_id", "purchase_ts", "click_id", "click_ts", "value")
+
+
 def enriched_segment_counts(
     events: DataFrame,
     customer_dim: DataFrame,

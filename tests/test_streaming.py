@@ -417,3 +417,57 @@ def test_windowed_unique_users_stream_within_hll_bounds(spark, events_stream):
         exact, n_ev_want = want[w]
         assert n_ev == n_ev_want  # plain counts must be exact
         assert abs(est - exact) <= max(2, 0.1 * exact), (w, est, exact)
+
+
+def test_stream_stream_outer_interval_join_emits_unmatched(spark, events_stream):
+    """Left-outer interval join: the inner rows must equal the batch inner
+    join, and every batch-unmatched purchase older than the final
+    watermark must emit exactly one null-click row (purchases inside the
+    final watermark window may legitimately still be in state)."""
+    import datetime as dt
+
+    from dhs_to_database_spark.streaming.events import clicks_before_purchase_outer
+
+    run_to_memory(clicks_before_purchase_outer(events_stream), "t_ssjo")
+    rows = spark.table("t_ssjo").collect()
+    inner_got = {(r["event_id"], r["click_id"]) for r in rows if r["click_id"] is not None}
+    null_got = [r["event_id"] for r in rows if r["click_id"] is None]
+    assert len(null_got) == len(set(null_got))  # exactly-once null emission
+
+    e = _batch_events(spark)
+    c = e.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    p = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("purchase_ts"), "event_id",
+    )
+    inner_want = {
+        (r["event_id"], r["click_id"])
+        for r in p.join(
+            c,
+            (F.col("user_id") == F.col("c_user"))
+            & (F.col("click_ts") <= F.col("purchase_ts"))
+            & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 1 hour")),
+        ).collect()
+    }
+    assert inner_got == inner_want
+
+    matched = {ev for ev, _ in inner_want}
+    # the global watermark is the MIN of the per-side watermarks (each
+    # side's max event time minus the 2h delay)
+    max_click = e.filter(F.col("event_type") == "click").agg(F.max("ts")).first()[0]
+    max_purch = e.filter(F.col("event_type") == "purchase").agg(F.max("ts")).first()[0]
+    final_wm = min(max_click, max_purch) - dt.timedelta(hours=2)
+    unmatched_all = {
+        r["event_id"]: r["purchase_ts"]
+        for r in p.collect()
+        if r["event_id"] not in matched
+    }
+    must_emit = {
+        ev for ev, ts in unmatched_all.items()
+        if ts < final_wm - dt.timedelta(hours=1, seconds=1)  # lookback margin
+    }
+    assert must_emit, "fixture left no evictable unmatched purchase — vacuous"
+    assert must_emit <= set(null_got)
+    assert set(null_got) <= set(unmatched_all)
