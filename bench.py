@@ -85,6 +85,7 @@ BENCH_QUERIES = [
     "doc_perplexity",
     "bpe_pair_counts",
     "bpe_compression",
+    "pca_embedding_reduce",
 ]
 
 

@@ -675,3 +675,127 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("rrf_score"),
     )
     return fused.orderBy(F.desc("rrf_score"), F.asc("doc_id")).limit(_RRF_TOPK)
+
+
+# ---------------------------------------------------------------------------
+# Distributed PCA for embedding dimensionality reduction — the standard
+# pre-ANN / whitening step (SemDeDup whitens before cosine; IVF/PQ
+# recall improves in decorrelated space). Exact, not sketched:
+#
+# - One narrow Arrow pass accumulates per-partition sufficient
+#   statistics (n, sum vector, d x d Gram matrix as numpy GEMM) — the
+#   treeAggregate pattern: the corpus never shuffles, only one
+#   (1 + d + d^2)-float row per partition reaches the driver (d=64:
+#   ~33 KB/partition at ANY corpus size).
+# - The driver closes the covariance (Gram - n*mu*mu^T)/(n-1), runs
+#   numpy eigh (d x d — microseconds), and fixes each component's sign
+#   deterministically (largest-|coefficient| entry positive) so any
+#   cluster layout yields the SAME basis.
+# - Projection broadcasts the (k x d) component matrix inside an
+#   Arrow-batched kernel: one GEMM per batch, no shuffle.
+#
+# Eigendecomposition is not SQL-expressible -> rows-only registration;
+# exactness is pinned by a numpy-parity test and a monotone
+# explained-variance / reconstruction-error test instead.
+# ---------------------------------------------------------------------------
+
+_PCA_K = 8
+
+
+def pca_fit(vecs: DataFrame, vec_col: str = "embedding", k: int = _PCA_K):
+    """Exact PCA fit. Returns (mean, components, explained_var):
+    mean (d,), components (k, d) row-major principal axes, and the
+    corresponding eigenvalues, sorted descending."""
+    import numpy as np
+    import pandas as pd
+
+    def part_stats(batches):
+        n = 0
+        s = None
+        g = None
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.stack(pdf[vec_col].to_numpy()).astype("float64")
+            n += m.shape[0]
+            s = m.sum(0) if s is None else s + m.sum(0)
+            gg = m.T @ m
+            g = gg if g is None else g + gg
+        if n:
+            yield pd.DataFrame(
+                {"n": [n], "s": [s.tolist()], "g": [g.ravel().tolist()]}
+            )
+
+    rows = vecs.select(vec_col).mapInPandas(
+        part_stats, "n bigint, s array<double>, g array<double>"
+    ).collect()
+    if not rows:
+        raise ValueError("pca_fit: empty input")
+    import numpy as np
+
+    n = sum(r["n"] for r in rows)
+    s = np.sum([np.array(r["s"]) for r in rows], axis=0)
+    d = s.shape[0]
+    g = np.sum([np.array(r["g"]).reshape(d, d) for r in rows], axis=0)
+    mu = s / n
+    cov = (g - n * np.outer(mu, mu)) / max(n - 1, 1)
+    evals, evecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(evals)[::-1][:k]
+    comps = evecs[:, order].T  # (k, d)
+    # deterministic sign: the largest-|coeff| entry of each axis is positive
+    for i in range(comps.shape[0]):
+        j = int(np.argmax(np.abs(comps[i])))
+        if comps[i, j] < 0:
+            comps[i] = -comps[i]
+    return mu, comps, evals[order]
+
+
+def pca_project(
+    vecs: DataFrame,
+    mean,
+    components,
+    vec_col: str = "embedding",
+    out_col: str = "reduced",
+) -> DataFrame:
+    """Project onto the fitted axes: (v - mean) @ components.T, one GEMM
+    per Arrow batch, no shuffle. Keeps all other columns."""
+    import numpy as np
+    import pandas as pd
+
+    mu = np.asarray(mean, dtype="float64")
+    ct = np.asarray(components, dtype="float64").T  # (d, k)
+    fields = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in vecs.schema.fields
+    )
+
+    def project(batches):
+        for pdf in batches:
+            if len(pdf):
+                m = np.stack(pdf[vec_col].to_numpy()).astype("float64")
+                red = (m - mu) @ ct
+                pdf = pdf.assign(**{out_col: list(red)})
+            else:
+                pdf = pdf.assign(**{out_col: []})
+            yield pdf
+
+    return vecs.mapInPandas(project, f"{fields}, {out_col} array<double>")
+
+
+@query("pca_embedding_reduce")  # eigendecomposition: not SQL -> rows-only
+def pca_embedding_reduce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fit exact PCA on the corpus and emit each vector's k-dim
+    projection (rounded for a stable rows-only check) plus its
+    reconstruction error."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    mean, comps, _ = pca_fit(emb)
+    out = pca_project(emb, mean, comps)
+    # ||v - mu||^2 - ||proj||^2 = squared residual (components orthonormal)
+    sq = lambda c: F.aggregate(c, F.lit(0.0), lambda a, x: a + x * x)  # noqa: E731
+    centered = F.zip_with(
+        "embedding", F.lit(mean.tolist()), lambda v, m: v - m
+    )
+    return out.select(
+        "vec_id",
+        F.transform("reduced", lambda x: F.round(x, 6)).alias("reduced"),
+        F.round(sq(centered) - sq(F.col("reduced")), 4).alias("sq_residual"),
+    )

@@ -607,3 +607,51 @@ def test_bpe_driver_and_dataframe_training_parity(spark):
     driver = bpe_train(wc, 6)  # vocab of 5 -> driver tier
     dataframe = bpe_train(wc, 6, driver_max_vocab=0)  # force DataFrame loop
     assert driver == dataframe and len(driver) >= 4
+
+
+def test_pca_matches_numpy_exactly(spark):
+    """Distributed sufficient-statistics PCA == numpy PCA on the collected
+    corpus (same mean, eigenvalues, and sign-fixed components)."""
+    import numpy as np
+
+    from dhs_to_database_spark.operators.similarity import pca_fit
+    from dhs_to_database_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    mean, comps, evals = pca_fit(emb, k=6)
+    m = np.stack([r["embedding"] for r in emb.collect()]).astype("float64")
+    mu = m.mean(0)
+    cov = np.cov(m, rowvar=False)
+    ev, evec = np.linalg.eigh(cov)
+    order = np.argsort(ev)[::-1][:6]
+    want = evec[:, order].T
+    for i in range(want.shape[0]):
+        j = int(np.argmax(np.abs(want[i])))
+        if want[i, j] < 0:
+            want[i] = -want[i]
+    assert np.allclose(mean, mu, atol=1e-9)
+    assert np.allclose(evals, ev[order], atol=1e-7)
+    assert np.allclose(comps, want, atol=1e-7)
+    assert (np.diff(evals) <= 1e-12).all()  # descending variance
+
+
+def test_pca_projection_residual_shrinks_with_k(spark):
+    """Mean reconstruction error must decrease monotonically in k and the
+    k=d projection must reconstruct exactly."""
+    import numpy as np
+
+    from dhs_to_database_spark.operators.similarity import pca_fit, pca_project
+    from dhs_to_database_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings").limit(300)
+    m = np.stack([r["embedding"] for r in emb.collect()]).astype("float64")
+    errs = []
+    for k in (2, 8, 64):
+        mean, comps, _ = pca_fit(emb, k=k)
+        red = np.stack(
+            [r["reduced"] for r in pca_project(emb, mean, comps).collect()]
+        )
+        recon = red @ comps + mean
+        errs.append(float(((m - recon) ** 2).sum(1).mean()))
+    assert errs[0] > errs[1] > errs[2]
+    assert errs[2] < 1e-16 * max(1.0, float((m**2).max()))

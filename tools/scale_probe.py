@@ -82,6 +82,7 @@ PROBES = {
     "doc_perplexity": "documents",
     "bpe_pair_counts": "documents",
     "bpe_compression": "documents",
+    "pca_embedding_reduce": "embeddings",
 }
 
 
