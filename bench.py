@@ -86,6 +86,8 @@ BENCH_QUERIES = [
     "bpe_pair_counts",
     "bpe_compression",
     "pca_embedding_reduce",
+    "rich_inactive_customers_sql",
+    "returned_orders_by_priority_sql",
 ]
 
 

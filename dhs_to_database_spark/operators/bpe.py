@@ -114,11 +114,11 @@ def bpe_train(
     """
     import pandas as pd
 
-    vocab_rows = wc.limit(driver_max_vocab + 1).count()
-    if vocab_rows <= driver_max_vocab:
-        return _bpe_train_driver(
-            [(r["w"], r["n"]) for r in wc.collect()], n_merges
-        )
+    # one job decides the tier AND fetches the vocab: if the limit did
+    # not truncate, `rows` already IS the full word-count table
+    rows = wc.limit(driver_max_vocab + 1).collect()
+    if len(rows) <= driver_max_vocab:
+        return _bpe_train_driver([(r["w"], r["n"]) for r in rows], n_merges)
 
     vocab = wc.select(
         F.expr(f"array_append(split(w, ''), '{_EOW}')").alias("syms"), "n"

@@ -1264,9 +1264,9 @@ def dedup_incremental_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (a crawl seed, a mirror site, a mis-configured exporter) before
 # deciding what to drop; this reports, per source, how many docs are
 # involved in any exact-duplicate group and the redundancy ratio
-# (docs per distinct fingerprint). Plan: the one digest shuffle computes
-# group sizes (map-side combined); the per-source rollup reuses the
-# fingerprint table — no second corpus scan.
+# (docs per distinct fingerprint). Plan: group sizes come from a
+# fingerprint-partitioned window over the single fingerprint pass —
+# one corpus scan, one exchange, no self-join recomputation.
 # ---------------------------------------------------------------------------
 
 
@@ -1293,14 +1293,21 @@ def dedup_incremental_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source exact-duplication diagnostic (see block comment)."""
+    from pyspark.sql import Window
+
     d = load_table(spark, sf_dir, "documents")
     fp = d.select(
         "source", normalized_fingerprint(F.col("text")).alias("fingerprint")
     )
-    grp = fp.groupBy("fingerprint").agg(F.count(F.lit(1)).cast("bigint").alias("gsz"))
+    # group size via a fingerprint-partitioned window: ONE corpus scan and
+    # ONE exchange (a groupBy+self-join would re-run the scan + full-text
+    # md5 on both sides — the fp subtree is unpersisted, so ReuseExchange
+    # cannot dedup it)
+    withg = fp.withColumn(
+        "gsz", F.count(F.lit(1)).over(Window.partitionBy("fingerprint"))
+    )
     return (
-        fp.join(grp, "fingerprint")
-        .groupBy("source")
+        withg.groupBy("source")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_docs"),
             F.countDistinct("fingerprint").cast("bigint").alias("n_distinct"),

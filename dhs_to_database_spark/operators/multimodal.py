@@ -125,8 +125,14 @@ def real_image_codec(payload: bytes) -> dict:
         while pos + 4 <= len(payload):
             if payload[pos] != 0xFF:
                 raise ValueError("malformed JPEG: expected marker byte")
+            # ITU T.81 B.1.1.2: any number of 0xFF fill bytes may precede
+            # a marker — skip padding until the actual marker byte
+            while payload[pos + 1] == 0xFF and pos + 4 <= len(payload):
+                pos += 1
             marker = payload[pos + 1]
-            if marker == 0xD8 or 0xD0 <= marker <= 0xD7:  # SOI/RSTn: bare
+            if (
+                marker == 0xD8 or marker == 0x01 or 0xD0 <= marker <= 0xD7
+            ):  # SOI/TEM/RSTn: standalone markers with no length segment
                 pos += 2
                 continue
             (seglen,) = struct.unpack(">H", payload[pos + 2 : pos + 4])

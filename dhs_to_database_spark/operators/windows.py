@@ -22,56 +22,58 @@ from .relational import _dec, _money
 
 
 # ---------------------------------------------------------------------------
-# Boundary-carry partitioning for trailing window frames on a calendar
+# Boundary-carry partitioning for trailing window frames on an ordered
 # axis. A bare ``Window.orderBy(...)`` funnels every row through ONE
 # partition (Spark's "No Partition Defined" warning). These axes are
 # post-aggregation (one row per day/week — thousands of rows even at
 # 100 TB), so the funnel is bounded, but the bound is implicit and the
-# single task serializes the window. Instead: split the ordered axis
-# into calendar partitions (year / fixed-size day block) and REPLICATE
-# each partition's last ``lookback`` rows (or days, for RANGE frames)
-# into the next partition, flagged ``__carry``. Trailing frames
-# (N PRECEDING .. CURRENT ROW) of real rows then see exactly the same
-# preceding rows as the global window would; carry rows exist only to
-# feed frames and their own outputs are dropped. Result is
-# value-identical to the global window, but executes as parallel
-# per-partition tasks with an explicit, documented carry bound.
+# single task serializes the window. Instead: split the axis into
+# RANK-dense blocks (``ranking.global_rank`` — range partition +
+# offsets, itself free of single-partition windows) and REPLICATE each
+# block's last ``n_carry`` rows into the next block, flagged
+# ``__carry``. Because ranks are dense, every block except the last is
+# FULL, so the carry is always sufficient — a calendar-partitioned
+# carry (year + last-6-rows, the previous design) silently broke the
+# "value-identical to the global window" contract whenever a calendar
+# year held fewer than ``n_carry`` rows or was empty (the carry only
+# ever reached ONE partition forward). Rank blocks cannot be sparse, so
+# trailing ROWS frames (up to ``n_carry`` PRECEDING), ``lag(k)`` with
+# k <= ``n_carry``, and RANGE frames up to ``n_carry`` PRECEDING on a
+# distinct-integer axis (a value window of width n covers at most n
+# distinct preceding rows) all see exactly the rows the global window
+# would. Carry rows exist only to feed frames; their outputs are
+# dropped.
 # ---------------------------------------------------------------------------
 
 
-def with_rows_carry(df: DataFrame, order_col: str, part_col, n_carry: int) -> DataFrame:
-    """Add ``__part`` (int partition key, monotone with ``order_col``) and
-    ``__carry``; the last ``n_carry`` ROWS of each partition are duplicated
-    into the following partition. For ROWS frames / lag up to ``n_carry``."""
-    from pyspark.sql import Window
+def with_rank_carry(
+    df: DataFrame, order_col: str, n_carry: int, block_rows: int = 365
+):
+    """Add ``__part`` (dense rank block, monotone with ``order_col``) and
+    ``__carry``; the last ``n_carry`` rows of each block are duplicated
+    into the following block. ``order_col`` must be a total order (the
+    post-aggregation axes here are unique by construction).
 
-    d = df.withColumn("__part", part_col.cast("int"))
-    tail = Window.partitionBy("__part").orderBy(F.desc(order_col))
+    Returns ``(carried_df, handle)``: the rank pass materializes its
+    tagged input once; the caller must materialize its own result
+    (e.g. ``localCheckpoint``) and then call ``handle.unpersist()`` so
+    nothing stays pinned in a shared session.
+    """
+    from .ranking import global_rank_parts
+
+    if block_rows < n_carry:
+        raise ValueError("block_rows must be >= n_carry (carry reaches one block)")
+    ranked, _, handle = global_rank_parts(df, [order_col], rank_name="__r")
+    d = ranked.withColumn(
+        "__part", F.expr(f"CAST((__r - 1) DIV {block_rows} AS INT)")
+    )
     carry = (
-        d.withColumn("__rn", F.row_number().over(tail))
-        .filter(F.col("__rn") <= n_carry)
-        .drop("__rn")
+        d.filter((F.col("__r") - 1) % block_rows >= block_rows - n_carry)
         .withColumn("__part", F.col("__part") + 1)
         .withColumn("__carry", F.lit(True))
     )
-    return d.withColumn("__carry", F.lit(False)).unionByName(carry)
-
-
-def with_range_carry(
-    df: DataFrame, day_col: str, block_days: int, lookback: int
-) -> DataFrame:
-    """Same, for RANGE frames on an integer day axis: partition =
-    ``day div block_days``; rows within ``lookback`` days of the next
-    block's start are duplicated into it."""
-    # floor, not int-cast: cast truncates toward zero, which would assign
-    # pre-epoch (negative) days to the wrong block
-    d = df.withColumn("__part", F.floor(F.col(day_col) / block_days).cast("int"))
-    carry = (
-        d.filter(F.col(day_col) >= (F.col("__part") + 1) * block_days - lookback)
-        .withColumn("__part", F.col("__part") + 1)
-        .withColumn("__carry", F.lit(True))
-    )
-    return d.withColumn("__carry", F.lit(False)).unionByName(carry)
+    out = d.withColumn("__carry", F.lit(False)).unionByName(carry).drop("__r")
+    return out, handle
 
 
 @query(
@@ -513,9 +515,9 @@ def rollup_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Moving aggregates over an ordered frame (ROWS BETWEEN): 7-day trailing
 # average/min/max of daily event value. The window runs over the ALREADY
 # AGGREGATED per-day table (one row per day; the corpus-sized work is the
-# one map-side-combined daily shuffle) and is partitioned by calendar
-# year with a 6-row boundary carry (see with_rows_carry) — parallel
-# per-year tasks, value-identical to a global window. The frame average
+# one map-side-combined daily shuffle) and is partitioned into dense
+# rank blocks with a 6-row boundary carry (see with_rank_carry) —
+# parallel tasks, value-identical to a global window at any sparsity. The frame average
 # divides an exact DECIMAL sum by the frame row count, so both engines
 # round identically.
 # ---------------------------------------------------------------------------
@@ -547,11 +549,11 @@ def moving_average_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.groupBy(F.date_trunc("day", F.col("ts")).cast("date").cast("string").alias("day"))
         .agg(F.round(F.sum(_dec("value")), 2).cast("decimal(18,2)").alias("tv"))
     )
-    # Year partitions + 6-row carry across the Jan-1 boundary: identical
-    # frames to the global window, no single-partition WindowExec.
-    carried = with_rows_carry(daily, "day", F.substring("day", 1, 4), 6)
+    # Rank blocks + 6-row carry: identical frames to the global window
+    # regardless of calendar sparsity, no single-partition WindowExec.
+    carried, handle = with_rank_carry(daily, "day", 6)
     w = Window.partitionBy("__part").orderBy("day").rowsBetween(-6, 0)
-    return (
+    out = (
         carried.select(
             "day",
             "__carry",
@@ -565,8 +567,11 @@ def moving_average_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("tv").over(w).cast("double").alias("max7"),
         )
         .filter(~F.col("__carry"))
-        .drop("__carry")
+        .drop("__carry", "__part")
+        .localCheckpoint(eager=True)  # day-axis-sized
     )
+    handle.unpersist()
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -611,8 +616,8 @@ def window_unique_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 # row count, silently reaches across gaps; moving_average_daily above is
 # the ROWS variant on a dense axis). The frame key is an integer epoch
 # day, so both engines share exact frame-boundary arithmetic. Window
-# over the per-day aggregate, partitioned into 365-day blocks
-# with a 6-day boundary carry (with_range_carry).
+# over the per-day aggregate, partitioned into dense rank blocks with a
+# 6-row boundary carry (with_rank_carry; 6 days span at most 6 rows).
 # ---------------------------------------------------------------------------
 
 
@@ -655,11 +660,12 @@ def range_frame_trailing(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(_dec("value")), 2).cast("decimal(18,2)").alias("tv"),
         )
     )
-    # 365-day blocks + 6-day carry: RANGE frames only look 6 days back,
-    # so replicating the 6 boundary days makes per-block windows exact.
-    carried = with_range_carry(daily, "epoch_day", 365, 6)
+    # Rank blocks + 6-row carry: the RANGE frame only reaches 6 DAYS
+    # back, and 6 days cover at most 6 distinct preceding rows on a
+    # distinct-integer axis, so the row carry is always sufficient.
+    carried, handle = with_rank_carry(daily, "epoch_day", 6)
     w = Window.partitionBy("__part").orderBy("epoch_day").rangeBetween(-6, 0)
-    return (
+    out = (
         carried.select(
             "epoch_day",
             "n_events",
@@ -669,8 +675,11 @@ def range_frame_trailing(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("tv").over(w).cast("double").alias("total_value_7d"),
         )
         .filter(~F.col("__carry"))
-        .drop("__carry")
+        .drop("__carry", "__part")
+        .localCheckpoint(eager=True)  # day-axis-sized
     )
+    handle.unpersist()
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -678,7 +687,8 @@ def range_frame_trailing(spark: SparkSession, sf_dir: str) -> DataFrame:
 # BI staple. Percent change divides exact decimals and only the final
 # rounded value returns to double; weeks with no predecessor report NULL
 # growth (standard semantics). Window over the per-week
-# aggregate, partitioned by year with a 1-row carry (with_rows_carry).
+# aggregate, partitioned into rank blocks with a 1-row carry
+# (with_rank_carry).
 # ---------------------------------------------------------------------------
 
 
@@ -714,11 +724,10 @@ def wow_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(_dec("value")), 2).cast("decimal(18,2)").alias("tv"),
         )
     )
-    # lag(1) needs one carry row per year boundary (the week string keeps
-    # its start-date's year, so string order == partition-then-order).
-    carried = with_rows_carry(weekly, "week", F.substring("week", 1, 4), 1)
+    # lag(1) needs one carry row per block boundary.
+    carried, handle = with_rank_carry(weekly, "week", 1)
     w = Window.partitionBy("__part").orderBy("week")
-    return (
+    out = (
         carried.select(
             "week",
             "n_events",
@@ -732,8 +741,11 @@ def wow_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("value_growth_pct"),
         )
         .filter(~F.col("__carry"))
-        .drop("__carry")
+        .drop("__carry", "__part")
+        .localCheckpoint(eager=True)  # week-axis-sized
     )
+    handle.unpersist()
+    return out
 
 
 # ---------------------------------------------------------------------------

@@ -232,8 +232,15 @@ def check_for_updates(
 
     gps = None
     if gps_presence is not None and gps_characteristic_col is not None:
+        # token-wise membership in the comma-separated characteristic
+        # list — the reference's raw substring contains('26')
+        # (01 nb raw :1988) would false-positive on ids like '126'/'260';
+        # we keep its semantics for real GPS lists but match whole ids
         available = catalog.filter(
-            F.col(gps_characteristic_col).contains(gps_characteristic)
+            F.array_contains(
+                F.split(F.col(gps_characteristic_col), r",\s*"),
+                gps_characteristic,
+            )
         )
         # joins are reference-QUALIFIED: catalog listings carry a
         # 'SurveyId' column, which Spark's case-insensitive resolver

@@ -145,6 +145,18 @@ def test_real_codec_decodes_jpeg_header():
     assert (gray["width"], gray["height"], gray["n_channels"]) == (64, 48, 1)
 
 
+def test_real_codec_jpeg_fill_bytes_and_tem():
+    """ITU T.81 B.1.1.2 allows 0xFF padding before any marker, and TEM
+    (0xFF01) is a standalone marker — both must be walked over."""
+    from dhs_to_database_spark.operators.multimodal import real_image_codec
+
+    j = _make_jpeg(320, 240, 3)
+    # inject fill bytes + a TEM marker between SOI and APP0
+    padded = j[:2] + b"\xff\xff\xff" + b"\xff\x01" + j[2:]
+    out = real_image_codec(padded)
+    assert (out["width"], out["height"], out["n_channels"]) == (320, 240, 3)
+
+
 def test_real_codec_through_mapinpandas(spark):
     """Judge r2 item 4: a real PNG fixture decoded through the Spark
     decode path (Arrow-batched mapInPandas) yields TRUE dimensions."""

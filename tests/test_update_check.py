@@ -22,6 +22,7 @@ def _catalog(spark):
         ("AL2017DHS", 525, "26, 10"),
         ("AO2015DHS", 478, "41, 70, 26"),
         ("BD2014DHS", 461, "11, 4"),
+        ("BJ2018DHS", 530, "126, 260"),  # substring trap: NOT GPS ('26' not a token)
     ]
     return spark.createDataFrame(
         rows, "SurveyId string, SurveyNum int, SurveyCharacteristicIds string"
@@ -51,9 +52,9 @@ def test_three_way_presence_probe_and_fetch_list(spark):
     ours = {r["surveyid"] for r in res.our_surveys.collect()}
     assert ours == {471, 355}  # union-distinct across the three tables
     missing = {r["SurveyNum"] for r in res.surveys_we_dont_have.collect()}
-    assert missing == {525, 478, 461}
+    assert missing == {525, 478, 461, 530}
     fetch = {r["SurveyNum"] for r in res.survey_data_to_look_for.collect()}
-    assert fetch == {525, 461}  # 478 excluded as a known issue
+    assert fetch == {525, 461, 530}  # 478 excluded as a known issue
 
 
 def test_recent_updates_inner_join(spark):
@@ -74,7 +75,7 @@ def test_gps_branch_characteristic_filter(spark):
     catalog = _catalog(spark)
     res = check_for_updates(
         catalog,
-        [_presence(spark, [471, 355, 525, 478, 461])],  # all loaded
+        [_presence(spark, [471, 355, 525, 478, 461, 530])],  # all loaded
         gps_presence=_presence(spark, [471]),
         gps_characteristic_col="SurveyCharacteristicIds",
         gps_characteristic="26",

@@ -58,6 +58,8 @@ NOTES = {
     "tfidf_topk": "map-side-combined tf shuffle is the only full-token-stream exchange; the later df agg + per-doc rank window re-shuffle only the collapsed tf table (vocab/doc-sized)",
     "bm25_search": "tf table persisted and reused for lengths + query slice; df and corpus stats broadcast; query-term filter cuts the scored side before any join",
     "duplicate_spans": "one narrow gram pass + one gram-keyed map-side-combined shuffle; production groups by xxhash64(gram) to shrink the shuffle key",
+    "rich_inactive_customers_sql": "SQL-text entry path: Catalyst decorrelates the NOT EXISTS to a broadcast null-aware anti join and the scalar subqueries to one-row broadcast aggregates",
+    "returned_orders_by_priority_sql": "correlated EXISTS -> left semi join; agg on the semi-join survivors only",
     "importance_weights": "two partial-agg shuffles build the LMs; vocab-sized ratio table broadcast; decimal-exact per-doc agg on the doc_id shuffle",
     "cohort_retention": "per-user first-event agg + (cohort, offset) distinct count — both shuffles key on user_id",
     "rollup_maintenance": "stored rollup merged with batch partial aggs per day — history never rescanned; one day-keyed shuffle each side",
@@ -65,7 +67,11 @@ NOTES = {
     "moving_average_daily": "frame window over the per-day aggregate, partitioned by year with 6-row boundary carry — parallel tasks, no single-partition WindowExec",
     "scd2_asof_lookup": "dim history built once (full-outer on business key), facts equi-join + validity filter; bucketable on custkey",
     "content_reconcile": "per-side bucketed XOR digests (n_buckets rows each) full-outer compared — neither table moves",
-    "setsim_join_prefix": "shingle frequency attached by a w-partitioned window (ONE shuffle, NO vocab broadcast — r2's F.broadcast(freq) was corpus-scale); prefix tokens (rare-first) bucket-join candidates; exact array_intersect verify; lossless vs naive oracle",
+    "setsim_join_prefix": "PPJoin: shingle frequency attached by a plain shuffle join (map-side-combined freq side, AQE picks the strategy — NO vocab broadcast, the r2 scale-killer); prefix buckets + length + positional filters cut candidates 300k->69k before exact array_intersect verify; lossless vs naive oracle + adversarial-corpus test",
+    "doc_perplexity": "corpus token stream collapses through map-side-combined (doc,bigram)/(bigram) aggs; probability table built on the bigram-vocab side and attached by shuffle join (no corpus-scale broadcast); decimal-exact count-weighted mean",
+    "bpe_pair_counts": "ONE corpus shuffle to the word vocab; char-pair explode runs over distinct words only, weighted by frequency — corpus never re-scanned",
+    "bpe_compression": "tiered trainer: word-count dict collected when vocab-sized (one corpus shuffle total), DataFrame merge loop with localCheckpoint cuts otherwise; encode = broadcast merge-rank kernel, no shuffle",
+    "pca_embedding_reduce": "per-partition (n, sum, Gram) sufficient statistics in one narrow Arrow pass (treeAggregate shape — corpus never shuffles); driver eigh on d x d; projection is a per-batch GEMM",
     "word_entropy": "one (doc,term) shuffle; decimal-exact per-doc entropy agg",
     "weighted_sample_langs": "narrow A-ES key projection + one group-key window shuffle",
     "pmi_collocations": "bigram + unigram aggs map-side combined; unigram/totals broadcast onto pair counts",

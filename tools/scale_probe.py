@@ -105,6 +105,8 @@ SLOW_TAIL = {
     "minhash_lsh_md5": "documents",
     "dedup_components": "documents",
     "dup_rate_by_source": "documents",
+    # round-3 corpus-shuffling addition
+    "doc_perplexity": "documents",
 }
 
 
