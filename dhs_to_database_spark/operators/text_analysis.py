@@ -1132,7 +1132,16 @@ def doc_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("p"),
     ).select("doc_id", "p.w1", "p.w2")
-    bigrams.persist()
+    # ONE pass over the raw bigram stream (the map-side-combined
+    # (doc, bigram) agg); the model table is a second-level agg OF THE
+    # COLLAPSED table, so only dbg — already bigram-vocab x doc sized,
+    # not corpus-stream sized — is persisted for reuse in the scoring
+    # join. The unigram LM is its own narrow tokenize pass (recomputing
+    # the split beats caching the corpus-scale token stream).
+    dbg = bigrams.groupBy("doc_id", "w1", "w2").agg(
+        F.count(F.lit(1)).cast("bigint").alias("k")
+    )
+    dbg.persist()
     try:
         uni = (
             toks.select(F.explode("t").alias("w"))
@@ -1144,11 +1153,8 @@ def doc_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("c1").cast("bigint").alias("t_tokens"),
             F.count(F.lit(1)).cast("bigint").alias("v"),
         )
-        dbg = bigrams.groupBy("doc_id", "w1", "w2").agg(
-            F.count(F.lit(1)).cast("bigint").alias("k")
-        )
-        model = bigrams.groupBy("w1", "w2").agg(
-            F.count(F.lit(1)).cast("bigint").alias("c2")
+        model = dbg.groupBy("w1", "w2").agg(
+            F.sum("k").cast("bigint").alias("c2")
         )
         ua = uni.select(F.col("w").alias("w1"), F.col("c1").alias("c1_a"))
         ub = uni.select(F.col("w").alias("w2"), F.col("c1").alias("c1_b"))
@@ -1181,7 +1187,7 @@ def doc_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint(eager=True)
         )
     finally:
-        bigrams.unpersist()
+        dbg.unpersist()
     return out
 
 
