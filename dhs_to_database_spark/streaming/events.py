@@ -181,7 +181,9 @@ def clicks_before_purchase_outer(
     earn: Spark holds each purchase in state until the watermark proves
     a match impossible, then emits exactly one null row and evicts.
     Unattributed purchases are the rows a real attribution pipeline
-    alerts on, so dropping them (the inner join) is not an option."""
+    alerts on, so dropping them (the inner join) is not an option.
+    Graded batch twin: ``operators.windows.interval_join_attribution``
+    (a LEFT join whose click-less purchases report 0/NULL)."""
     clicks = (
         events.filter(F.col("event_type") == "click")
         .select(
