@@ -64,7 +64,7 @@ NOTES = {
     "cohort_retention": "per-user first-event agg + (cohort, offset) distinct count — both shuffles key on user_id",
     "rollup_maintenance": "stored rollup merged with batch partial aggs per day — history never rescanned; one day-keyed shuffle each side",
     "value_histogram": "bucket id is constant-folded arithmetic in codegen; one map-side-combined shuffle",
-    "moving_average_daily": "frame window over the per-day aggregate, partitioned by year with 6-row boundary carry — parallel tasks, no single-partition WindowExec",
+    "moving_average_daily": "frame window over the per-day aggregate in dense rank blocks (global_rank range-partition pass) with 6-row carry — exact at any calendar sparsity, no single-partition WindowExec",
     "scd2_asof_lookup": "dim history built once (full-outer on business key), facts equi-join + validity filter; bucketable on custkey",
     "content_reconcile": "per-side bucketed XOR digests (n_buckets rows each) full-outer compared — neither table moves",
     "setsim_join_prefix": "PPJoin: shingle frequency attached by a plain shuffle join (map-side-combined freq side, AQE picks the strategy — NO vocab broadcast, the r2 scale-killer); prefix buckets + length + positional filters cut candidates 300k->69k before exact array_intersect verify; lossless vs naive oracle + adversarial-corpus test",
@@ -81,11 +81,11 @@ NOTES = {
     "spearman_length_tokens": "two range-partitioned global-rank passes + 1-row aggregate — no single-partition window",
     "dedup_incremental_bloom": "corpus summarized into a broadcast bloom blob (narrow pass + driver OR-merge); only bloom-positive candidates reach the verify join",
     "temperature_mix": "one map-side-combined lang agg; 1-row total + normalizer broadcast — everything after the first shuffle is dozens of rows",
-    "dup_rate_by_source": "one digest shuffle builds group sizes; per-source rollup reuses the fingerprint table (no second corpus scan)",
+    "dup_rate_by_source": "group sizes from a fingerprint-partitioned window over ONE corpus scan/exchange (a groupBy+self-join would recompute the scan and full-text md5 on both sides)",
     "interval_join_attribution": "both filtered event slices shuffle once on user_id; time band is a join residual inside each merge group — no quadratic risk past the equi key",
     "survey_update_check": "stage-1 composite: three DISTINCT presence probes union-distinct (map-side combined), catalog side anti-joined twice; nation dim broadcast",
-    "range_frame_trailing": "RANGE window over the per-day aggregate in 365-day blocks with 6-day carry — no single-partition WindowExec",
-    "wow_growth": "lag window over the per-week aggregate, year-partitioned with 1-row carry",
+    "range_frame_trailing": "RANGE window over the per-day aggregate in dense rank blocks with 6-row carry (6 days span at most 6 rows on a distinct-day axis) — no single-partition WindowExec",
+    "wow_growth": "lag window over the per-week aggregate in dense rank blocks with 1-row carry",
     "hybrid_search_rrf": "both branches top-k-bounded before the fusion full-outer join; ranks via array-sort aggregate (no global WindowExec); corpus work stays in branches",
 }
 
