@@ -122,6 +122,7 @@ _GRADE_TAIL = [
     "bpe_pair_counts",  # corpus-stats family: pmi_collocations/vocab_stats graded
     "rich_inactive_customers_sql",  # subquery family: join_anti/agg_having graded
     "returned_orders_by_priority_sql",  # subquery family: join_semi graded
+    "dq_checks_orders",  # reconciliation family: rowcount_reconcile/duplicate_load graded
 ]
 
 

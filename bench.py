@@ -88,6 +88,7 @@ BENCH_QUERIES = [
     "pca_embedding_reduce",
     "rich_inactive_customers_sql",
     "returned_orders_by_priority_sql",
+    "dq_checks_orders",
 ]
 
 

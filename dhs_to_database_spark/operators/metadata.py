@@ -666,3 +666,88 @@ def survey_update_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_mktsegment").alias("mktsegment"),
         F.col("n_name").alias("nation"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Declarative data-quality checks (Deequ/dbt-test style): a rule set —
+# uniqueness, not-null, value domain, numeric range, referential
+# integrity — evaluated against a table and emitted as one row per rule
+# with its violation count. The reference's reconciliation queries ARE
+# this in ad-hoc form (rowcount lib04:517-524, dup detectors 03 nb raw
+# :993-1140, sentinel checks lib03:176-192); this operator packages the
+# pattern declaratively. Plan: every scalar rule folds into ONE
+# aggregation pass over the table (conditional counts, map-side
+# combined; exact uniqueness adds one distinct shuffle), and the
+# referential rule is a broadcast-able anti-join count — both 1-row
+# frames cross-joined and unpivoted, so the checks cost two corpus
+# passes regardless of how many rules run.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dq_checks_orders",
+    oracle="""
+    WITH agg AS (
+      SELECT
+        CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT) AS u,
+        CAST(COUNT(*) FILTER (WHERE o_custkey IS NULL) AS BIGINT) AS nn,
+        CAST(COUNT(*) FILTER (WHERE o_totalprice < 0) AS BIGINT) AS rng,
+        CAST(COUNT(*) FILTER (WHERE o_orderstatus NOT IN ('O','F','P')) AS BIGINT) AS dom,
+        CAST(COUNT(*) FILTER (WHERE o_orderdate < DATE '1990-01-01'
+                               OR o_orderdate >= DATE '2030-01-01') AS BIGINT) AS fresh
+      FROM orders
+    ),
+    ref AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS fk FROM orders o
+      WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+    ),
+    v AS (SELECT * FROM agg CROSS JOIN ref),
+    long AS (
+      SELECT 'orderkey_unique' AS rule, u AS violations FROM v
+      UNION ALL SELECT 'custkey_not_null', nn FROM v
+      UNION ALL SELECT 'totalprice_nonnegative', rng FROM v
+      UNION ALL SELECT 'status_in_domain', dom FROM v
+      UNION ALL SELECT 'orderdate_in_range', fresh FROM v
+      UNION ALL SELECT 'custkey_references_customer', fk FROM v
+    )
+    SELECT rule, violations, violations = 0 AS passed
+    FROM long ORDER BY rule
+    """,
+)
+def dq_checks_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Six declarative quality rules over ``orders`` in two corpus
+    passes: one multi-conditional aggregation + one referential
+    anti-join count (see block comment)."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    viol = lambda cond: F.sum(F.when(cond, 1).otherwise(0)).cast("bigint")  # noqa: E731
+    agg = o.agg(
+        (F.count(F.lit(1)) - F.countDistinct("o_orderkey"))
+        .cast("bigint")
+        .alias("u"),
+        viol(F.col("o_custkey").isNull()).alias("nn"),
+        viol(F.col("o_totalprice") < 0).alias("rng"),
+        viol(~F.col("o_orderstatus").isin("O", "F", "P")).alias("dom"),
+        viol(
+            (F.col("o_orderdate") < F.lit("1990-01-01").cast("date"))
+            | (F.col("o_orderdate") >= F.lit("2030-01-01").cast("date"))
+        ).alias("fresh"),
+    )
+    ref = (
+        o.join(c, o["o_custkey"] == c["c_custkey"], "left_anti")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("fk"))
+    )
+    v = agg.crossJoin(F.broadcast(ref))
+    long = v.selectExpr(
+        "stack(6,"
+        " 'orderkey_unique', u,"
+        " 'custkey_not_null', nn,"
+        " 'totalprice_nonnegative', rng,"
+        " 'status_in_domain', dom,"
+        " 'orderdate_in_range', fresh,"
+        " 'custkey_references_customer', fk"
+        ") AS (rule, violations)"
+    )
+    return long.select(
+        "rule", "violations", (F.col("violations") == 0).alias("passed")
+    ).orderBy("rule")

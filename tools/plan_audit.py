@@ -59,6 +59,7 @@ NOTES = {
     "bm25_search": "tf table persisted and reused for lengths + query slice; df and corpus stats broadcast; query-term filter cuts the scored side before any join",
     "duplicate_spans": "one narrow gram pass + one gram-keyed map-side-combined shuffle; production groups by xxhash64(gram) to shrink the shuffle key",
     "rich_inactive_customers_sql": "SQL-text entry path: Catalyst decorrelates the NOT EXISTS to a broadcast null-aware anti join and the scalar subqueries to one-row broadcast aggregates",
+    "dq_checks_orders": "six rules in two corpus passes: one multi-conditional agg (exact uniqueness adds the distinct shuffle) + one anti-join count; 1-row frames cross-joined and stacked",
     "returned_orders_by_priority_sql": "correlated EXISTS -> left semi join; agg on the semi-join survivors only",
     "importance_weights": "two partial-agg shuffles build the LMs; vocab-sized ratio table broadcast; decimal-exact per-doc agg on the doc_id shuffle",
     "cohort_retention": "per-user first-event agg + (cohort, offset) distinct count — both shuffles key on user_id",

@@ -83,6 +83,7 @@ PROBES = {
     "bpe_pair_counts": "documents",
     "bpe_compression": "documents",
     "pca_embedding_reduce": "embeddings",
+    "dq_checks_orders": "orders",
 }
 
 
