@@ -698,23 +698,56 @@ def duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # Oracle-checkable MinHash+LSH: identical pipeline to minhash_near_dup but
-# the permutation family derives from md5 (first 15 hex chars -> 60-bit
-# non-negative BIGINT), which DuckDB reproduces bit-for-bit — so the WHOLE
-# LSH path (signatures -> banding -> candidate pairs -> estimated Jaccard)
-# is hash-verified by the driver, not just rows-only. The signature table
-# here is relational (doc_id, i, m) rather than an array column: 16 rows
-# per doc, so banding and verification are plain joins/aggs both engines
-# share. md5 costs ~4x xxhash64 per shingle — production keeps the
-# xxhash64 variant; this one exists to pin the algorithm exactly.
+# with an engine-portable hash family, so the WHOLE LSH path (signatures ->
+# banding -> candidate pairs -> estimated Jaccard) is hash-verified by the
+# driver, not just rows-only. Shingle identity is one md5 per shingle
+# (first 7 hex chars -> 28-bit non-negative BIGINT); the 16 permutations
+# are a classic universal family m_i = (a_i*h + b_i) mod p with
+# p = 2^31 - 1 (Mersenne prime) and fixed literal coefficients — pure
+# 64-bit integer math both engines share bit-for-bit (a*h < 2^59, no
+# overflow), replacing the r3 design's 16 EXTRA md5 calls per shingle
+# (the "heavy constant" behind 71.8 s at sf1, SCALING.md). The Spark
+# signature is computed as ONE map-side-combined groupBy with 16 MIN
+# columns — no 16x crossJoin explode, so shuffle volume is docs x 17
+# columns instead of shingles x 16 rows — and verification compares the
+# 16 wide columns in a single projection (one join per side, no 16-row
+# per-doc signature join). The oracle keeps the relational (doc_id,i,m)
+# form (SQL-natural) with the SAME family, and pre-filters bands through
+# `capped` BEFORE the pair self-join so the uncapped bands x bands
+# product is never materialized (the r3 oracle-side blowup).
 # ---------------------------------------------------------------------------
 
 _MD5_N_HASHES = 16
 _MD5_ROWS_PER_BAND = 4  # -> 4 bands
+_MH_P = 2147483647  # 2^31 - 1
+#: Fixed universal-hash coefficients (a_i, b_i), random.Random(20260814);
+#: mirrored literally in the oracle's `perms` VALUES list.
+_MH_PERMS = [
+    (1571058545, 730493951),
+    (1660058740, 1293707555),
+    (1122761735, 1579482913),
+    (72772567, 776319282),
+    (1809802580, 1088400265),
+    (1716185262, 1854787490),
+    (1376580201, 1232262116),
+    (126093127, 1718349004),
+    (1255154079, 929465993),
+    (1495162255, 1110399376),
+    (253380337, 223979956),
+    (331484110, 2008330132),
+    (554108161, 2135836560),
+    (84440658, 430566606),
+    (287728255, 1463639562),
+    (1926419603, 34250603),
+]
+_MH_PERMS_VALUES = ", ".join(
+    f"({i}, {a}, {b})" for i, (a, b) in enumerate(_MH_PERMS)
+)
 
 
-def _md5_long(col: Column) -> Column:
-    """First 15 md5 hex chars as a non-negative 60-bit BIGINT (engine-portable)."""
-    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
+def _md5_long28(col: Column) -> Column:
+    """First 7 md5 hex chars as a non-negative 28-bit BIGINT (engine-portable)."""
+    return F.conv(F.substring(F.md5(col), 1, 7), 16, 10).cast("bigint")
 
 
 @query(
@@ -727,13 +760,13 @@ def _md5_long(col: Column) -> Column:
     ),
     sh AS (
       SELECT doc_id,
-             CAST(('0x' || substr(md5(array_to_string(t[i:i+2], ' ')), 1, 15)) AS BIGINT) AS h
+             CAST(('0x' || substr(md5(array_to_string(t[i:i+2], ' ')), 1, 7)) AS BIGINT) AS h
       FROM toks, UNNEST(generate_series(1, greatest(len(t) - 2, 1))) AS u(i)
     ),
+    perms(i, a, b) AS (VALUES {_MH_PERMS_VALUES}),
     sig AS (
-      SELECT doc_id, p.i,
-             MIN(CAST(('0x' || substr(md5(CAST(p.i AS VARCHAR) || '|' || CAST(h AS VARCHAR)), 1, 15)) AS BIGINT)) AS m
-      FROM sh CROSS JOIN (SELECT unnest(generate_series(0, {_MD5_N_HASHES - 1})) AS i) p
+      SELECT doc_id, p.i, MIN((p.a * h + p.b) % {_MH_P}) AS m
+      FROM sh CROSS JOIN perms p
       GROUP BY doc_id, p.i
     ),
     bands AS (
@@ -749,12 +782,19 @@ def _md5_long(col: Column) -> Column:
       SELECT band_idx, band_val FROM bands
       GROUP BY band_idx, band_val HAVING COUNT(*) <= {MAX_BUCKET_SIZE}
     ),
+    -- pre-cap BEFORE the self-join: only rows in surviving buckets feed
+    -- the pair product (the r3 oracle joined bands x bands first, which
+    -- materializes every over-cap bucket's quadratic pair set just to
+    -- throw it away)
+    kept AS (
+      SELECT b.doc_id, b.band_idx, b.band_val
+      FROM bands b JOIN capped c USING (band_idx, band_val)
+    ),
     pairs AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-      FROM bands a JOIN bands b
+      FROM kept a JOIN kept b
         ON a.band_idx = b.band_idx AND a.band_val = b.band_val
        AND a.doc_id < b.doc_id
-      JOIN capped c ON c.band_idx = a.band_idx AND c.band_val = a.band_val
     )
     SELECT p.doc_a, p.doc_b,
            CAST(ROUND(SUM(CASE WHEN sa.m = sb.m THEN 1 ELSE 0 END)
@@ -767,90 +807,113 @@ def _md5_long(col: Column) -> Column:
     """,
 )
 def minhash_lsh_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH with an engine-portable md5 permutation family — the
-    oracle-verified twin of ``minhash_near_dup`` (see block comment)."""
+    """MinHash+LSH with an engine-portable universal-hash permutation
+    family — the oracle-verified twin of ``minhash_near_dup`` (see block
+    comment for the one-md5 + integer-family design)."""
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     sh = (
         d.select("doc_id", tokenize_words("text").alias("ws"))
         .select("doc_id", F.explode(word_shingles("ws", 3)).alias("shingle"))
-        .select("doc_id", _md5_long(F.col("shingle")).alias("h"))
+        .select("doc_id", _md5_long28(F.col("shingle")).alias("h"))
     )
-    perms = spark.range(_MD5_N_HASHES).select(F.col("id").cast("int").alias("i"))
-    sig = (
-        sh.crossJoin(F.broadcast(perms))
-        .select(
-            "doc_id",
-            "i",
-            _md5_long(
-                F.concat(F.col("i").cast("string"), F.lit("|"), F.col("h").cast("string"))
-            ).alias("g"),
-        )
-        .groupBy("doc_id", "i")
-        .agg(F.min("g").alias("m"))
+    # ONE shuffle of docs x 16 partial-min columns (map-side combine);
+    # the permutations are column expressions, not exploded rows.
+    mins = sh.groupBy("doc_id").agg(
+        *[
+            F.min(
+                (F.lit(a).cast("bigint") * F.col("h") + F.lit(b)) % F.lit(_MH_P)
+            ).alias(f"m{i}")
+            for i, (a, b) in enumerate(_MH_PERMS)
+        ]
     )
-    sig.persist()
+    mins.persist()
     try:
-        bands = (
-            sig.withColumn("band_idx", F.expr(f"i div {_MD5_ROWS_PER_BAND}"))
-            .groupBy("doc_id", "band_idx")
-            .agg(
-                F.concat_ws(
-                    ",",
-                    F.transform(
-                        F.array_sort(F.collect_list(F.struct("i", "m"))),
-                        lambda x: x["m"].cast("string"),
-                    ),
-                ).alias("band_val")
+        band_exprs = ", ".join(
+            "{b}, concat_ws(',', {cols})".format(
+                b=b,
+                cols=", ".join(
+                    f"m{i}"
+                    for i in range(
+                        b * _MD5_ROWS_PER_BAND, (b + 1) * _MD5_ROWS_PER_BAND
+                    )
+                ),
             )
+            for b in range(_MD5_N_HASHES // _MD5_ROWS_PER_BAND)
+        )
+        bands = mins.select(
+            "doc_id",
+            F.expr(f"stack(4, {band_exprs}) AS (band_idx, band_val)"),
         )
         # hot-bucket cap ACTIVE and ENCODED IN THE ORACLE (capped CTE):
         # both engines drop the same over-cap buckets, so the comparison
         # stays value-exact at any SF while an exact-dup mega-cluster
         # can't quadratically dominate the pair join (measured 80s vs 3s
         # at sf1 uncapped vs capped).
-        pairs = bucket_pairs(
-            bands.select(
-                "doc_id", "band_idx", F.col("band_val").alias("band_val")
-            )
+        pairs = bucket_pairs(bands)
+        ma = mins.select(
+            F.col("doc_id").alias("doc_a"),
+            *[F.col(f"m{i}").alias(f"a{i}") for i in range(_MD5_N_HASHES)],
         )
-        sa = sig.select(F.col("doc_id").alias("doc_a"), "i", F.col("m").alias("m_a"))
-        sb = sig.select(F.col("doc_id").alias("doc_b"), "i", F.col("m").alias("m_b"))
+        mb = mins.select(
+            F.col("doc_id").alias("doc_b"),
+            *[F.col(f"m{i}").alias(f"b{i}") for i in range(_MD5_N_HASHES)],
+        )
+        matches = F.expr(
+            " + ".join(f"IF(a{i} = b{i}, 1, 0)" for i in range(_MD5_N_HASHES))
+        )
         out = (
-            pairs.join(sa, "doc_a")
-            .join(sb, ["doc_b", "i"])
-            .groupBy("doc_a", "doc_b")
-            .agg(
-                F.round(
-                    F.sum(F.when(F.col("m_a") == F.col("m_b"), 1).otherwise(0))
-                    / F.lit(float(_MD5_N_HASHES)),
-                    4,
-                )
+            pairs.join(ma, "doc_a")
+            .join(mb, "doc_b")
+            .select(
+                "doc_a",
+                "doc_b",
+                F.round(matches / F.lit(float(_MD5_N_HASHES)), 4)
                 .cast("double")
-                .alias("est_jaccard")
+                .alias("est_jaccard"),
             )
             .filter(F.col("est_jaccard") >= 0.5)
             .localCheckpoint(eager=True)
         )
     finally:
-        sig.unpersist()
+        mins.unpersist()
     return out
 
 
 # ---------------------------------------------------------------------------
-# Oracle-checkable SimHash: the bit-vote fingerprint in relational form
-# with an md5-derived 48-bit word hash (12 hex chars), reproducible in
-# DuckDB — upgrading SimHash verification from rows-only to full value-
-# hash, exactly as minhash_lsh_md5 does for MinHash. 8 bands x 6 bits;
-# a pair is a candidate iff it shares a band (pigeonhole: Hamming <= 7
-# guarantees a shared band), verified at Hamming <= 8. Production keeps
-# the wide 64-bit xxhash64 variant (simhash_near_dup); this twin pins the
-# algorithm. The bit expansion (x48 rows) happens AFTER the per-word
-# hash, and the vote aggregation collapses it back to 48 rows per doc —
-# shuffle volume stays bounded by docs x 48, not tokens x 48.
+# Oracle-checkable SimHash: the bit-vote fingerprint with an md5-derived
+# 60-bit word hash (15 hex chars), reproducible in DuckDB — upgrading
+# SimHash verification from rows-only to full value-hash, exactly as
+# minhash_lsh_md5 does for MinHash. Redesigned in r4 after the r3 twin
+# (48 bits, 8 bands x 6 bits, 48-row-per-doc sign relation) went
+# super-linear: 6-bit band values have only 64 possible buckets per
+# band, so bucket sizes grow LINEARLY with corpus and the within-bucket
+# pair join quadratically — 30 s at sf0.1 for 5k docs (SCALING.md r3).
+# Now:
+#   * per-doc bit votes come from ONE map-side-combined groupBy with 60
+#     SUM((h>>b)&1) columns — no words x 60 crossJoin explode; shuffle
+#     volume is docs x 61 partial aggregates, not tokens x 60 rows;
+#   * the fingerprint is PACKED into a single BIGINT (bit b set iff
+#     2*ones_b >= n_words, i.e. vote sum >= 0 — the classic tie-up rule);
+#   * 6 bands x 10 bits: 1024 values per band, so expected bucket size
+#     is corpus/1024 per band — 16x smaller buckets than 6-bit bands,
+#     and the hot-bucket cap becomes the pathological-case guard it was
+#     meant to be instead of the steady state;
+#   * pair verification is a 1-row-per-doc fingerprint join with
+#     hamming = bit_count(fp_a XOR fp_b) — both engines share the
+#     bit_count/xor builtins — replacing the 48-rows-per-doc sign join
+#     (48x less join volume);
+#   * the oracle pre-filters bands through `capped` BEFORE the pair
+#     self-join (the r3 oracle materialized the uncapped bands x bands
+#     product first).
+# Pigeonhole: Hamming <= _SH_BANDS - 1 = 5 guarantees a shared band;
+# candidates are verified at Hamming <= 8 (band-collision recall between
+# 6 and 8 is the LSH approximation, identical in both engines).
+# Production keeps the wide 64-bit xxhash64 variant (simhash_near_dup);
+# this twin pins the algorithm.
 # ---------------------------------------------------------------------------
 
-_SH_BITS = 48
-_SH_BANDS = 8
+_SH_BITS = 60
+_SH_BANDS = 6
 _SH_BAND_BITS = _SH_BITS // _SH_BANDS
 _SH_HAMMING = 8
 
@@ -864,7 +927,7 @@ _SH_HAMMING = 8
       FROM documents
     ),
     hashes AS (
-      SELECT doc_id, CAST(('0x' || substr(md5(w), 1, 12)) AS BIGINT) AS h
+      SELECT doc_id, CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT) AS h
       FROM words WHERE w <> ''
     ),
     votes AS (
@@ -873,93 +936,95 @@ _SH_HAMMING = 8
       FROM hashes CROSS JOIN (SELECT unnest(generate_series(0, {_SH_BITS - 1})) AS bit) b
       GROUP BY doc_id, b.bit
     ),
-    signs AS (SELECT doc_id, bit, CASE WHEN v >= 0 THEN 1 ELSE 0 END AS s FROM votes),
-    bands AS (
-      SELECT doc_id, bit // {_SH_BAND_BITS} AS band_idx,
-             CAST(SUM(s * (1 << (bit % {_SH_BAND_BITS}))) AS BIGINT) AS band_val
-      FROM signs GROUP BY doc_id, band_idx
+    -- bit set iff vote sum >= 0 (== 2*ones >= n_words), packed BIGINT
+    fp AS (
+      SELECT doc_id,
+             SUM(CASE WHEN v >= 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS fp
+      FROM votes GROUP BY doc_id
     ),
-    -- hot-bucket cap mirrored from bucket_pairs (see minhash_lsh_md5 note):
-    -- 6-bit band values DO exceed the cap on bigger corpora, so the cap
-    -- must live in BOTH engines for the hash to stay exact at any SF
+    bands AS (
+      SELECT doc_id, b.band_idx,
+             (fp >> ({_SH_BAND_BITS} * b.band_idx)) & {(1 << _SH_BAND_BITS) - 1} AS band_val
+      FROM fp CROSS JOIN (SELECT unnest(generate_series(0, {_SH_BANDS - 1})) AS band_idx) b
+    ),
+    -- hot-bucket cap mirrored from bucket_pairs (see minhash_lsh_md5 note)
     capped AS (
       SELECT band_idx, band_val FROM bands
       GROUP BY band_idx, band_val HAVING COUNT(*) <= {MAX_BUCKET_SIZE}
     ),
+    -- pre-cap BEFORE the self-join (r4: never materialize the uncapped
+    -- bands x bands product)
+    kept AS (
+      SELECT b.doc_id, b.band_idx, b.band_val
+      FROM bands b JOIN capped c USING (band_idx, band_val)
+    ),
     pairs AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-      FROM bands a JOIN bands b
+      FROM kept a JOIN kept b
         ON a.band_idx = b.band_idx AND a.band_val = b.band_val
        AND a.doc_id < b.doc_id
-      JOIN capped c ON c.band_idx = a.band_idx AND c.band_val = a.band_val
     )
     SELECT p.doc_a, p.doc_b,
-           CAST(SUM(CASE WHEN sa.s <> sb.s THEN 1 ELSE 0 END) AS INTEGER) AS hamming
+           CAST(bit_count(xor(fa.fp, fb.fp)) AS INTEGER) AS hamming
     FROM pairs p
-    JOIN signs sa ON sa.doc_id = p.doc_a
-    JOIN signs sb ON sb.doc_id = p.doc_b AND sb.bit = sa.bit
-    GROUP BY p.doc_a, p.doc_b
-    HAVING SUM(CASE WHEN sa.s <> sb.s THEN 1 ELSE 0 END) <= {_SH_HAMMING}
+    JOIN fp fa ON fa.doc_id = p.doc_a
+    JOIN fp fb ON fb.doc_id = p.doc_b
+    WHERE bit_count(xor(fa.fp, fb.fp)) <= {_SH_HAMMING}
     """,
 )
 def simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup with an engine-portable md5 word hash — the
-    oracle-verified twin of ``simhash_near_dup`` (see block comment)."""
+    """SimHash near-dup with an engine-portable md5 word hash and a
+    packed-BIGINT fingerprint — the oracle-verified twin of
+    ``simhash_near_dup`` (see block comment for the r4 redesign)."""
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     hashes = (
         d.select("doc_id", F.explode(tokenize_words("text")).alias("w"))
         .filter(F.col("w") != "")
         .select(
             "doc_id",
-            F.conv(F.substring(F.md5("w"), 1, 12), 16, 10).cast("bigint").alias("h"),
+            F.conv(F.substring(F.md5("w"), 1, 15), 16, 10).cast("bigint").alias("h"),
         )
     )
-    bits = spark.range(_SH_BITS).select(F.col("id").cast("int").alias("bit"))
-    signs = (
-        hashes.crossJoin(F.broadcast(bits))
-        .groupBy("doc_id", "bit")
-        .agg(
-            F.sum(
-                F.when(F.expr("(h >> bit) & 1") == 1, 1).otherwise(-1)
-            ).alias("v")
-        )
-        .select(
-            "doc_id", "bit", F.when(F.col("v") >= 0, 1).otherwise(0).alias("s")
-        )
+    # ONE map-side-combined shuffle: 60 ones-counts + the word count per
+    # doc; sign rule 2*ones_b >= n == vote sum >= 0. The packed
+    # fingerprint is a plain column expression over the agg output.
+    ones = [
+        F.sum(F.shiftright("h", b).bitwiseAND(F.lit(1))).alias(f"o{b}")
+        for b in range(_SH_BITS)
+    ]
+    agg = hashes.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"), *ones)
+    fp_sql = " + ".join(
+        f"IF(2 * o{b} >= n, {1 << b}L, 0L)" for b in range(_SH_BITS)
     )
-    signs.persist()
+    fps = agg.select("doc_id", F.expr(fp_sql).alias("fp"))
+    fps.persist()
     try:
-        bands = (
-            signs.withColumn("band_idx", F.expr(f"bit div {_SH_BAND_BITS}"))
-            .groupBy("doc_id", "band_idx")
-            .agg(
-                F.sum(
-                    F.expr(f"s * shiftleft(1, bit % {_SH_BAND_BITS})")
-                ).cast("bigint").alias("band_val")
-            )
+        band_exprs = ", ".join(
+            f"{b}, shiftright(fp, {_SH_BAND_BITS * b}) & {(1 << _SH_BAND_BITS) - 1}"
+            for b in range(_SH_BANDS)
         )
-        # hot-bucket cap ACTIVE and ENCODED IN THE ORACLE (capped CTE —
-        # 6-bit band values DO overflow the 1000-row cap at sf0.1, so the
-        # cap must live in both engines for the hash to stay exact)
-        pairs = bucket_pairs(
-            bands.select("doc_id", "band_idx", "band_val")
+        bands = fps.select(
+            "doc_id",
+            F.expr(f"stack({_SH_BANDS}, {band_exprs}) AS (band_idx, band_val)"),
         )
-        sa = signs.select(F.col("doc_id").alias("doc_a"), "bit", F.col("s").alias("s_a"))
-        sb = signs.select(F.col("doc_id").alias("doc_b"), "bit", F.col("s").alias("s_b"))
+        pairs = bucket_pairs(bands)
+        fa = fps.select(F.col("doc_id").alias("doc_a"), F.col("fp").alias("fp_a"))
+        fb = fps.select(F.col("doc_id").alias("doc_b"), F.col("fp").alias("fp_b"))
         out = (
-            pairs.join(sa, "doc_a")
-            .join(sb, ["doc_b", "bit"])
-            .groupBy("doc_a", "doc_b")
-            .agg(
-                F.sum(F.when(F.col("s_a") != F.col("s_b"), 1).otherwise(0))
+            pairs.join(fa, "doc_a")
+            .join(fb, "doc_b")
+            .select(
+                "doc_a",
+                "doc_b",
+                F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
                 .cast("int")
-                .alias("hamming")
+                .alias("hamming"),
             )
             .filter(F.col("hamming") <= _SH_HAMMING)
             .localCheckpoint(eager=True)
         )
     finally:
-        signs.unpersist()
+        fps.unpersist()
     return out
 
 

@@ -129,7 +129,12 @@ def real_image_codec(payload: bytes) -> dict:
             # a marker — skip padding until the actual marker byte
             while payload[pos + 1] == 0xFF and pos + 4 <= len(payload):
                 pos += 1
+            if pos + 4 > len(payload):
+                # fill bytes ran to EOF: nothing left to unpack
+                raise ValueError("malformed JPEG: truncated marker segment")
             marker = payload[pos + 1]
+            if marker == 0xD9:  # EOI before any SOF: standalone, no length
+                break
             if (
                 marker == 0xD8 or marker == 0x01 or 0xD0 <= marker <= 0xD7
             ):  # SOI/TEM/RSTn: standalone markers with no length segment

@@ -76,6 +76,49 @@ def with_rank_carry(
     return out, handle
 
 
+#: Observe-then-tier cutoff for axis-sized window frames: a single-task
+#: window over up to this many rows is cheaper than a rank pass (the rank
+#: machinery costs ~3 extra jobs; a 32k-row sort in one task is
+#: milliseconds). Post-aggregation calendar axes (days/weeks) sit far
+#: below this even at 100 TB of events; the rank-carry tier exists for
+#: axes that genuinely grow with the data (e.g. per-entity time grids).
+_AXIS_TIER_ROWS = 32_768
+
+
+def tiered_carry(df: DataFrame, order_col: str, n_carry: int):
+    """Tier the boundary-carry machinery by OBSERVED axis size (the
+    clustering.dedup_components observe-then-tier pattern).
+
+    Materializes ``df`` once (axis-sized — it is always a post-aggregation
+    calendar frame here), counts it, and:
+
+    - at or under ``_AXIS_TIER_ROWS``: returns the pinned axis with
+      constant ``__part``/``__carry`` columns — the downstream
+      ``Window.partitionBy("__part")`` is then a single bounded partition
+      (bounded by the observed count, not by hope), no rank pass;
+    - above: full ``with_rank_carry`` rank-block partitioning.
+
+    Returns ``(carried_df, cleanup)``; call ``cleanup()`` (in a
+    ``finally``) after the downstream result is materialized. Both tiers
+    produce identical window frames — pinned by the tier-parity test.
+    """
+    pinned = df.persist()
+    n = pinned.count()
+    if n <= _AXIS_TIER_ROWS:
+        out = pinned.withColumn("__part", F.lit(0)).withColumn(
+            "__carry", F.lit(False)
+        )
+        return out, pinned.unpersist
+
+    carried, handle = with_rank_carry(pinned, order_col, n_carry)
+
+    def cleanup():
+        handle.unpersist()
+        pinned.unpersist()
+
+    return carried, cleanup
+
+
 @query(
     "tumbling_window",
     oracle="""
@@ -549,28 +592,31 @@ def moving_average_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.groupBy(F.date_trunc("day", F.col("ts")).cast("date").cast("string").alias("day"))
         .agg(F.round(F.sum(_dec("value")), 2).cast("decimal(18,2)").alias("tv"))
     )
-    # Rank blocks + 6-row carry: identical frames to the global window
-    # regardless of calendar sparsity, no single-partition WindowExec.
-    carried, handle = with_rank_carry(daily, "day", 6)
+    # Observed-size tier: single bounded partition for day-sized axes,
+    # rank blocks + 6-row carry above the cutoff — identical frames to
+    # the global window either way (tier-parity test pins this).
+    carried, cleanup = tiered_carry(daily, "day", 6)
     w = Window.partitionBy("__part").orderBy("day").rowsBetween(-6, 0)
-    out = (
-        carried.select(
-            "day",
-            "__carry",
-            F.col("tv").cast("double").alias("total_value"),
-            F.round(
-                F.sum("tv").over(w).cast("decimal(28,6)") / F.count(F.lit(1)).over(w), 4
+    try:
+        out = (
+            carried.select(
+                "day",
+                "__carry",
+                F.col("tv").cast("double").alias("total_value"),
+                F.round(
+                    F.sum("tv").over(w).cast("decimal(28,6)") / F.count(F.lit(1)).over(w), 4
+                )
+                .cast("double")
+                .alias("ma7"),
+                F.min("tv").over(w).cast("double").alias("min7"),
+                F.max("tv").over(w).cast("double").alias("max7"),
             )
-            .cast("double")
-            .alias("ma7"),
-            F.min("tv").over(w).cast("double").alias("min7"),
-            F.max("tv").over(w).cast("double").alias("max7"),
+            .filter(~F.col("__carry"))
+            .drop("__carry", "__part")
+            .localCheckpoint(eager=True)  # day-axis-sized
         )
-        .filter(~F.col("__carry"))
-        .drop("__carry", "__part")
-        .localCheckpoint(eager=True)  # day-axis-sized
-    )
-    handle.unpersist()
+    finally:
+        cleanup()
     return out
 
 
@@ -660,25 +706,28 @@ def range_frame_trailing(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(_dec("value")), 2).cast("decimal(18,2)").alias("tv"),
         )
     )
-    # Rank blocks + 6-row carry: the RANGE frame only reaches 6 DAYS
-    # back, and 6 days cover at most 6 distinct preceding rows on a
-    # distinct-integer axis, so the row carry is always sufficient.
-    carried, handle = with_rank_carry(daily, "epoch_day", 6)
+    # Observed-size tier (see tiered_carry). In the rank tier the RANGE
+    # frame only reaches 6 DAYS back, and 6 days cover at most 6 distinct
+    # preceding rows on a distinct-integer axis, so the row carry is
+    # always sufficient.
+    carried, cleanup = tiered_carry(daily, "epoch_day", 6)
     w = Window.partitionBy("__part").orderBy("epoch_day").rangeBetween(-6, 0)
-    out = (
-        carried.select(
-            "epoch_day",
-            "n_events",
-            "__carry",
-            F.sum("n_events").over(w).cast("bigint").alias("n_7d"),
-            F.count(F.lit(1)).over(w).cast("bigint").alias("days_present_7d"),
-            F.sum("tv").over(w).cast("double").alias("total_value_7d"),
+    try:
+        out = (
+            carried.select(
+                "epoch_day",
+                "n_events",
+                "__carry",
+                F.sum("n_events").over(w).cast("bigint").alias("n_7d"),
+                F.count(F.lit(1)).over(w).cast("bigint").alias("days_present_7d"),
+                F.sum("tv").over(w).cast("double").alias("total_value_7d"),
+            )
+            .filter(~F.col("__carry"))
+            .drop("__carry", "__part")
+            .localCheckpoint(eager=True)  # day-axis-sized
         )
-        .filter(~F.col("__carry"))
-        .drop("__carry", "__part")
-        .localCheckpoint(eager=True)  # day-axis-sized
-    )
-    handle.unpersist()
+    finally:
+        cleanup()
     return out
 
 
@@ -724,27 +773,30 @@ def wow_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(_dec("value")), 2).cast("decimal(18,2)").alias("tv"),
         )
     )
-    # lag(1) needs one carry row per block boundary.
-    carried, handle = with_rank_carry(weekly, "week", 1)
+    # Observed-size tier; lag(1) needs one carry row per block boundary
+    # in the rank tier.
+    carried, cleanup = tiered_carry(weekly, "week", 1)
     w = Window.partitionBy("__part").orderBy("week")
-    out = (
-        carried.select(
-            "week",
-            "n_events",
-            "__carry",
-            F.col("tv").cast("double").alias("total_value"),
-            F.lag("n_events").over(w).cast("bigint").alias("prev_n_events"),
-            F.round(
-                (F.col("tv") - F.lag("tv").over(w)) / F.lag("tv").over(w) * 100, 4
+    try:
+        out = (
+            carried.select(
+                "week",
+                "n_events",
+                "__carry",
+                F.col("tv").cast("double").alias("total_value"),
+                F.lag("n_events").over(w).cast("bigint").alias("prev_n_events"),
+                F.round(
+                    (F.col("tv") - F.lag("tv").over(w)) / F.lag("tv").over(w) * 100, 4
+                )
+                .cast("double")
+                .alias("value_growth_pct"),
             )
-            .cast("double")
-            .alias("value_growth_pct"),
+            .filter(~F.col("__carry"))
+            .drop("__carry", "__part")
+            .localCheckpoint(eager=True)  # week-axis-sized
         )
-        .filter(~F.col("__carry"))
-        .drop("__carry", "__part")
-        .localCheckpoint(eager=True)  # week-axis-sized
-    )
-    handle.unpersist()
+    finally:
+        cleanup()
     return out
 
 

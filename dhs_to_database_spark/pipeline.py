@@ -235,10 +235,14 @@ def check_for_updates(
         # token-wise membership in the comma-separated characteristic
         # list — the reference's raw substring contains('26')
         # (01 nb raw :1988) would false-positive on ids like '126'/'260';
-        # we keep its semantics for real GPS lists but match whole ids
+        # we keep its semantics for real GPS lists but match whole ids.
+        # Whitespace may sit on EITHER side of each comma and before the
+        # first token ('26 , 10', ' 26, 10'), so trim the list and split
+        # on \s*,\s* — splitting on ',\s*' alone leaves trailing spaces
+        # glued to tokens and silently drops GPS surveys on format drift
         available = catalog.filter(
             F.array_contains(
-                F.split(F.col(gps_characteristic_col), r",\s*"),
+                F.split(F.trim(F.col(gps_characteristic_col)), r"\s*,\s*"),
                 gps_characteristic,
             )
         )
