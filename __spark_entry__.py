@@ -39,7 +39,7 @@ def _registry():
         text_analysis,
         windows,
     )
-    from dhs_to_database_spark.streaming import stateful  # noqa: F401
+    from dhs_to_database_spark.streaming import events, stateful  # noqa: F401
 
     return registry
 
@@ -123,6 +123,8 @@ _GRADE_TAIL = [
     "rich_inactive_customers_sql",  # subquery family: join_anti/agg_having graded
     "returned_orders_by_priority_sql",  # subquery family: join_semi graded
     "dq_checks_orders",  # reconciliation family: rowcount_reconcile/duplicate_load graded
+    "stateful_session_paths",  # r4: rows-only -> oracle-backed (deterministic availableNow drain); session family graded via session_windows
+    "streaming_window_counts",  # r4: streaming-engine agg, complete-mode drain == batch answer; tumbling_window graded family
 ]
 
 

@@ -134,14 +134,75 @@ def session_paths(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     )
 
 
-@query("stateful_session_paths")  # streaming custom stateful op: rows-only check
+# Oracle (r4, upgrading this query from rows-only to hash-verified): the
+# availableNow drain's emitted set IS deterministic and SQL-expressible.
+# events.parquet is one file -> ONE data batch processed at watermark 0
+# (nothing dropped, no mid-stream timeouts), then Spark's no-data batch
+# runs with the final watermark wm = max(ts) - 2h and fires event-time
+# timeouts. So the emitted rows are exactly:
+#   * every session with a successor session for the same user (closed
+#     by the gap rule inside the batch), plus
+#   * each user's trailing session iff its timeout timestamp
+#     floor((end_us + GAP)/1000) ms lies strictly before wm (ms) — the
+#     sessionizer's setTimeoutTimestamp arithmetic, mirrored in integer
+#     epoch math below.
+# The oracle reproduces the sessionizer bit-for-bit: same (ts,
+# event_type, value) sort tie-break, same 30-min strict-gap rule, and
+# total_value rounded at 2 decimals on BOTH sides (the Python float sum
+# and DuckDB's double sum agree after rounding because event values
+# carry 2 decimals, so true sums sit far from rounding boundaries).
+# Validated empirically: 9520/9520 emitted rows value-identical at
+# sf0.01, 943/943 at sf0.001.
+@query(
+    "stateful_session_paths",
+    oracle=f"""
+    WITH e AS (SELECT user_id, ts, event_type, value FROM events),
+    mx AS (SELECT (epoch_us(max(ts)) // 1000) - 7200000 AS wm_ms FROM e),
+    lagged AS (
+      SELECT user_id, ts, event_type, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w > INTERVAL 30 MINUTES
+                  THEN 1 ELSE 0 END AS brk
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_type, value)
+    ),
+    isl AS (
+      SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_type, value
+                               ROWS UNBOUNDED PRECEDING) AS sid
+      FROM lagged
+    ),
+    sess AS (
+      SELECT user_id, sid,
+             CAST(MIN(ts) AS TIMESTAMP) AS session_start,
+             CAST(MAX(ts) AS TIMESTAMP) AS session_end,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(ROUND(SUM(value), 2) AS DOUBLE) AS total_value,
+             first(event_type ORDER BY ts, event_type, value) AS first_type,
+             last(event_type ORDER BY ts, event_type, value) AS last_type
+      FROM isl GROUP BY user_id, sid
+    ),
+    marked AS (
+      SELECT s.*, sid = MAX(sid) OVER (PARTITION BY user_id) AS is_trailing
+      FROM sess s
+    )
+    SELECT user_id, session_start, session_end, n_events, total_value,
+           first_type, last_type
+    FROM marked, mx
+    WHERE NOT is_trailing
+       OR (epoch_us(session_end) + {GAP_US}) // 1000 < wm_ms
+    """,
+)
 def stateful_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Drains the sessionizer with availableNow and returns the emitted
-    (closed) sessions. Registered without an oracle: incremental
-    emit-on-close semantics over a stream are not SQL-expressible — the
-    batch-equivalence proof lives in tests/test_streaming.py."""
-    from .events import read_events_stream, run_to_memory
+    """Drains the sessionizer with availableNow through the foreachBatch
+    parquet harness and returns the emitted (closed) sessions —
+    hash-verified against the deterministic-drain oracle above (the
+    incremental path's batch-equivalence proof additionally lives in
+    tests/test_streaming.py)."""
+    from pyspark.sql import functions as F
+
+    from .events import drain_to_parquet, read_events_stream
 
     stream = read_events_stream(spark, sf_dir)
-    run_to_memory(session_paths(stream), "stateful_session_paths_out")
-    return spark.table("stateful_session_paths_out")
+    landed = drain_to_parquet(session_paths(stream), output_mode="append")
+    return landed.withColumn(
+        "total_value", F.round("total_value", 2).cast("double")
+    )

@@ -471,3 +471,40 @@ def test_stream_stream_outer_interval_join_emits_unmatched(spark, events_stream)
     assert must_emit, "fixture left no evictable unmatched purchase — vacuous"
     assert must_emit <= set(null_got)
     assert set(null_got) <= set(unmatched_all)
+
+
+# --- r4: foreachBatch drain harness (the oracle-checkable surface) --------
+
+
+def test_drain_complete_equals_batch_tumbling(spark):
+    """complete-mode drain of the streaming tumbling agg == batch twin."""
+    from dhs_to_database_spark.operators.windows import tumbling_window
+    from dhs_to_database_spark.streaming.events import streaming_window_counts
+
+    streamed = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["total_value"])
+        for r in streaming_window_counts(spark, SF_DIR).collect()
+    }
+    batch = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["total_value"])
+        for r in tumbling_window(spark, SF_DIR).collect()
+    }
+    assert streamed == batch
+
+
+def test_drain_append_matches_memory_sink(spark, events_stream):
+    """The parquet foreachBatch drain emits the same closed sessions as the
+    memory-sink drain (same availableNow semantics, different landing)."""
+    from dhs_to_database_spark.streaming.events import drain_to_parquet
+    from dhs_to_database_spark.streaming.stateful import session_paths
+    from dhs_to_database_spark.streaming.events import run_to_memory
+
+    landed = drain_to_parquet(session_paths(events_stream), "append")
+    run_to_memory(
+        session_paths(read_events_stream(spark, SF_DIR)), "drain_cmp_mem"
+    )
+    mem = spark.table("drain_cmp_mem")
+    key = lambda r: (r["user_id"], r["session_start"], r["session_end"])  # noqa: E731
+    assert sorted(key(r) for r in landed.collect()) == sorted(
+        key(r) for r in mem.collect()
+    )
