@@ -36,6 +36,13 @@ from .registry import query
 
 _EOW = "</w>"
 _CHECKPOINT_EVERY = 4
+#: DataFrame-tier merge batching (r4): fetch the top-K pairs per round and
+#: accept the maximal disjoint prefix — cuts driver round-trips ~K/chain
+#: while staying bit-identical to one-at-a-time selection (see bpe_train).
+_MERGE_BATCH_K = 64
+#: Number of DataFrame rounds the last bpe_train run used (introspection
+#: for the job-count regression test; driver tier leaves it at 0).
+LAST_TRAIN_ROUNDS = 0
 
 
 def word_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -114,6 +121,8 @@ def bpe_train(
     """
     import pandas as pd
 
+    global LAST_TRAIN_ROUNDS
+    LAST_TRAIN_ROUNDS = 0
     # one job decides the tier AND fetches the vocab: if the limit did
     # not truncate, `rows` already IS the full word-count table
     rows = wc.limit(driver_max_vocab + 1).collect()
@@ -124,8 +133,10 @@ def bpe_train(
         F.expr(f"array_append(split(w, ''), '{_EOW}')").alias("syms"), "n"
     ).localCheckpoint(eager=True)
     merges: list[tuple[str, str]] = []
-    for it in range(n_merges):
-        pairs = (
+    rounds = 0
+    while len(merges) < n_merges:
+        rounds += 1
+        top = (
             vocab.select(
                 "n",
                 F.explode(
@@ -143,26 +154,61 @@ def bpe_train(
             .groupBy("p.a", "p.b")
             .agg(F.sum("n").alias("c"))
             .orderBy(F.desc("c"), "a", "b")
-            .limit(1)
+            .limit(_MERGE_BATCH_K)
             .collect()
         )
-        if not pairs or pairs[0]["c"] < 2:
+        # DISJOINT-PREFIX merge batching, exactness-guarded (r4). Facts:
+        # (1) merging (a, b) only reduces counts of OLD pairs sharing a
+        # symbol with it — disjoint pairs keep exact counts and tie-break
+        # positions; (2) every NEW pair created by a merge (x+ab / ab+y)
+        # inherits occurrences from an OLD pair that contains a or b, so
+        # its count is bounded by that old pair's count; and (3) if the
+        # scan accepts a contiguous disjoint prefix, every old pair
+        # containing an accepted symbol sits AT OR BELOW the scan's cut
+        # position, so new-pair counts are bounded by c_bound = the count
+        # at the cut (or the window edge when the top-K truncated). Hence
+        # one-at-a-time argmax selection provably agrees with accepting
+        # the disjoint prefix RESTRICTED to counts STRICTLY ABOVE
+        # c_bound (strict: a new pair tying an accepted count could win
+        # the lexicographic tie-break). p_1 is the true global argmax and
+        # is always accepted. Parity with the driver tier is pinned in
+        # tests; batches shrink to 1 on adversarial tie-heavy vocabs but
+        # cut driver round-trips ~K-fold on natural Zipfian counts.
+        cut = len(top)
+        used: set[str] = set()
+        for i, row in enumerate(top):
+            if row["c"] < 2 or row["a"] in used or row["b"] in used:
+                cut = i
+                break
+            used.update((row["a"], row["b"]))
+        c_bound = top[cut]["c"] if cut < len(top) else (
+            top[-1]["c"] if len(top) == _MERGE_BATCH_K else 0
+        )
+        accepted: list[tuple[str, str]] = []
+        for i in range(cut):
+            if top[i]["c"] < 2 or len(merges) + len(accepted) >= n_merges:
+                break
+            if i > 0 and top[i]["c"] <= c_bound:
+                break
+            accepted.append((top[i]["a"], top[i]["b"]))
+        if not accepted:
             break
-        a, b = pairs[0]["a"], pairs[0]["b"]
-        merges.append((a, b))
+        merges.extend(accepted)
 
-        def rewrite(batches, a=a, b=b):
+        def rewrite(batches, batch=tuple(accepted)):
             for pdf in batches:
-                yield pd.DataFrame(
-                    {
-                        "syms": [_merge_pair(list(s), a, b) for s in pdf["syms"]],
-                        "n": pdf["n"],
-                    }
-                )
+                syms_out = []
+                for s in pdf["syms"]:
+                    cur = list(s)
+                    for a, b in batch:  # rank order == one-at-a-time order
+                        cur = _merge_pair(cur, a, b)
+                    syms_out.append(cur)
+                yield pd.DataFrame({"syms": syms_out, "n": pdf["n"]})
 
         vocab = vocab.mapInPandas(rewrite, "syms array<string>, n bigint")
-        if (it + 1) % _CHECKPOINT_EVERY == 0:
+        if rounds % _CHECKPOINT_EVERY == 0:
             vocab = vocab.localCheckpoint(eager=True)
+    LAST_TRAIN_ROUNDS = rounds
     return merges
 
 

@@ -655,3 +655,45 @@ def test_pca_projection_residual_shrinks_with_k(spark):
         errs.append(float(((m - recon) ** 2).sum(1).mean()))
     assert errs[0] > errs[1] > errs[2]
     assert errs[2] < 1e-16 * max(1.0, float((m**2).max()))
+
+
+def test_bpe_merge_batching_cuts_rounds(spark):
+    """r4: the DataFrame tier batches disjoint top-K merges per round —
+    fewer driver round-trips, identical merge list (exactness argument in
+    bpe_train; parity re-checked here on a vocab with many disjoint
+    frequent pairs)."""
+    from dhs_to_database_spark.operators import bpe
+
+    # doubled words over disjoint alphabets: internal pairs (a,b)=2n
+    # strictly dominate their own word's other pairs (n each), so the
+    # top of the sorted list is a run of DISJOINT pairs with strictly
+    # decreasing counts 20 > 16 > 12 above the overlap cut at 10 —
+    # exactly the shape the disjoint-prefix batch accepts in one round
+    wc = spark.createDataFrame(
+        [("abab", 10), ("cdcd", 8), ("efef", 6), ("ghgh", 4)],
+        "w string, n bigint",
+    )
+    n_merges = 6
+    driver = bpe.bpe_train(wc, n_merges)
+    dataframe = bpe.bpe_train(wc, n_merges, driver_max_vocab=0)
+    assert driver == dataframe and len(driver) == n_merges
+    # one-at-a-time would need n_merges rounds; batching must beat it
+    assert bpe.LAST_TRAIN_ROUNDS < n_merges
+
+
+def test_bpe_merge_batching_parity_adversarial(spark):
+    """Tie-heavy vocab where naive disjoint-prefix batching (without the
+    strict count bound) diverges from one-at-a-time selection — the
+    regression case for the exactness guard in bpe_train."""
+    from dhs_to_database_spark.operators import bpe
+
+    wc = spark.createDataFrame(
+        [
+            ("alpha", 30), ("bravo", 28), ("echo", 26), ("kilo", 24),
+            ("mike", 22), ("golf", 20), ("november", 18), ("sierra", 16),
+        ],
+        "w string, n bigint",
+    )
+    driver = bpe.bpe_train(wc, 12)
+    dataframe = bpe.bpe_train(wc, 12, driver_max_vocab=0)
+    assert driver == dataframe
