@@ -69,6 +69,41 @@ def write_jdbc(df: DataFrame, mode: str = "append", **options: str) -> int:
     return df.rdd.getNumPartitions()
 
 
+def jsonify_complex_columns(df: DataFrame) -> tuple[DataFrame, dict[str, str]]:
+    """JDBC-safe projection of complex columns — the MapType -> jsonb
+    mapping of the reference's packed tables (lib04:446-506: rare columns
+    are packed into a PostgreSQL ``jsonb`` column).
+
+    JDBC dialects have no map/array/struct types, so every complex column
+    is serialized to JSON text with ``to_json`` (JVM-side, no UDF).
+    Returns ``(converted_df, {col_name: original_spark_ddl})`` — the ddl
+    map is what ``from_json`` needs to restore the column on read-back.
+
+    Target-specific column typing goes through Spark's standard
+    ``createTableColumnTypes`` option:
+
+    - **PostgreSQL** (production): pass
+      ``createTableColumnTypes="packed_values JSONB"`` and add
+      ``stringtype=unspecified`` to the JDBC URL so the driver lets the
+      server cast the JSON text to ``jsonb`` on insert — the exact shape
+      of the reference's packed tables. (Not testable in this sandbox:
+      no PostgreSQL server; the wire behavior is documented here and the
+      serialization side is Derby-round-tripped.)
+    - **Derby** (tests): default StringType mapping (CLOB) stores the
+      JSON text; ``from_json`` restores the map losslessly.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    converted: dict[str, str] = {}
+    out = df
+    for field in df.schema.fields:
+        if isinstance(field.dataType, (MapType, ArrayType, StructType)):
+            converted[field.name] = field.dataType.simpleString()
+            out = out.withColumn(field.name, F.to_json(field.name))
+    return out, converted
+
+
 def write_spec_csvs(items: DataFrame, values: DataFrame, relations: DataFrame, out_dir: str) -> None:
     """Spec CSV sink (A13): one folder per spec table, headered CSV."""
     items.write.mode("overwrite").option("header", True).csv(f"{out_dir}/FlatRecordSpec")
