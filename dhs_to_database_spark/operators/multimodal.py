@@ -410,3 +410,87 @@ def resize_media(decoded: DataFrame, max_dim: int = 64) -> DataFrame:
     return decoded.withColumn("resized_width", new_w.cast("int")).withColumn(
         "resized_height", new_h.cast("int")
     )
+
+
+# ---------------------------------------------------------------------------
+# Audio encode -> decode round trip, oracle-checked (r4). Each document
+# deterministically parameterizes a REAL WAV file (stdlib `wave` PCM
+# encoder): sample rate 8/16/24 kHz by doc_id, mono/stereo by doc_id,
+# frame count tied to text length (capped). The mapInPandas kernel
+# ENCODES the container and immediately DECODES it with real_audio_codec
+# — any disagreement between the RIFF writer and our chunk-walk parser
+# corrupts the output and fails the hash gate. The oracle reproduces the
+# decoded metadata arithmetically from the synthesis parameters, so the
+# whole binary round trip is value-verified by an engine that never sees
+# the bytes. Payloads are bounded (frame cap) and exist only inside the
+# Arrow batch — nothing binary is shuffled or collected.
+# ---------------------------------------------------------------------------
+
+_AUDIO_FRAME_CAP = 8192
+
+
+@query(
+    "audio_metadata",
+    oracle=f"""
+    SELECT doc_id AS media_id,
+           CAST(8000 * (1 + doc_id % 3) AS INTEGER) AS sample_rate,
+           CAST(1 + doc_id % 2 AS INTEGER) AS n_channels,
+           CAST(16 AS INTEGER) AS bits_per_sample,
+           CAST(least(length(text) * 4, {_AUDIO_FRAME_CAP}) AS BIGINT) AS n_frames,
+           CAST((least(length(text) * 4, {_AUDIO_FRAME_CAP}) * 1000)
+                // (8000 * (1 + doc_id % 3)) AS BIGINT) AS duration_ms
+    FROM documents
+    """,
+)
+def audio_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesize a real WAV per document (stdlib encoder, deterministic
+    parameters) and decode it back through ``real_audio_codec`` inside
+    Arrow-batched mapInPandas — the decoded metadata must equal the
+    oracle's closed-form arithmetic."""
+    import io
+    import wave
+
+    import pandas as pd
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    schema = StructType(
+        [
+            StructField("media_id", LongType()),
+            StructField("sample_rate", IntegerType()),
+            StructField("n_channels", IntegerType()),
+            StructField("bits_per_sample", IntegerType()),
+            StructField("n_frames", LongType()),
+            StructField("duration_ms", LongType()),
+        ]
+    )
+
+    def synth_decode(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, tx in zip(pdf["doc_id"], pdf["text"]):
+                doc_id = int(doc_id)
+                rate = 8000 * (1 + doc_id % 3)
+                channels = 1 + doc_id % 2
+                n_frames = min(len(tx or "") * 4, _AUDIO_FRAME_CAP)
+                buf = io.BytesIO()
+                with wave.open(buf, "wb") as w:
+                    w.setnchannels(channels)
+                    w.setsampwidth(2)
+                    w.setframerate(rate)
+                    w.writeframes(b"\x00\x01" * (n_frames * channels))
+                meta = real_audio_codec(buf.getvalue())
+                rows.append(
+                    (
+                        doc_id,
+                        meta["sample_rate"],
+                        meta["n_channels"],
+                        meta["bits_per_sample"],
+                        meta["n_frames"],
+                        meta["duration_ms"],
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in schema.fields]
+            )
+
+    return d.mapInPandas(synth_decode, schema)
