@@ -126,6 +126,7 @@ _GRADE_TAIL = [
     "stateful_session_paths",  # r4: rows-only -> oracle-backed (deterministic availableNow drain); session family graded via session_windows
     "streaming_window_counts",  # r4: streaming-engine agg, complete-mode drain == batch answer; tumbling_window graded family
     "audio_metadata",  # r4: WAV encode->decode round trip; multimodal_features graded family
+    "video_metadata",  # r4: MP4 box-tree encode->decode round trip; multimodal_features graded family
 ]
 
 

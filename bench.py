@@ -89,6 +89,10 @@ BENCH_QUERIES = [
     "rich_inactive_customers_sql",
     "returned_orders_by_priority_sql",
     "dq_checks_orders",
+    "stateful_session_paths",
+    "streaming_window_counts",
+    "audio_metadata",
+    "video_metadata",
 ]
 
 

@@ -494,3 +494,247 @@ def audio_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return d.mapInPandas(synth_decode, schema)
+
+
+# ---------------------------------------------------------------------------
+# Video container metadata, stdlib-only (r4). ISO BMFF / MP4 is a pure
+# box-structured format — size(BE u32)/type(4s) headers, 64-bit largesize
+# escape, fullbox version/flags — so the moov tree (mvhd timescale +
+# duration, tkhd track dimensions, hdlr track kind) decodes with struct
+# alone. This closes the last video-metadata gap the stdlib CAN express;
+# only sample-level decode (H.264/VP9 bitstreams) still genuinely needs
+# external media libraries. Reference treats media as opaque blobs with
+# filename metadata only (SURVEY.md §2.A A19); this is §2.D extension
+# surface.
+# ---------------------------------------------------------------------------
+
+VIDEO_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("major_brand", StringType()),
+        StructField("timescale", IntegerType()),
+        StructField("duration_ms", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("n_tracks", IntegerType()),
+        StructField("n_video_tracks", IntegerType()),
+        StructField("digest", StringType()),
+    ]
+)
+
+
+def _bmff_boxes(payload: bytes, start: int, end: int) -> Iterator[tuple[bytes, int, int]]:
+    """Yield (type, body_start, body_end) for each ISO-BMFF box in
+    payload[start:end]. Handles the 64-bit largesize escape (size == 1)
+    and the to-end-of-file sentinel (size == 0). Raises ``ValueError``
+    on truncated or overrunning boxes — fail loudly, never garbage."""
+    import struct
+
+    pos = start
+    while pos < end:
+        if pos + 8 > end:
+            raise ValueError("malformed MP4: truncated box header")
+        size, btype = struct.unpack(">I4s", payload[pos : pos + 8])
+        body = pos + 8
+        if size == 1:
+            if pos + 16 > end:
+                raise ValueError("malformed MP4: truncated largesize")
+            (size,) = struct.unpack(">Q", payload[pos + 8 : pos + 16])
+            body = pos + 16
+        elif size == 0:
+            size = end - pos
+        if size < body - pos or pos + size > end:
+            raise ValueError("malformed MP4: box overruns container")
+        yield btype, body, pos + size
+        pos += size
+
+
+def real_video_codec(payload: bytes) -> dict:
+    """REAL video metadata decode, stdlib-only (struct): walks the ISO
+    BMFF box tree of an MP4/MOV container — ``ftyp`` (major brand),
+    ``moov``/``mvhd`` (movie timescale + duration, version 0 and 1),
+    each ``trak``'s ``tkhd`` (16.16 fixed-point width/height) and
+    ``mdia``/``hdlr`` (track kind: vide/soun). Non-BMFF containers
+    (webm/mkv/avi) raise ``NotImplementedError``; malformed BMFF
+    (truncated boxes, missing moov/mvhd, zero timescale) raises
+    ``ValueError``."""
+    import struct
+
+    digest = hashlib.md5(payload).hexdigest()
+    if len(payload) < 12 or payload[4:8] != b"ftyp":
+        raise NotImplementedError(
+            "real_video_codec handles ISO BMFF (MP4/MOV); other video "
+            "containers require media libraries not installed in this "
+            "environment"
+        )
+    major_brand = payload[8:12].decode("latin-1")
+    timescale = duration = None
+    n_tracks = n_video = 0
+    width = height = None
+    for btype, b0, b1 in _bmff_boxes(payload, 0, len(payload)):
+        if btype != b"moov":
+            continue
+        for ctype, c0, c1 in _bmff_boxes(payload, b0, b1):
+            if ctype == b"mvhd":
+                ver = payload[c0]
+                if ver == 1:
+                    timescale, duration = struct.unpack(
+                        ">IQ", payload[c0 + 20 : c0 + 32]
+                    )
+                else:
+                    timescale, duration = struct.unpack(
+                        ">II", payload[c0 + 12 : c0 + 20]
+                    )
+            elif ctype == b"trak":
+                n_tracks += 1
+                t_w = t_h = None
+                is_video = False
+                for ttype, t0, t1 in _bmff_boxes(payload, c0, c1):
+                    if ttype == b"tkhd":
+                        off = t0 + (88 if payload[t0] == 1 else 76)
+                        w_fx, h_fx = struct.unpack(
+                            ">II", payload[off : off + 8]
+                        )
+                        t_w, t_h = w_fx >> 16, h_fx >> 16
+                    elif ttype == b"mdia":
+                        for mtype, m0, _m1 in _bmff_boxes(payload, t0, t1):
+                            if mtype == b"hdlr":
+                                is_video = payload[m0 + 8 : m0 + 12] == b"vide"
+                if is_video:
+                    n_video += 1
+                    if width is None:
+                        width, height = t_w, t_h
+    if timescale is None or duration is None:
+        raise ValueError("malformed MP4: no moov/mvhd box")
+    if timescale == 0:
+        raise ValueError("malformed MP4: zero movie timescale")
+    return {
+        "major_brand": major_brand,
+        "timescale": timescale,
+        "duration_ms": (duration * 1000) // timescale,
+        "width": width,
+        "height": height,
+        "n_tracks": n_tracks,
+        "n_video_tracks": n_video,
+        "digest": digest,
+    }
+
+
+def decode_video(media: DataFrame, codec: Codec = real_video_codec) -> DataFrame:
+    """Decode binary video payloads into typed metadata via Arrow-batched
+    mapInPandas (same plumbing contract as decode_audio)."""
+    import pandas as pd
+
+    cols = [f.name for f in VIDEO_SCHEMA.fields]
+
+    def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                meta = codec(bytes(payload))
+                rows.append((int(mid), *(meta[c] for c in cols[1:])))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return media.select("media_id", "payload").mapInPandas(run, VIDEO_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Video encode -> decode round trip, oracle-checked (r4), mirroring
+# audio_metadata: each document deterministically parameterizes a minimal
+# but REAL MP4 (ftyp + moov[mvhd + per-track trak[tkhd + mdia[hdlr]]]),
+# written by an independent struct-based box writer. The mapInPandas
+# kernel encodes then decodes with real_video_codec; the oracle
+# reproduces the metadata arithmetically from the synthesis parameters,
+# value-verifying the whole binary round trip in an engine that never
+# sees the bytes. Payloads are ~hundreds of bytes and exist only inside
+# the Arrow batch.
+# ---------------------------------------------------------------------------
+
+_VIDEO_DUR_CAP = 90_000
+
+
+def _mp4_encode(
+    timescale: int, duration: int, tracks: list[tuple[bytes, int, int]]
+) -> bytes:
+    """Independent minimal MP4 writer: tracks = [(handler, width, height)].
+    Deliberately NOT written in terms of the parser's offsets — any
+    writer/parser disagreement corrupts the round trip."""
+    import struct
+
+    def box(btype: bytes, body: bytes) -> bytes:
+        return struct.pack(">I", 8 + len(body)) + btype + body
+
+    mvhd = box(
+        b"mvhd",
+        b"\x00\x00\x00\x00"  # version 0, flags
+        + struct.pack(">II", 0, 0)  # creation, modification
+        + struct.pack(">II", timescale, duration)
+        + b"\x00" * 80,  # rate/volume/reserved/matrix/predefined/next_track
+    )
+    traks = b""
+    for handler, w, h in tracks:
+        tkhd = box(
+            b"tkhd",
+            b"\x00\x00\x00\x07"  # version 0, flags: enabled|in-movie|preview
+            + struct.pack(">IIII", 0, 0, 1, 0)  # times, track_ID, reserved
+            + struct.pack(">I", duration)
+            + b"\x00" * 52  # reserved, layer/group/volume, matrix
+            + struct.pack(">II", w << 16, h << 16),
+        )
+        hdlr = box(
+            b"hdlr", b"\x00\x00\x00\x00" + b"\x00" * 4 + handler + b"\x00" * 13
+        )
+        traks += box(b"trak", tkhd + box(b"mdia", hdlr))
+    return (
+        box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2")
+        + box(b"moov", mvhd + traks)
+    )
+
+
+@query(
+    "video_metadata",
+    oracle=f"""
+    SELECT doc_id AS media_id,
+           'isom' AS major_brand,
+           CAST(600 * (1 + doc_id % 4) AS INTEGER) AS timescale,
+           CAST((least(length(text) * 7, {_VIDEO_DUR_CAP}) * 1000)
+                // (600 * (1 + doc_id % 4)) AS BIGINT) AS duration_ms,
+           CAST(16 * (8 + doc_id % 5) AS INTEGER) AS width,
+           CAST(16 * (6 + doc_id % 4) AS INTEGER) AS height,
+           CAST(1 + doc_id % 2 AS INTEGER) AS n_tracks,
+           CAST(1 AS INTEGER) AS n_video_tracks
+    FROM documents
+    """,
+)
+def video_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesize a real MP4 per document (independent struct box writer,
+    deterministic parameters: movie timescale, duration tied to text
+    length, 16.16 track dimensions, optional second audio track) and
+    decode it back through ``real_video_codec`` inside Arrow-batched
+    mapInPandas — the decoded metadata must equal the oracle's
+    closed-form arithmetic."""
+    import pandas as pd
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    schema = StructType([f for f in VIDEO_SCHEMA.fields if f.name != "digest"])
+    cols = [f.name for f in schema.fields]
+
+    def synth_decode(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, tx in zip(pdf["doc_id"], pdf["text"]):
+                doc_id = int(doc_id)
+                timescale = 600 * (1 + doc_id % 4)
+                duration = min(len(tx or "") * 7, _VIDEO_DUR_CAP)
+                w = 16 * (8 + doc_id % 5)
+                h = 16 * (6 + doc_id % 4)
+                tracks = [(b"vide", w, h)]
+                if doc_id % 2:
+                    tracks.append((b"soun", 0, 0))
+                meta = real_video_codec(
+                    _mp4_encode(timescale, duration, tracks)
+                )
+                rows.append((doc_id, *(meta[c] for c in cols[1:])))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return d.mapInPandas(synth_decode, schema)

@@ -252,3 +252,119 @@ def test_real_audio_codec_through_mapinpandas(spark):
         for r in decode_audio(media).collect()
     }
     assert got == {1: (16000, 1, 500), 2: (48000, 2, 1000)}
+
+
+def test_real_video_codec_decodes_mp4_box_tree():
+    import struct
+
+    from dhs_to_database_spark.operators.multimodal import (
+        _mp4_encode,
+        real_video_codec,
+    )
+
+    out = real_video_codec(
+        _mp4_encode(2400, 4321, [(b"vide", 128, 96), (b"soun", 0, 0)])
+    )
+    assert out["major_brand"] == "isom"
+    assert out["timescale"] == 2400
+    assert out["duration_ms"] == 4321 * 1000 // 2400
+    assert (out["width"], out["height"]) == (128, 96)
+    assert (out["n_tracks"], out["n_video_tracks"]) == (2, 1)
+
+    # version-1 mvhd/tkhd (64-bit times) hand-built, NOT via the writer
+    def box(t, b):
+        return struct.pack(">I", 8 + len(b)) + t + b
+
+    mvhd1 = box(
+        b"mvhd",
+        b"\x01\x00\x00\x00"
+        + struct.pack(">QQ", 0, 0)
+        + struct.pack(">IQ", 90000, 123456)
+        + b"\x00" * 80,
+    )
+    tkhd1 = box(
+        b"tkhd",
+        b"\x01\x00\x00\x07"
+        + struct.pack(">QQIIQ", 0, 0, 1, 0, 123456)
+        + b"\x00" * 52
+        + struct.pack(">II", 640 << 16, 480 << 16),
+    )
+    hdlr = box(b"hdlr", b"\x00" * 8 + b"vide" + b"\x00" * 13)
+    p1 = box(b"ftyp", b"mp42" + struct.pack(">I", 0) + b"mp42") + box(
+        b"moov", mvhd1 + box(b"trak", tkhd1 + box(b"mdia", hdlr))
+    )
+    v1 = real_video_codec(p1)
+    assert v1["timescale"] == 90000
+    assert v1["duration_ms"] == 123456 * 1000 // 90000
+    assert (v1["width"], v1["height"]) == (640, 480)
+
+    # 64-bit largesize escape on an interior box
+    p = _mp4_encode(600, 600, [(b"vide", 64, 64)])
+    ftyp_len = struct.unpack(">I", p[:4])[0]
+    with_large = (
+        p[:ftyp_len]
+        + struct.pack(">I", 1)
+        + b"free"
+        + struct.pack(">Q", 16)
+        + p[ftyp_len:]
+    )
+    assert real_video_codec(with_large)["duration_ms"] == 1000
+
+
+def test_real_video_codec_rejects_malformed_and_unknown():
+    import struct
+
+    import pytest
+
+    from dhs_to_database_spark.operators.multimodal import (
+        _mp4_encode,
+        real_video_codec,
+    )
+
+    good = _mp4_encode(600, 600, [(b"vide", 64, 64)])
+    # non-BMFF container (webm/EBML magic) -> NotImplementedError
+    with pytest.raises(NotImplementedError):
+        real_video_codec(b"\x1a\x45\xdf\xa3" + good[8:])
+    # truncated mid-box -> malformed
+    with pytest.raises(ValueError):
+        real_video_codec(good[:40])
+    # ftyp but no moov -> malformed
+    ftyp_len = struct.unpack(">I", good[:4])[0]
+    with pytest.raises(ValueError):
+        real_video_codec(good[:ftyp_len])
+    # box size overrunning the container -> malformed
+    bad = bytearray(good)
+    bad[ftyp_len : ftyp_len + 4] = struct.pack(">I", len(good) * 2)
+    with pytest.raises(ValueError):
+        real_video_codec(bytes(bad))
+    # zero movie timescale -> malformed
+    zts = bytearray(good)
+    at = bytes(good).index(b"mvhd") + 4 + 12
+    zts[at : at + 4] = struct.pack(">I", 0)
+    with pytest.raises(ValueError):
+        real_video_codec(bytes(zts))
+
+
+def test_real_video_codec_through_mapinpandas(spark):
+    """A real MP4 fixture decoded through the Spark decode path
+    (Arrow-batched mapInPandas) yields true container metadata."""
+    from dhs_to_database_spark.operators.multimodal import (
+        _mp4_encode,
+        decode_video,
+    )
+
+    rows = [
+        (1, _mp4_encode(600, 1800, [(b"vide", 320, 240)]), "video/mp4", None),
+        (
+            2,
+            _mp4_encode(1000, 2500, [(b"vide", 64, 48), (b"soun", 0, 0)]),
+            "video/mp4",
+            None,
+        ),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {
+        r["media_id"]: (r["timescale"], r["duration_ms"], r["width"], r["n_tracks"])
+        for r in decode_video(media).collect()
+    }
+    assert got == {1: (600, 3000, 320, 1), 2: (1000, 2500, 64, 2)}

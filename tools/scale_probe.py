@@ -84,6 +84,10 @@ PROBES = {
     "bpe_compression": "documents",
     "pca_embedding_reduce": "embeddings",
     "dq_checks_orders": "orders",
+    "stateful_session_paths": "events",
+    "streaming_window_counts": "events",
+    "audio_metadata": "documents",
+    "video_metadata": "documents",
 }
 
 
@@ -104,6 +108,7 @@ SLOW_TAIL = {
     "dedup_exact": "documents",
     "minhash_near_dup": "documents",
     "minhash_lsh_md5": "documents",
+    "simhash_md5": "documents",
     "dedup_components": "documents",
     "dup_rate_by_source": "documents",
     # round-3 corpus-shuffling addition
