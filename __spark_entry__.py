@@ -127,6 +127,7 @@ _GRADE_TAIL = [
     "streaming_window_counts",  # r4: streaming-engine agg, complete-mode drain == batch answer; tumbling_window graded family
     "audio_metadata",  # r4: WAV encode->decode round trip; multimodal_features graded family
     "video_metadata",  # r4: MP4 box-tree encode->decode round trip; multimodal_features graded family
+    "exact_substring_excise",  # r4: ExactSubstr cleaned-corpus rewrite; span family (duplicate_spans) graded
 ]
 
 

@@ -93,6 +93,7 @@ BENCH_QUERIES = [
     "streaming_window_counts",
     "audio_metadata",
     "video_metadata",
+    "exact_substring_excise",
 ]
 
 
@@ -136,6 +137,20 @@ def main() -> None:
             runs.append(time.time() - t0)
         timings[name] = round(min(runs), 3)
 
+    # Machine-speed calibration: a fixed, code-independent JVM op (sum over
+    # a 200M range — pure whole-stage-codegen arithmetic, no I/O, no code
+    # from this repo). Its cost moves only with the box (CPU frequency,
+    # noisy neighbors), so cross-round query totals can be normalized by
+    # the calib ratio before being read as code regressions/improvements.
+    calib_runs = []
+    for _ in range(3):
+        t0 = time.time()
+        spark.range(200_000_000).selectExpr("sum(id)").write.format(
+            "noop"
+        ).mode("overwrite").save()
+        calib_runs.append(time.time() - t0)
+    calib = round(min(calib_runs), 3)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -145,6 +160,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "calib_range_sum_sec": calib,
             }
         )
     )

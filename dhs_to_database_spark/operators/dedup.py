@@ -697,6 +697,121 @@ def duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Exact-substring excision (the ExactSubstr transform of Lee et al. 2022,
+# "Deduplicating Training Data Makes Language Models Better"): rewrite the
+# corpus so that every duplicated _EXCISE_N-token span survives in exactly
+# ONE place — its globally-first occurrence — and is cut everywhere else
+# (duplicate_spans only FLAGS spans; this produces the cleaned corpus).
+# Deterministic end to end: the keeper is min(doc_id, pos) under a packed
+# bigint key, so any cluster layout yields byte-identical output. Plan
+# shape at 100 TB:
+#   * occurrence generation is the narrow Arrow n-gram kernel (+pos);
+#   * one shuffle groups occurrences by gram (map-side combined count +
+#     min) — production keys this by xxhash64(gram) to shrink shuffle
+#     width, the oracle-checked query keeps the text so DuckDB can
+#     reproduce it;
+#   * cut positions collapse to ONE small array per affected doc
+#     (collect_set of token indexes — bounded by doc length, never
+#     corpus-scale), then a single doc_id equi-join back to the corpus;
+#   * the rewrite itself is a JVM higher-order lambda over the token
+#     array (membership checks against the per-doc cut set; a per-doc
+#     bitmap would drop the O(|doc|*|cut|) constant, same plan).
+# The whole transform is value-verified: DuckDB recomputes keeper
+# selection, span union and the rebuilt text, and the driver hash-compares
+# cleaned_text byte-for-byte.
+# ---------------------------------------------------------------------------
+
+_EXCISE_N = 6
+_EXCISE_PACK = 1 << 20  # packs (doc_id, pos) into one orderable bigint
+
+
+def excise_exact_substrings(docs: DataFrame, n: int = _EXCISE_N) -> DataFrame:
+    """Cleaned corpus: every duplicated ``n``-token span kept only at its
+    globally-first occurrence. Returns (doc_id, n_tokens, n_removed,
+    cleaned_text)."""
+    from .sampling import explode_ngrams_pos
+
+    occ = explode_ngrams_pos(docs, n)
+    packed = F.col("doc_id") * _EXCISE_PACK + F.col("pos")
+    keeper = (
+        occ.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("__cnt"), F.min(packed).alias("__keeper"))
+        .filter(F.col("__cnt") >= 2)
+        .select("gram", "__keeper")
+    )
+    cut_idx = (
+        occ.join(keeper, "gram")
+        .filter(packed != F.col("__keeper"))
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.col("pos"), F.col("pos") + (n - 1))).alias("idx"),
+        )
+        .groupBy("doc_id")
+        .agg(F.collect_set("idx").alias("__exc"))
+    )
+    toks = docs.select("doc_id", F.split(F.trim("text"), r"\s+").alias("__ws"))
+    return (
+        toks.join(cut_idx, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.size("__ws").cast("bigint").alias("n_tokens"),
+            F.when(F.col("__exc").isNull(), F.lit(0))
+            .otherwise(F.size("__exc"))
+            .cast("bigint")
+            .alias("n_removed"),
+            F.expr(
+                "concat_ws(' ', filter(transform(__ws,"
+                " (t, i) -> IF(__exc IS NOT NULL AND array_contains(__exc, i),"
+                " NULL, t)), x -> x IS NOT NULL))"
+            ).alias("cleaned_text"),
+        )
+    )
+
+
+@query(
+    "exact_substring_excise",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+    ),
+    occ AS (
+      SELECT doc_id, i - 1 AS pos, array_to_string(t[i:i+{_EXCISE_N - 1}], ' ') AS gram
+      FROM toks, UNNEST(generate_series(1, len(t) - {_EXCISE_N - 1})) AS u(i)
+    ),
+    keeper AS (
+      SELECT gram, MIN(doc_id * {_EXCISE_PACK} + pos) AS k
+      FROM occ GROUP BY gram HAVING COUNT(*) >= 2
+    ),
+    exc AS (
+      SELECT DISTINCT o.doc_id, o.pos + j.j AS idx
+      FROM occ o JOIN keeper USING (gram), UNNEST(generate_series(0, {_EXCISE_N - 1})) AS j(j)
+      WHERE o.doc_id * {_EXCISE_PACK} + o.pos <> keeper.k
+    ),
+    tok AS (
+      SELECT doc_id, i - 1 AS idx, t[i] AS tokn, len(t) AS nt
+      FROM toks, UNNEST(generate_series(1, len(t))) AS u(i)
+    ),
+    mask AS (
+      SELECT tok.doc_id, tok.idx, tok.tokn, tok.nt, e.idx IS NOT NULL AS cut
+      FROM tok LEFT JOIN exc e ON e.doc_id = tok.doc_id AND e.idx = tok.idx
+    )
+    SELECT doc_id,
+           CAST(MAX(nt) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) FILTER (WHERE cut) AS BIGINT) AS n_removed,
+           COALESCE(string_agg(tokn, ' ' ORDER BY idx) FILTER (WHERE NOT cut), '')
+             AS cleaned_text
+    FROM mask
+    GROUP BY doc_id
+    """,
+)
+def exact_substring_excise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr span-level dedup (see block comment): the cleaned
+    corpus with every duplicated {n}-token span excised everywhere but
+    its globally-first occurrence."""
+    return excise_exact_substrings(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
 # Oracle-checkable MinHash+LSH: identical pipeline to minhash_near_dup but
 # with an engine-portable hash family, so the WHOLE LSH path (signatures ->
 # banding -> candidate pairs -> estimated Jaccard) is hash-verified by the

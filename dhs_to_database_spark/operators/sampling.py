@@ -394,6 +394,39 @@ def explode_ngrams(
     return cols.mapInPandas(gen, out_schema)
 
 
+def explode_ngrams_pos(
+    df: DataFrame,
+    n: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, pos, gram) rows — every token ``n``-gram OCCURRENCE with its
+    0-based token start position (the positional variant of
+    ``explode_ngrams``, for span excision where WHERE a duplicate sits
+    matters, not just that it exists). Same vectorized Arrow kernel; a
+    narrow map, no shuffle, any partitioning."""
+    import pandas as pd
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    out_schema = f"{id_col} {id_type}, pos int, gram string"
+    cols = df.select(F.col(id_col), F.col(text_col))
+
+    def gen(batches):
+        for pdf in batches:
+            ids: list = []
+            poss: list = []
+            grams: list = []
+            for did, tx in zip(pdf[id_col], pdf[text_col]):
+                t = tx.split() if tx else []
+                for i in range(len(t) - n + 1):
+                    ids.append(did)
+                    poss.append(i)
+                    grams.append(" ".join(t[i : i + n]))
+            yield pd.DataFrame({id_col: ids, "pos": poss, "gram": grams})
+
+    return cols.mapInPandas(gen, out_schema)
+
+
 def decontaminate(
     train: DataFrame,
     benchmark: DataFrame,

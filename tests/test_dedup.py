@@ -1,0 +1,26 @@
+"""Span-level dedup: exact-substring excision (ExactSubstr)."""
+
+
+def test_exact_substring_excise_fixture(spark):
+    """Hand-built corpus with a cross-doc duplicate span, a within-doc
+    repeat, and an untouched doc: the cleaned text must keep only the
+    globally-first occurrence of each duplicated 6-gram."""
+    from dhs_to_database_spark.operators.dedup import excise_exact_substrings
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f x"),  # keeper of "a b c d e f"
+            (2, "z a b c d e f y"),  # non-first occurrence -> excised
+            (3, "p q r s t u p q r s t u"),  # within-doc repeat
+            (4, "totally unrelated words with no duplicate span here"),
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_removed"], r["cleaned_text"])
+        for r in excise_exact_substrings(docs, 6).collect()
+    }
+    assert got[1] == (7, 0, "a b c d e f x")
+    assert got[2] == (8, 6, "z y")
+    assert got[3] == (12, 6, "p q r s t u")
+    assert got[4] == (8, 0, "totally unrelated words with no duplicate span here")

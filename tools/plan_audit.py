@@ -60,6 +60,11 @@ NOTES = {
     "duplicate_spans": "one narrow gram pass + one gram-keyed map-side-combined shuffle; production groups by xxhash64(gram) to shrink the shuffle key",
     "rich_inactive_customers_sql": "SQL-text entry path: Catalyst decorrelates the NOT EXISTS to a broadcast null-aware anti join and the scalar subqueries to one-row broadcast aggregates",
     "dq_checks_orders": "six rules in two corpus passes: one multi-conditional agg (exact uniqueness adds the distinct shuffle) + one anti-join count; 1-row frames cross-joined and stacked",
+    "stateful_session_paths": "runs the REAL streaming engine (availableNow foreachBatch drain): cost is micro-batch scheduling + transformWithState, not the plan; batch twin session_windows carries the plan proof",
+    "streaming_window_counts": "streaming-engine complete-mode windowed agg drained to a final table == batch tumbling_window answer",
+    "audio_metadata": "narrow Arrow mapInPandas: WAV encode->decode round trip per doc, zero shuffles; payloads never leave the batch",
+    "video_metadata": "narrow Arrow mapInPandas: MP4 box-tree encode->decode round trip per doc, zero shuffles",
+    "exact_substring_excise": "gram-occurrence kernel (narrow) -> one gram-keyed shuffle (map-side combined count+min) -> per-doc cut-set agg -> single doc_id equi-join; rewrite is a JVM HOF over the token array",
     "returned_orders_by_priority_sql": "correlated EXISTS -> left semi join; agg on the semi-join survivors only",
     "importance_weights": "two partial-agg shuffles build the LMs; vocab-sized ratio table broadcast; decimal-exact per-doc agg on the doc_id shuffle",
     "cohort_retention": "per-user first-event agg + (cohort, offset) distinct count — both shuffles key on user_id",

@@ -88,6 +88,7 @@ PROBES = {
     "streaming_window_counts": "events",
     "audio_metadata": "documents",
     "video_metadata": "documents",
+    "exact_substring_excise": "documents",
 }
 
 
