@@ -722,7 +722,10 @@ def duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _EXCISE_N = 6
-_EXCISE_PACK = 1 << 20  # packs (doc_id, pos) into one orderable bigint
+_EXCISE_PACK = 1 << 20  # packs (doc_id, pos) into one orderable bigint;
+# assumes pos < 2^20 (1M tokens/doc — far above any web-scale doc cap;
+# longer docs should be chunked upstream). Packing rather than a struct
+# min keeps the keeper key an 8-byte orderable both engines agree on.
 
 
 def excise_exact_substrings(docs: DataFrame, n: int = _EXCISE_N) -> DataFrame:
@@ -731,7 +734,12 @@ def excise_exact_substrings(docs: DataFrame, n: int = _EXCISE_N) -> DataFrame:
     cleaned_text)."""
     from .sampling import explode_ngrams_pos
 
-    occ = explode_ngrams_pos(docs, n)
+    # occ feeds BOTH the keeper aggregation and the join probe side;
+    # without a cut the Arrow n-gram kernel (the dominant corpus pass)
+    # would execute twice — ReuseExchange can't help because one consumer
+    # partial-aggregates below its exchange. localCheckpoint materializes
+    # it once (the minhash_lsh_md5/simhash_md5 pattern in this file).
+    occ = explode_ngrams_pos(docs, n).localCheckpoint(eager=True)
     packed = F.col("doc_id") * _EXCISE_PACK + F.col("pos")
     keeper = (
         occ.groupBy("gram")
@@ -749,6 +757,9 @@ def excise_exact_substrings(docs: DataFrame, n: int = _EXCISE_N) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.collect_set("idx").alias("__exc"))
     )
+    # F.split(trim, '\s+') matches explode_ngrams_pos's tokenizer
+    # EXACTLY (java-regex semantics, see _java_ws_tokens) — the cut
+    # indexes below are positions into this array.
     toks = docs.select("doc_id", F.split(F.trim("text"), r"\s+").alias("__ws"))
     return (
         toks.join(cut_idx, "doc_id", "left")
@@ -957,7 +968,10 @@ def minhash_lsh_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         bands = mins.select(
             "doc_id",
-            F.expr(f"stack(4, {band_exprs}) AS (band_idx, band_val)"),
+            F.expr(
+                f"stack({_MD5_N_HASHES // _MD5_ROWS_PER_BAND}, {band_exprs})"
+                " AS (band_idx, band_val)"
+            ),
         )
         # hot-bucket cap ACTIVE and ENCODED IN THE ORACLE (capped CTE):
         # both engines drop the same over-cap buckets, so the comparison

@@ -571,17 +571,27 @@ def real_video_codec(payload: bytes) -> dict:
     timescale = duration = None
     n_tracks = n_video = 0
     width = height = None
+    def need(b0: int, b1: int, n: int, what: str) -> None:
+        # field reads must stay INSIDE the box body — a short box followed
+        # by a sibling would otherwise silently decode the sibling's bytes
+        # as metadata ("fail loudly, never garbage")
+        if b1 - b0 < n:
+            raise ValueError(f"malformed MP4: {what} box shorter than {n} bytes")
+
     for btype, b0, b1 in _bmff_boxes(payload, 0, len(payload)):
         if btype != b"moov":
             continue
         for ctype, c0, c1 in _bmff_boxes(payload, b0, b1):
             if ctype == b"mvhd":
+                need(c0, c1, 4, "mvhd")
                 ver = payload[c0]
                 if ver == 1:
+                    need(c0, c1, 32, "mvhd v1")
                     timescale, duration = struct.unpack(
                         ">IQ", payload[c0 + 20 : c0 + 32]
                     )
                 else:
+                    need(c0, c1, 20, "mvhd v0")
                     timescale, duration = struct.unpack(
                         ">II", payload[c0 + 12 : c0 + 20]
                     )
@@ -591,14 +601,17 @@ def real_video_codec(payload: bytes) -> dict:
                 is_video = False
                 for ttype, t0, t1 in _bmff_boxes(payload, c0, c1):
                     if ttype == b"tkhd":
+                        need(t0, t1, 4, "tkhd")
                         off = t0 + (88 if payload[t0] == 1 else 76)
+                        need(t0, t1, off + 8 - t0, "tkhd")
                         w_fx, h_fx = struct.unpack(
                             ">II", payload[off : off + 8]
                         )
                         t_w, t_h = w_fx >> 16, h_fx >> 16
                     elif ttype == b"mdia":
-                        for mtype, m0, _m1 in _bmff_boxes(payload, t0, t1):
+                        for mtype, m0, m1 in _bmff_boxes(payload, t0, t1):
                             if mtype == b"hdlr":
+                                need(m0, m1, 12, "hdlr")
                                 is_video = payload[m0 + 8 : m0 + 12] == b"vide"
                 if is_video:
                     n_video += 1

@@ -394,6 +394,18 @@ def explode_ngrams(
     return cols.mapInPandas(gen, out_schema)
 
 
+def _java_ws_tokens(tx: str | None) -> list[str]:
+    """Exact Python replica of Spark's ``split(trim(x), '\\s+')``:
+    trim strips ASCII spaces only; the split class is Java's ``\\s`` =
+    ``[ \\t\\n\\x0b\\f\\r]`` (NOT Python's unicode-aware ``str.split``).
+    '' and all-separator inputs yield [''], as Spark does."""
+    import re
+
+    if tx is None:
+        return []
+    return re.split("[ \t\n\x0b\f\r]+", tx.strip(" "))
+
+
 def explode_ngrams_pos(
     df: DataFrame,
     n: int,
@@ -404,7 +416,14 @@ def explode_ngrams_pos(
     0-based token start position (the positional variant of
     ``explode_ngrams``, for span excision where WHERE a duplicate sits
     matters, not just that it exists). Same vectorized Arrow kernel; a
-    narrow map, no shuffle, any partitioning."""
+    narrow map, no shuffle, any partitioning.
+
+    Tokenization is ``split(trim(text), '\\s+')`` with JAVA regex
+    semantics (`_java_ws_tokens`) — NOT Python ``str.split`` — because
+    consumers index these positions back into Spark's ``F.split`` output:
+    the two must agree token-for-token (leading non-space whitespace
+    yields a leading '' token in both; Python split would silently shift
+    every position by one)."""
     import pandas as pd
 
     id_type = df.schema[id_col].dataType.simpleString()
@@ -417,7 +436,7 @@ def explode_ngrams_pos(
             poss: list = []
             grams: list = []
             for did, tx in zip(pdf[id_col], pdf[text_col]):
-                t = tx.split() if tx else []
+                t = _java_ws_tokens(tx)
                 for i in range(len(t) - n + 1):
                     ids.append(did)
                     poss.append(i)

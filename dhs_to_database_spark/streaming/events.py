@@ -117,6 +117,8 @@ def drain_to_parquet(df: DataFrame, output_mode: str = "append") -> DataFrame:
     memory sink collects to the driver (test-only); a parquet landing
     scales to any result size and is what production would do.
     """
+    import atexit
+    import shutil
     import tempfile
 
     dest = tempfile.mkdtemp(prefix="stream_drain_")
@@ -134,6 +136,13 @@ def drain_to_parquet(df: DataFrame, output_mode: str = "append") -> DataFrame:
         .start()
     )
     q.awaitTermination()
+    # the one-shot checkpoint is pure waste once the drain terminated
+    # (every call makes a fresh one, so it can never be restarted from);
+    # the landing dir must outlive this call — the returned DataFrame
+    # reads it lazily — so it is reclaimed at interpreter exit instead
+    # of leaking for the machine's lifetime across bench/test runs.
+    shutil.rmtree(ckpt, ignore_errors=True)
+    atexit.register(shutil.rmtree, dest, ignore_errors=True)
     spark = df.sparkSession
     try:
         return spark.read.schema(df.schema).parquet(dest)

@@ -24,3 +24,26 @@ def test_exact_substring_excise_fixture(spark):
     assert got[2] == (8, 6, "z y")
     assert got[3] == (12, 6, "p q r s t u")
     assert got[4] == (8, 0, "totally unrelated words with no duplicate span here")
+
+
+def test_exact_substring_excise_nonspace_whitespace_alignment(spark):
+    """Leading non-space whitespace yields a leading '' token in Spark's
+    split(trim, '\\s+'); the positional kernel must agree token-for-token
+    or every cut index shifts by one (code-review regression)."""
+    from dhs_to_database_spark.operators.dedup import excise_exact_substrings
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f x"),
+            (2, "\tz a b c d e f y"),  # tab survives trim -> leading '' token
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_removed"], r["cleaned_text"])
+        for r in excise_exact_substrings(docs, 6).collect()
+    }
+    assert got[1] == (7, 0, "a b c d e f x")
+    # doc2 tokens: ['', 'z', 'a', 'b', 'c', 'd', 'e', 'f', 'y'] — the
+    # duplicated span sits at positions 2..7, not 1..6
+    assert got[2] == (9, 6, " z y")

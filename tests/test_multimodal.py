@@ -368,3 +368,34 @@ def test_real_video_codec_through_mapinpandas(spark):
         for r in decode_video(media).collect()
     }
     assert got == {1: (600, 3000, 320, 1), 2: (1000, 2500, 64, 2)}
+
+
+def test_real_video_codec_rejects_short_interior_boxes():
+    """A structurally-valid but too-short mvhd/tkhd must raise ValueError,
+    never decode a sibling box's bytes as metadata (code-review regression)."""
+    import struct
+
+    import pytest
+
+    from dhs_to_database_spark.operators.multimodal import real_video_codec
+
+    def box(t, b):
+        return struct.pack(">I", 8 + len(b)) + t + b
+
+    ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2")
+    # mvhd with only version+flags (4 bytes) followed by a 'free' sibling
+    short_mvhd = box(b"mvhd", b"\x00\x00\x00\x00")
+    filler = box(b"free", b"\x00" * 24)
+    with pytest.raises(ValueError):
+        real_video_codec(ftyp + box(b"moov", short_mvhd + filler))
+    # tkhd too short for its version's width/height offsets
+    good_mvhd = box(
+        b"mvhd",
+        b"\x00" * 4 + struct.pack(">II", 0, 0) + struct.pack(">II", 600, 600) + b"\x00" * 80,
+    )
+    short_tkhd = box(b"tkhd", b"\x00\x00\x00\x07" + b"\x00" * 20)
+    hdlr = box(b"hdlr", b"\x00" * 8 + b"vide" + b"\x00" * 13)
+    with pytest.raises(ValueError):
+        real_video_codec(
+            ftyp + box(b"moov", good_mvhd + box(b"trak", short_tkhd + box(b"mdia", hdlr)))
+        )
