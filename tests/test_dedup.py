@@ -47,3 +47,33 @@ def test_exact_substring_excise_nonspace_whitespace_alignment(spark):
     # doc2 tokens: ['', 'z', 'a', 'b', 'c', 'd', 'e', 'f', 'y'] — the
     # duplicated span sits at positions 2..7, not 1..6
     assert got[2] == (9, 6, " z y")
+
+
+def test_java_ws_tokens_matches_duckdb_tokenizer():
+    """Property: the positional kernel's tokenizer equals DuckDB's
+    string_split_regex(trim(x), '\\s+') on arbitrary text (the oracle's
+    tokenizer), for every whitespace char except \\x0b (vertical tab —
+    Java \\s includes it, RE2's does not; documented divergence)."""
+    import duckdb
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from dhs_to_database_spark.operators.sampling import _java_ws_tokens
+
+    con = duckdb.connect()
+
+    @settings(max_examples=120, deadline=None)
+    @given(
+        tx=st.text(
+            alphabet=list("ab \t\n\f\r'\"\\%_") + ["é", "日"],
+            max_size=24,
+        )
+    )
+    def check(tx):
+        got = _java_ws_tokens(tx)
+        want = con.execute(
+            "SELECT string_split_regex(trim(?), '\\s+')", [tx]
+        ).fetchone()[0]
+        assert got == want, (tx, got, want)
+
+    check()

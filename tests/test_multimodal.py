@@ -399,3 +399,60 @@ def test_real_video_codec_rejects_short_interior_boxes():
         real_video_codec(
             ftyp + box(b"moov", good_mvhd + box(b"trak", short_tkhd + box(b"mdia", hdlr)))
         )
+
+
+def test_audio_video_codec_roundtrip_properties():
+    """Property: ANY valid synthesis parameters survive the encode->decode
+    round trip exactly (hypothesis over the whole parameter space)."""
+    import io
+    import wave
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from dhs_to_database_spark.operators.multimodal import (
+        _mp4_encode,
+        real_audio_codec,
+        real_video_codec,
+    )
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        rate=st.sampled_from([8000, 11025, 16000, 22050, 44100, 48000]),
+        channels=st.integers(1, 8),
+        frames=st.integers(0, 4096),
+        width_bytes=st.sampled_from([1, 2, 4]),
+    )
+    def wav_roundtrip(rate, channels, frames, width_bytes):
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(channels)
+            w.setsampwidth(width_bytes)
+            w.setframerate(rate)
+            w.writeframes(b"\x00" * (frames * channels * width_bytes))
+        got = real_audio_codec(buf.getvalue())
+        assert got["sample_rate"] == rate
+        assert got["n_channels"] == channels
+        assert got["bits_per_sample"] == width_bytes * 8
+        assert got["n_frames"] == frames
+        assert got["duration_ms"] == frames * 1000 // rate
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        timescale=st.integers(1, 1_000_000),
+        duration=st.integers(0, 2**31 - 1),
+        w=st.integers(0, 65535),
+        h=st.integers(0, 65535),
+        n_audio=st.integers(0, 3),
+    )
+    def mp4_roundtrip(timescale, duration, w, h, n_audio):
+        tracks = [(b"vide", w, h)] + [(b"soun", 0, 0)] * n_audio
+        got = real_video_codec(_mp4_encode(timescale, duration, tracks))
+        assert got["timescale"] == timescale
+        assert got["duration_ms"] == duration * 1000 // timescale
+        assert (got["width"], got["height"]) == (w, h)
+        assert got["n_tracks"] == 1 + n_audio
+        assert got["n_video_tracks"] == 1
+
+    wav_roundtrip()
+    mp4_roundtrip()
