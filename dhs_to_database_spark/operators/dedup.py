@@ -728,10 +728,20 @@ _EXCISE_PACK = 1 << 20  # packs (doc_id, pos) into one orderable bigint;
 # min keeps the keeper key an 8-byte orderable both engines agree on.
 
 
-def excise_exact_substrings(docs: DataFrame, n: int = _EXCISE_N) -> DataFrame:
+def excise_exact_substrings(
+    docs: DataFrame, n: int = _EXCISE_N, hash_grams: bool = False
+) -> DataFrame:
     """Cleaned corpus: every duplicated ``n``-token span kept only at its
     globally-first occurrence. Returns (doc_id, n_tokens, n_removed,
-    cleaned_text)."""
+    cleaned_text).
+
+    ``hash_grams=True`` is the PRODUCTION tier: the shuffle/groupBy key
+    is ``xxhash64(gram)`` (8 bytes) instead of the gram text (~6 words),
+    cutting shuffle width severalfold at corpus scale; a cross-gram
+    64-bit collision (birthday bound ~2^32 distinct grams) could excise
+    a unique span spuriously — harmless for training-data curation,
+    excluded from the exact oracle tier. Tier parity on collision-free
+    corpora is pinned by test_excise_hash_tier_parity."""
     from .sampling import explode_ngrams_pos
 
     # occ feeds BOTH the keeper aggregation and the join probe side;
@@ -739,16 +749,21 @@ def excise_exact_substrings(docs: DataFrame, n: int = _EXCISE_N) -> DataFrame:
     # would execute twice — ReuseExchange can't help because one consumer
     # partial-aggregates below its exchange. localCheckpoint materializes
     # it once (the minhash_lsh_md5/simhash_md5 pattern in this file).
-    occ = explode_ngrams_pos(docs, n).localCheckpoint(eager=True)
+    gkey = (F.xxhash64("gram") if hash_grams else F.col("gram")).alias("gkey")
+    occ = (
+        explode_ngrams_pos(docs, n)
+        .select("doc_id", "pos", gkey)
+        .localCheckpoint(eager=True)
+    )
     packed = F.col("doc_id") * _EXCISE_PACK + F.col("pos")
     keeper = (
-        occ.groupBy("gram")
+        occ.groupBy("gkey")
         .agg(F.count(F.lit(1)).alias("__cnt"), F.min(packed).alias("__keeper"))
         .filter(F.col("__cnt") >= 2)
-        .select("gram", "__keeper")
+        .select("gkey", "__keeper")
     )
     cut_idx = (
-        occ.join(keeper, "gram")
+        occ.join(keeper, "gkey")
         .filter(packed != F.col("__keeper"))
         .select(
             "doc_id",

@@ -77,3 +77,21 @@ def test_java_ws_tokens_matches_duckdb_tokenizer():
         assert got == want, (tx, got, want)
 
     check()
+
+
+def test_excise_hash_tier_parity(spark):
+    """The xxhash64-keyed production tier produces byte-identical output
+    to the exact gram-text tier on a collision-free corpus."""
+    from dhs_to_database_spark.operators.dedup import excise_exact_substrings
+    from dhs_to_database_spark.sources.tables import load_table
+
+    d = load_table(spark, "/root/testdata/sf0.001", "documents")
+    exact = sorted(
+        excise_exact_substrings(d).collect(), key=lambda r: r["doc_id"]
+    )
+    hashed = sorted(
+        excise_exact_substrings(d, hash_grams=True).collect(),
+        key=lambda r: r["doc_id"],
+    )
+    assert [tuple(r) for r in exact] == [tuple(r) for r in hashed]
+    assert any(r["n_removed"] > 0 for r in exact)  # the corpus exercises cuts
