@@ -744,6 +744,10 @@ def excise_exact_substrings(
     corpora is pinned by test_excise_hash_tier_parity."""
     from .sampling import explode_ngrams_pos
 
+    # NULL-text docs are dropped (not rewritten): the oracle's UNNEST over
+    # a NULL token array yields no rows, so both engines omit them.
+    docs = docs.filter(F.col("text").isNotNull())
+
     # occ feeds BOTH the keeper aggregation and the join probe side;
     # without a cut the Arrow n-gram kernel (the dominant corpus pass)
     # would execute twice — ReuseExchange can't help because one consumer

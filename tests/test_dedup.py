@@ -95,3 +95,15 @@ def test_excise_hash_tier_parity(spark):
     )
     assert [tuple(r) for r in exact] == [tuple(r) for r in hashed]
     assert any(r["n_removed"] > 0 for r in exact)  # the corpus exercises cuts
+
+
+def test_excise_drops_null_text_docs(spark):
+    """NULL-text docs are omitted (matching the oracle's UNNEST-over-NULL
+    behavior), never emitted with NULL metadata."""
+    from dhs_to_database_spark.operators.dedup import excise_exact_substrings
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f x"), (2, None)], "doc_id bigint, text string"
+    )
+    rows = excise_exact_substrings(docs, 6).collect()
+    assert [r["doc_id"] for r in rows] == [1]
