@@ -128,6 +128,7 @@ _GRADE_TAIL = [
     "audio_metadata",  # r4: WAV encode->decode round trip; multimodal_features graded family
     "video_metadata",  # r4: MP4 box-tree encode->decode round trip; multimodal_features graded family
     "exact_substring_excise",  # r4: ExactSubstr cleaned-corpus rewrite; span family (duplicate_spans) graded
+    "flac_metadata",  # r4: FLAC STREAMINFO encode->decode round trip; audio_metadata sibling
 ]
 
 

@@ -94,6 +94,7 @@ BENCH_QUERIES = [
     "audio_metadata",
     "video_metadata",
     "exact_substring_excise",
+    "flac_metadata",
 ]
 
 

@@ -179,6 +179,70 @@ AUDIO_SCHEMA = StructType(
 )
 
 
+def _flac_streaminfo(payload: bytes, digest: str) -> dict:
+    """FLAC header decode, stdlib-only: walk the metadata blocks to
+    STREAMINFO (type 0, mandatory first block) and bit-unpack its packed
+    8-byte field — sample rate (20 bits), channels-1 (3), bits-1 (5),
+    total inter-channel samples (36). The frame-level audio is the
+    compressed part; the header is plain bit packing, so metadata decode
+    belongs on the stdlib side of the gate exactly like WAV/MP4."""
+    pos = 4
+    info = None
+    while pos + 4 <= len(payload):
+        hdr = payload[pos]
+        btype, last = hdr & 0x7F, hdr & 0x80
+        blen = int.from_bytes(payload[pos + 1 : pos + 4], "big")
+        body = payload[pos + 4 : pos + 4 + blen]
+        if len(body) < blen:
+            raise ValueError("malformed FLAC: truncated metadata block")
+        if btype == 0:
+            if blen < 34:
+                raise ValueError("malformed FLAC: STREAMINFO shorter than 34 bytes")
+            b = body[10:18]  # the packed sr/ch/bps/total field
+            sample_rate = (b[0] << 12) | (b[1] << 4) | (b[2] >> 4)
+            n_channels = ((b[2] >> 1) & 0x7) + 1
+            bits = (((b[2] & 0x1) << 4) | (b[3] >> 4)) + 1
+            total = ((b[3] & 0x0F) << 32) | int.from_bytes(b[4:8], "big")
+            info = (sample_rate, n_channels, bits, total)
+        pos += 4 + blen
+        if last:
+            break
+    if info is None:
+        raise ValueError("malformed FLAC: no STREAMINFO block")
+    sample_rate, n_channels, bits, total = info
+    if sample_rate == 0:
+        raise ValueError("malformed FLAC: zero sample rate")
+    return {
+        "sample_rate": sample_rate,
+        "n_channels": n_channels,
+        "bits_per_sample": bits,
+        "n_frames": total,
+        "duration_ms": (total * 1000) // sample_rate,
+        "digest": digest,
+    }
+
+
+def _flac_encode(
+    sample_rate: int, n_channels: int, bits: int, total_samples: int
+) -> bytes:
+    """Independent minimal FLAC writer (magic + one STREAMINFO block),
+    deliberately composed from shifts rather than the parser's offsets —
+    any writer/parser disagreement corrupts the round trip."""
+    packed = (
+        (sample_rate << 44)
+        | ((n_channels - 1) << 41)
+        | ((bits - 1) << 36)
+        | total_samples
+    ).to_bytes(8, "big")
+    streaminfo = (
+        (4096).to_bytes(2, "big") * 2  # min/max block size
+        + b"\x00" * 6  # min/max frame size (unknown)
+        + packed
+        + b"\x00" * 16  # unencoded-audio md5 (unset)
+    )
+    return b"fLaC" + bytes([0x80]) + len(streaminfo).to_bytes(3, "big") + streaminfo
+
+
 def real_audio_codec(payload: bytes) -> dict:
     """REAL audio metadata decode, stdlib-only (struct): parses the
     RIFF/WAVE container — chunk walk to ``fmt `` (format, channels,
@@ -196,10 +260,13 @@ def real_audio_codec(payload: bytes) -> dict:
     import struct
 
     digest = hashlib.md5(payload).hexdigest()
+    if payload[:4] == b"fLaC":
+        return _flac_streaminfo(payload, digest)
     if payload[:4] != b"RIFF":
         raise NotImplementedError(
-            "real_audio_codec handles RIFF/WAV; other audio containers "
-            "require media libraries not installed in this environment"
+            "real_audio_codec handles RIFF/WAV and FLAC STREAMINFO; other "
+            "audio containers require media libraries not installed in "
+            "this environment"
         )
     if len(payload) < 12 or payload[8:12] != b"WAVE":
         raise ValueError("malformed WAV: RIFF container without WAVE form")
@@ -746,6 +813,70 @@ def video_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
                     tracks.append((b"soun", 0, 0))
                 meta = real_video_codec(
                     _mp4_encode(timescale, duration, tracks)
+                )
+                rows.append((doc_id, *(meta[c] for c in cols[1:])))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return d.mapInPandas(synth_decode, schema)
+
+
+# ---------------------------------------------------------------------------
+# FLAC encode -> decode round trip, oracle-checked (r4), completing the
+# audio family: deterministic per-document STREAMINFO parameters through
+# the independent bit-shift writer, decoded back by the bit-unpack
+# parser, reproduced arithmetically by DuckDB.
+# ---------------------------------------------------------------------------
+
+_FLAC_SAMPLE_CAP = 1 << 20
+
+
+@query(
+    "flac_metadata",
+    oracle=f"""
+    SELECT doc_id AS media_id,
+           CAST(22050 * (1 + doc_id % 3) AS INTEGER) AS sample_rate,
+           CAST(1 + doc_id % 4 AS INTEGER) AS n_channels,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN 16 ELSE 24 END AS INTEGER)
+             AS bits_per_sample,
+           CAST(least(length(text) * 999, {_FLAC_SAMPLE_CAP}) AS BIGINT) AS n_frames,
+           CAST((least(length(text) * 999, {_FLAC_SAMPLE_CAP}) * 1000)
+                // (22050 * (1 + doc_id % 3)) AS BIGINT) AS duration_ms
+    FROM documents
+    """,
+)
+def flac_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesize a FLAC header per document (independent bit-shift
+    writer, deterministic STREAMINFO parameters) and decode it back
+    through ``real_audio_codec``'s FLAC path inside Arrow-batched
+    mapInPandas — decoded metadata must equal the oracle's closed-form
+    arithmetic."""
+    import pandas as pd
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    schema = StructType(
+        [
+            StructField("media_id", LongType()),
+            StructField("sample_rate", IntegerType()),
+            StructField("n_channels", IntegerType()),
+            StructField("bits_per_sample", IntegerType()),
+            StructField("n_frames", LongType()),
+            StructField("duration_ms", LongType()),
+        ]
+    )
+    cols = [f.name for f in schema.fields]
+
+    def synth_decode(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, tx in zip(pdf["doc_id"], pdf["text"]):
+                doc_id = int(doc_id)
+                meta = real_audio_codec(
+                    _flac_encode(
+                        22050 * (1 + doc_id % 3),
+                        1 + doc_id % 4,
+                        16 if doc_id % 2 == 0 else 24,
+                        min(len(tx or "") * 999, _FLAC_SAMPLE_CAP),
+                    )
                 )
                 rows.append((doc_id, *(meta[c] for c in cols[1:])))
             yield pd.DataFrame(rows, columns=cols)

@@ -456,3 +456,62 @@ def test_audio_video_codec_roundtrip_properties():
 
     wav_roundtrip()
     mp4_roundtrip()
+
+
+def test_flac_streaminfo_codec():
+    import pytest
+
+    from dhs_to_database_spark.operators.multimodal import (
+        _flac_encode,
+        real_audio_codec,
+    )
+
+    out = real_audio_codec(_flac_encode(48000, 2, 24, 480000))
+    assert out["sample_rate"] == 48000
+    assert out["n_channels"] == 2
+    assert out["bits_per_sample"] == 24
+    assert out["n_frames"] == 480000
+    assert out["duration_ms"] == 10000
+    # 36-bit total-samples boundary survives the round trip
+    big = real_audio_codec(_flac_encode(8000, 1, 8, (1 << 36) - 1))
+    assert big["n_frames"] == (1 << 36) - 1
+    # malformed: truncated STREAMINFO / zero sample rate / missing block
+    good = _flac_encode(8000, 1, 16, 100)
+    with pytest.raises(ValueError):
+        real_audio_codec(good[:20])
+    zero = bytearray(good)
+    # packed field = streaminfo[10:18] = payload[18:26]; sample rate is
+    # its first 20 bits
+    zero[18:20] = b"\x00\x00"
+    zero[20] &= 0x0F
+    with pytest.raises(ValueError):
+        real_audio_codec(bytes(zero))
+    with pytest.raises(ValueError):
+        real_audio_codec(b"fLaC")
+
+
+def test_flac_roundtrip_property():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from dhs_to_database_spark.operators.multimodal import (
+        _flac_encode,
+        real_audio_codec,
+    )
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        rate=st.integers(1, (1 << 20) - 1),
+        channels=st.integers(1, 8),
+        bits=st.integers(4, 32),
+        total=st.integers(0, (1 << 36) - 1),
+    )
+    def check(rate, channels, bits, total):
+        got = real_audio_codec(_flac_encode(rate, channels, bits, total))
+        assert got["sample_rate"] == rate
+        assert got["n_channels"] == channels
+        assert got["bits_per_sample"] == bits
+        assert got["n_frames"] == total
+        assert got["duration_ms"] == total * 1000 // rate
+
+    check()

@@ -89,6 +89,7 @@ PROBES = {
     "audio_metadata": "documents",
     "video_metadata": "documents",
     "exact_substring_excise": "documents",
+    "flac_metadata": "documents",
 }
 
 
