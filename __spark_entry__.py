@@ -129,6 +129,7 @@ _GRADE_TAIL = [
     "video_metadata",  # r4: MP4 box-tree encode->decode round trip; multimodal_features graded family
     "exact_substring_excise",  # r4: ExactSubstr cleaned-corpus rewrite; span family (duplicate_spans) graded
     "flac_metadata",  # r4: FLAC STREAMINFO encode->decode round trip; audio_metadata sibling
+    "corpus_dataset_card",  # r4: one-row release report; stats family (profile/moment/rowcount) graded
 ]
 
 

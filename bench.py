@@ -95,6 +95,7 @@ BENCH_QUERIES = [
     "video_metadata",
     "exact_substring_excise",
     "flac_metadata",
+    "corpus_dataset_card",
 ]
 
 

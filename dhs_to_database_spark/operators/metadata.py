@@ -751,3 +751,101 @@ def dq_checks_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return long.select(
         "rule", "violations", (F.col("violations") == 0).alias("passed")
     ).orderBy("rule")
+
+
+# ---------------------------------------------------------------------------
+# Corpus dataset card (r4): the single-row report a training-data
+# pipeline publishes with a release — volume, language spread, duplicate
+# load, token-length shape. Two corpus passes, both collapsing to
+# O(1)/O(langs) rows before any join: one multi-distinct aggregate
+# (Catalyst plans the three COUNT(DISTINCT)s + exact median in a single
+# Expand + shuffle) and one lang top-1; the 1-row frames meet in a
+# broadcast cross join. Exact median via `percentile` (same linear
+# interpolation as DuckDB's quantile_cont, cf. percentile_summary); the
+# 100 TB swap-in is approx_percentile, same API shape.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "corpus_dataset_card",
+    oracle="""
+    WITH t AS (
+      SELECT lang, source,
+             len(string_split_regex(trim(text), '\\s+')) AS toks,
+             md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+      FROM documents
+    ),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+             CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+             CAST(SUM(toks) AS BIGINT) AS n_tokens,
+             CAST(ROUND(AVG(toks), 4) AS DOUBLE) AS avg_doc_tokens,
+             CAST(ROUND(quantile_cont(toks, 0.5), 4) AS DOUBLE) AS median_doc_tokens,
+             CAST(ROUND(1 - CAST(COUNT(DISTINCT fp) AS DECIMAL(18,6)) / COUNT(*), 6)
+               AS DOUBLE) AS exact_dup_rate
+      FROM t
+    ),
+    l AS (
+      SELECT lang AS top_lang, CAST(COUNT(*) AS BIGINT) AS top_lang_docs
+      FROM t GROUP BY lang ORDER BY COUNT(*) DESC, lang LIMIT 1
+    )
+    SELECT s.n_docs, s.n_langs, s.n_sources, s.n_tokens,
+           s.avg_doc_tokens, s.median_doc_tokens, s.exact_dup_rate,
+           l.top_lang,
+           CAST(ROUND(CAST(l.top_lang_docs AS DECIMAL(18,6)) / s.n_docs, 6)
+             AS DOUBLE) AS top_lang_share
+    FROM s, l
+    """,
+)
+def corpus_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row corpus release report (see block comment)."""
+    from .dedup import normalized_fingerprint
+    from .text_analysis import n_tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    base = d.select(
+        "lang",
+        "source",
+        n_tokens(F.col("text")).alias("toks"),
+        normalized_fingerprint(F.col("text")).alias("fp"),
+    )
+    stats = base.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.countDistinct("lang").cast("bigint").alias("n_langs"),
+        F.countDistinct("source").cast("bigint").alias("n_sources"),
+        F.sum("toks").cast("bigint").alias("n_tokens"),
+        F.round(F.avg("toks"), 4).cast("double").alias("avg_doc_tokens"),
+        F.round(F.expr("percentile(toks, 0.5)"), 4)
+        .cast("double")
+        .alias("median_doc_tokens"),
+        F.round(
+            F.lit(1)
+            - F.countDistinct("fp").cast("decimal(18,6)") / F.count(F.lit(1)),
+            6,
+        )
+        .cast("double")
+        .alias("exact_dup_rate"),
+    )
+    top = (
+        base.groupBy("lang")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("top_lang_docs"))
+        .orderBy(F.desc("top_lang_docs"), "lang")
+        .limit(1)
+        .select(F.col("lang").alias("top_lang"), "top_lang_docs")
+    )
+    return stats.crossJoin(F.broadcast(top)).select(
+        "n_docs",
+        "n_langs",
+        "n_sources",
+        "n_tokens",
+        "avg_doc_tokens",
+        "median_doc_tokens",
+        "exact_dup_rate",
+        "top_lang",
+        F.round(
+            F.col("top_lang_docs").cast("decimal(18,6)") / F.col("n_docs"), 6
+        )
+        .cast("double")
+        .alias("top_lang_share"),
+    )

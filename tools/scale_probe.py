@@ -90,6 +90,7 @@ PROBES = {
     "video_metadata": "documents",
     "exact_substring_excise": "documents",
     "flac_metadata": "documents",
+    "corpus_dataset_card": "documents",
 }
 
 
