@@ -121,10 +121,12 @@ def main() -> None:
         load_table(spark, sf_dir, t).count()
     qs["sort_limit"](spark, sf_dir).collect()
 
+    missing = [n for n in BENCH_QUERIES if n not in qs]
+    if missing:
+        raise SystemExit(f"bench list names unregistered queries: {missing}")
+
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
-        if name not in qs:
-            continue
         runs = []
         for _ in range(2):
             t0 = time.time()
