@@ -130,6 +130,7 @@ _GRADE_TAIL = [
     "exact_substring_excise",  # r4: ExactSubstr cleaned-corpus rewrite; span family (duplicate_spans) graded
     "flac_metadata",  # r4: FLAC STREAMINFO encode->decode round trip; audio_metadata sibling
     "corpus_dataset_card",  # r4: one-row release report; stats family (profile/moment/rowcount) graded
+    "span_dedup_report",  # r4: excision composed into per-(lang,source) cost reporting; excise + dup_rate siblings
 ]
 
 

@@ -96,6 +96,7 @@ BENCH_QUERIES = [
     "exact_substring_excise",
     "flac_metadata",
     "corpus_dataset_card",
+    "span_dedup_report",
 ]
 
 

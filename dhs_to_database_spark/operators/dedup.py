@@ -1536,3 +1536,78 @@ def dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("redundancy"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Span-dedup report (r4): the excision operator composed into the
+# release-reporting shape — per (lang, source): docs touched, tokens
+# kept/removed, removal rate. Proves exact_substring_excise composes
+# downstream (its cleaned output joins corpus metadata and aggregates)
+# and gives the curation run its "how much did span dedup cost us"
+# number. Plan: the excise plan + one doc_id equi-join to the 3-column
+# metadata projection + one (lang, source) agg — everything after the
+# excise collapse is group-count-sized.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "span_dedup_report",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+      FROM documents WHERE text IS NOT NULL
+    ),
+    occ AS (
+      SELECT doc_id, i - 1 AS pos, array_to_string(t[i:i+{_EXCISE_N - 1}], ' ') AS gram
+      FROM toks, UNNEST(generate_series(1, len(t) - {_EXCISE_N - 1})) AS u(i)
+    ),
+    keeper AS (
+      SELECT gram, MIN(doc_id * {_EXCISE_PACK} + pos) AS k
+      FROM occ GROUP BY gram HAVING COUNT(*) >= 2
+    ),
+    exc AS (
+      SELECT DISTINCT o.doc_id, o.pos + j.j AS idx
+      FROM occ o JOIN keeper USING (gram), UNNEST(generate_series(0, {_EXCISE_N - 1})) AS j(j)
+      WHERE o.doc_id * {_EXCISE_PACK} + o.pos <> keeper.k
+    ),
+    per_doc AS (
+      SELECT toks.doc_id,
+             len(toks.t) AS n_tokens,
+             COALESCE(e.n_removed, 0) AS n_removed
+      FROM toks
+      LEFT JOIN (SELECT doc_id, COUNT(*) AS n_removed FROM exc GROUP BY doc_id) e
+        USING (doc_id)
+    )
+    SELECT d.lang, d.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) FILTER (WHERE p.n_removed > 0) AS BIGINT) AS n_docs_cut,
+           CAST(SUM(p.n_tokens) AS BIGINT) AS n_tokens,
+           CAST(SUM(p.n_removed) AS BIGINT) AS n_tokens_removed,
+           CAST(ROUND(CAST(SUM(p.n_removed) AS DECIMAL(18,6)) / SUM(p.n_tokens), 6)
+             AS DOUBLE) AS removal_rate
+    FROM per_doc p JOIN documents d USING (doc_id)
+    GROUP BY d.lang, d.source
+    """,
+)
+def span_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(lang, source) cost report of exact-substring excision (see
+    block comment)."""
+    d = load_table(spark, sf_dir, "documents")
+    cleaned = excise_exact_substrings(d).select("doc_id", "n_tokens", "n_removed")
+    return (
+        cleaned.join(d.select("doc_id", "lang", "source"), "doc_id")
+        .groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum((F.col("n_removed") > 0).cast("long"))
+            .cast("bigint")
+            .alias("n_docs_cut"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+            F.sum("n_removed").cast("bigint").alias("n_tokens_removed"),
+            F.round(
+                F.sum("n_removed").cast("decimal(18,6)") / F.sum("n_tokens"), 6
+            )
+            .cast("double")
+            .alias("removal_rate"),
+        )
+    )

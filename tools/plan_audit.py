@@ -67,6 +67,7 @@ NOTES = {
     "exact_substring_excise": "gram-occurrence kernel (narrow) -> one gram-keyed shuffle (map-side combined count+min) -> per-doc cut-set agg -> single doc_id equi-join; rewrite is a JVM HOF over the token array",
     "flac_metadata": "narrow Arrow mapInPandas: FLAC STREAMINFO encode->decode round trip per doc, zero shuffles",
     "corpus_dataset_card": "one multi-distinct Expand agg + one lang top-1, both O(1)/O(langs) post-agg; 1-row frames meet in a broadcast cross join",
+    "span_dedup_report": "the excise plan + one doc_id equi-join to a 3-column metadata projection + one (lang,source) agg; group-count-sized after the excise collapse",
     "returned_orders_by_priority_sql": "correlated EXISTS -> left semi join; agg on the semi-join survivors only",
     "importance_weights": "two partial-agg shuffles build the LMs; vocab-sized ratio table broadcast; decimal-exact per-doc agg on the doc_id shuffle",
     "cohort_retention": "per-user first-event agg + (cohort, offset) distinct count — both shuffles key on user_id",

@@ -91,6 +91,7 @@ PROBES = {
     "exact_substring_excise": "documents",
     "flac_metadata": "documents",
     "corpus_dataset_card": "documents",
+    "span_dedup_report": "documents",
 }
 
 
