@@ -157,13 +157,29 @@ def main() -> None:
     calib = round(min(calib_runs), 3)
 
     total = round(sum(timings.values()), 3)
+    # Full per-query detail on its own line (for humans / SCALING work) ...
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_detail",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    sys.stdout.flush()
+    # ... then a COMPACT summary as the FINAL stdout line. The driver's
+    # output-tail capture is bounded; r4's single giant JSON line overflowed
+    # it and the round recorded no headline number ("parsed": null). Keeping
+    # the last line small guarantees the driver always retains a parseable
+    # {"metric", "value", ...} headline.
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total_sec",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
+                "n_queries": len(timings),
                 "sf": sf,
                 "calib_range_sum_sec": calib,
             }

@@ -702,9 +702,12 @@ def duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 # corpus so that every duplicated _EXCISE_N-token span survives in exactly
 # ONE place — its globally-first occurrence — and is cut everywhere else
 # (duplicate_spans only FLAGS spans; this produces the cleaned corpus).
-# Deterministic end to end: the keeper is min(doc_id, pos) under a packed
-# bigint key, so any cluster layout yields byte-identical output. Plan
-# shape at 100 TB:
+# Deterministic end to end: the keeper is the lexicographic min of the
+# (doc_id, pos) struct, so any cluster layout yields byte-identical
+# output at ANY doc length / doc_id range (r5: replaced the former
+# doc_id*2^20+pos bigint packing, whose >1M-token / >2^43-doc_id
+# overflow silently corrupted keeper choice in BOTH engines — struct
+# ordering has no width assumption to violate). Plan shape at 100 TB:
 #   * occurrence generation is the narrow Arrow n-gram kernel (+pos);
 #   * one shuffle groups occurrences by gram (map-side combined count +
 #     min) — production keys this by xxhash64(gram) to shrink shuffle
@@ -722,10 +725,6 @@ def duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _EXCISE_N = 6
-_EXCISE_PACK = 1 << 20  # packs (doc_id, pos) into one orderable bigint;
-# assumes pos < 2^20 (1M tokens/doc — far above any web-scale doc cap;
-# longer docs should be chunked upstream). Packing rather than a struct
-# min keeps the keeper key an 8-byte orderable both engines agree on.
 
 
 def excise_exact_substrings(
@@ -759,16 +758,18 @@ def excise_exact_substrings(
         .select("doc_id", "pos", gkey)
         .localCheckpoint(eager=True)
     )
-    packed = F.col("doc_id") * _EXCISE_PACK + F.col("pos")
+    # Lexicographic struct min: no packing-width assumption (Spark orders
+    # structs field-by-field, exactly DuckDB's ROW comparison).
+    occpos = F.struct(F.col("doc_id"), F.col("pos"))
     keeper = (
         occ.groupBy("gkey")
-        .agg(F.count(F.lit(1)).alias("__cnt"), F.min(packed).alias("__keeper"))
+        .agg(F.count(F.lit(1)).alias("__cnt"), F.min(occpos).alias("__keeper"))
         .filter(F.col("__cnt") >= 2)
         .select("gkey", "__keeper")
     )
     cut_idx = (
         occ.join(keeper, "gkey")
-        .filter(packed != F.col("__keeper"))
+        .filter(occpos != F.col("__keeper"))
         .select(
             "doc_id",
             F.explode(F.sequence(F.col("pos"), F.col("pos") + (n - 1))).alias("idx"),
@@ -809,13 +810,13 @@ def excise_exact_substrings(
       FROM toks, UNNEST(generate_series(1, len(t) - {_EXCISE_N - 1})) AS u(i)
     ),
     keeper AS (
-      SELECT gram, MIN(doc_id * {_EXCISE_PACK} + pos) AS k
+      SELECT gram, MIN(row(doc_id, pos)) AS k
       FROM occ GROUP BY gram HAVING COUNT(*) >= 2
     ),
     exc AS (
       SELECT DISTINCT o.doc_id, o.pos + j.j AS idx
       FROM occ o JOIN keeper USING (gram), UNNEST(generate_series(0, {_EXCISE_N - 1})) AS j(j)
-      WHERE o.doc_id * {_EXCISE_PACK} + o.pos <> keeper.k
+      WHERE row(o.doc_id, o.pos) <> keeper.k
     ),
     tok AS (
       SELECT doc_id, i - 1 AS idx, t[i] AS tokn, len(t) AS nt
@@ -1562,13 +1563,13 @@ def dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM toks, UNNEST(generate_series(1, len(t) - {_EXCISE_N - 1})) AS u(i)
     ),
     keeper AS (
-      SELECT gram, MIN(doc_id * {_EXCISE_PACK} + pos) AS k
+      SELECT gram, MIN(row(doc_id, pos)) AS k
       FROM occ GROUP BY gram HAVING COUNT(*) >= 2
     ),
     exc AS (
       SELECT DISTINCT o.doc_id, o.pos + j.j AS idx
       FROM occ o JOIN keeper USING (gram), UNNEST(generate_series(0, {_EXCISE_N - 1})) AS j(j)
-      WHERE o.doc_id * {_EXCISE_PACK} + o.pos <> keeper.k
+      WHERE row(o.doc_id, o.pos) <> keeper.k
     ),
     per_doc AS (
       SELECT toks.doc_id,

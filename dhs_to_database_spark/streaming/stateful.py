@@ -18,13 +18,17 @@ Mechanics:
   conservatively; events later than watermark-gap are the normal path.
 
 Scale: state per key is O(1) (six primitives), shuffle is one exchange on
-user_id, and the pandas function sees Arrow batches — no per-row Python.
+user_id, and the pandas function sees Arrow batches. The in-batch session
+split is vectorized numpy gaps-and-islands (diff > GAP → cumsum islands →
+reduceat aggregates); Python touches only the O(#sessions) boundary fold
+that merges island 0 with the carried open-session state.
 """
 
 from __future__ import annotations
 
 from typing import Any, Iterator
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
@@ -41,12 +45,6 @@ STATE_SCHEMA = (
     "start_ms bigint, last_ms bigint, n_events bigint, total_value double, "
     "first_type string, last_type string"
 )
-
-
-def _us(ts: Any) -> int:
-    # microseconds: full TimestampType precision, so gap/ordering decisions
-    # are bit-identical to the batch gaps-and-islands twin
-    return int(pd.Timestamp(ts).value // 1_000)
 
 
 def sessionize(
@@ -74,26 +72,69 @@ def sessionize(
         state.remove()
     else:
         open_s = tuple(state.get) if state.exists else None
-        events: list[tuple] = []
-        for pdf in pdfs:
-            for row in pdf.itertuples(index=False):
-                events.append((_us(row.ts), str(row.event_type), float(row.value)))
-        events.sort()
-        for ts, etype, value in events:
+        parts = [pdf for pdf in pdfs if len(pdf)]
+        n = sum(len(p) for p in parts)
+        if n:
+            batch = pd.concat(parts, ignore_index=True) if len(parts) > 1 else parts[0]
+            # Sort by (ts, event_type, value) exactly like the scalar fold's
+            # tuple sort; stable multi-key lexsort gives the same order.
+            u_raw = (
+                pd.to_datetime(batch["ts"])
+                .to_numpy()
+                .astype("datetime64[us]")
+                .astype(np.int64)
+            )
+            et_raw = batch["event_type"].astype(str).to_numpy()
+            v_raw = batch["value"].to_numpy(dtype=np.float64)
+            order = np.lexsort((v_raw, et_raw, u_raw))
+            u, et, v = u_raw[order], et_raw[order], v_raw[order]
+
+            # Gap breaks. For i>=1 the previous session's last_ms is
+            # max(u[i-1], open_last): before any break the open session's
+            # carried last_ms can still exceed u[i-1] (late events); after a
+            # break every ts already exceeds open_last + GAP, so the max is
+            # u[i-1] either way — the vectorized test is exact.
+            brk = np.empty(n, dtype=bool)
             if open_s is None:
-                open_s = (ts, ts, 1, value, etype, etype)
-            elif ts - open_s[1] > GAP_US:
-                emit(open_s)
-                open_s = (ts, ts, 1, value, etype, etype)
+                brk[0] = True
+                if n > 1:
+                    brk[1:] = (u[1:] - u[:-1]) > GAP_US
             else:
-                open_s = (
-                    open_s[0],
-                    max(ts, open_s[1]),
-                    open_s[2] + 1,
-                    open_s[3] + value,
-                    open_s[4],
-                    etype,
+                brk[0] = (u[0] - open_s[1]) > GAP_US
+                if n > 1:
+                    brk[1:] = (u[1:] - np.maximum(u[:-1], open_s[1])) > GAP_US
+
+            starts = np.concatenate(([0], np.flatnonzero(brk[1:]) + 1))
+            ends = np.concatenate((starts[1:], [n])) - 1
+            seg_n = np.diff(np.concatenate((starts, [n])))
+            seg_sum = np.add.reduceat(v, starts)
+            sessions: list[tuple] = [
+                (
+                    int(u[starts[k]]),
+                    int(u[ends[k]]),
+                    int(seg_n[k]),
+                    float(seg_sum[k]),
+                    str(et[starts[k]]),
+                    str(et[ends[k]]),
                 )
+                for k in range(len(starts))
+            ]
+            if open_s is not None:
+                if brk[0]:
+                    sessions.insert(0, open_s)
+                else:
+                    s0 = sessions[0]
+                    sessions[0] = (
+                        open_s[0],
+                        max(open_s[1], s0[1]),
+                        open_s[2] + s0[2],
+                        open_s[3] + s0[3],
+                        open_s[4],
+                        s0[5],
+                    )
+            for s in sessions[:-1]:
+                emit(s)
+            open_s = sessions[-1]
         if open_s is not None:
             state.update(open_s)
             # close the open session once the watermark passes its gap

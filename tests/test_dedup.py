@@ -97,6 +97,30 @@ def test_excise_hash_tier_parity(spark):
     assert any(r["n_removed"] > 0 for r in exact)  # the corpus exercises cuts
 
 
+def test_excise_keeper_correct_beyond_old_pack_width(spark):
+    """r5 hardening: a duplicated span sitting past token position 2^20
+    must still keep its globally-first (min doc_id, then min pos)
+    occurrence. Under the retired doc_id*2^20+pos bigint packing this
+    fixture inverted the keeper: (doc_id=1, pos=2^20+1) packed SMALLER
+    than (doc_id=0, pos over-width), silently excising the true keeper.
+    Struct ordering has no width to overflow."""
+    from dhs_to_database_spark.operators.dedup import excise_exact_substrings
+
+    pos = (1 << 20) + 1  # strictly beyond the old packing assumption
+    dup = "s0 s1 s2 s3 s4 s5"
+    long_text = " ".join(f"w{i}" for i in range(pos)) + " " + dup
+    docs = spark.createDataFrame(
+        [(0, long_text), (1, "z " + dup + " y")], "doc_id bigint, text string"
+    )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_removed"])
+        for r in excise_exact_substrings(docs, 6).collect()
+    }
+    # doc 0 is the global first occurrence -> untouched; doc 1 loses the span
+    assert got[0] == (pos + 6, 0)
+    assert got[1] == (8, 6)
+
+
 def test_excise_drops_null_text_docs(spark):
     """NULL-text docs are omitted (matching the oracle's UNNEST-over-NULL
     behavior), never emitted with NULL metadata."""
