@@ -28,6 +28,8 @@ classic hand-computed BPE example instead.
 
 from __future__ import annotations
 
+from typing import NamedTuple
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -40,9 +42,15 @@ _CHECKPOINT_EVERY = 4
 #: accept the maximal disjoint prefix — cuts driver round-trips ~K/chain
 #: while staying bit-identical to one-at-a-time selection (see bpe_train).
 _MERGE_BATCH_K = 64
-#: Number of DataFrame rounds the last bpe_train run used (introspection
-#: for the job-count regression test; driver tier leaves it at 0).
-LAST_TRAIN_ROUNDS = 0
+
+
+class BpeTraining(NamedTuple):
+    """bpe_train result: the learned merge list plus the number of
+    DataFrame-tier rounds used (0 on the driver tier) — introspection for
+    the round-count regression test, without mutable module state."""
+
+    merges: list[tuple[str, str]]
+    rounds: int
 
 
 def word_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -102,7 +110,7 @@ def _bpe_train_driver(rows: list, n_merges: int) -> list[tuple[str, str]]:
 
 def bpe_train(
     wc: DataFrame, n_merges: int, driver_max_vocab: int = _DRIVER_MAX_VOCAB
-) -> list[tuple[str, str]]:
+) -> BpeTraining:
     """Learn up to ``n_merges`` merges from a (w, n) word-count table.
 
     Stops early when no adjacent pair occurs twice (merging a
@@ -121,13 +129,13 @@ def bpe_train(
     """
     import pandas as pd
 
-    global LAST_TRAIN_ROUNDS
-    LAST_TRAIN_ROUNDS = 0
     # one job decides the tier AND fetches the vocab: if the limit did
     # not truncate, `rows` already IS the full word-count table
     rows = wc.limit(driver_max_vocab + 1).collect()
     if len(rows) <= driver_max_vocab:
-        return _bpe_train_driver([(r["w"], r["n"]) for r in rows], n_merges)
+        return BpeTraining(
+            _bpe_train_driver([(r["w"], r["n"]) for r in rows], n_merges), 0
+        )
 
     vocab = wc.select(
         F.expr(f"array_append(split(w, ''), '{_EOW}')").alias("syms"), "n"
@@ -208,8 +216,7 @@ def bpe_train(
         vocab = vocab.mapInPandas(rewrite, "syms array<string>, n bigint")
         if rounds % _CHECKPOINT_EVERY == 0:
             vocab = vocab.localCheckpoint(eager=True)
-    LAST_TRAIN_ROUNDS = rounds
-    return merges
+    return BpeTraining(merges, rounds)
 
 
 def bpe_encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
@@ -279,7 +286,7 @@ def bpe_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
     Deterministic end to end; behavior pinned by unit tests against the
     hand-computed classic example."""
     d = load_table(spark, sf_dir, "documents")
-    merges = bpe_train(word_counts(d), _BPE_N_MERGES)
+    merges = bpe_train(word_counts(d), _BPE_N_MERGES).merges
     return bpe_token_counts(d, merges).select(
         "doc_id",
         "n_bpe_tokens",

@@ -1043,10 +1043,10 @@ def minhash_lsh_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
 #     volume is docs x 61 partial aggregates, not tokens x 60 rows;
 #   * the fingerprint is PACKED into a single BIGINT (bit b set iff
 #     2*ones_b >= n_words, i.e. vote sum >= 0 — the classic tie-up rule);
-#   * 6 bands x 10 bits: 1024 values per band, so expected bucket size
-#     is corpus/1024 per band — 16x smaller buckets than 6-bit bands,
-#     and the hot-bucket cap becomes the pathological-case guard it was
-#     meant to be instead of the steady state;
+#   * 4 bands x 15 bits (r5; was 6x10): 32768 values per band, so
+#     expected bucket size is corpus/32768 per band, and band rows are
+#     4/doc instead of 6 — smaller buckets AND fewer of them, with the
+#     hot-bucket cap a pathological-case guard, not the steady state;
 #   * pair verification is a 1-row-per-doc fingerprint join with
 #     hamming = bit_count(fp_a XOR fp_b) — both engines share the
 #     bit_count/xor builtins — replacing the 48-rows-per-doc sign join
@@ -1054,17 +1054,20 @@ def minhash_lsh_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   * the oracle pre-filters bands through `capped` BEFORE the pair
 #     self-join (the r3 oracle materialized the uncapped bands x bands
 #     product first).
-# Pigeonhole: Hamming <= _SH_BANDS - 1 = 5 guarantees a shared band;
-# candidates are verified at Hamming <= 8 (band-collision recall between
-# 6 and 8 is the LSH approximation, identical in both engines).
-# Production keeps the wide 64-bit xxhash64 variant (simhash_near_dup);
-# this twin pins the algorithm.
+# Semantics are EXACT, not approximate (r5): verification keeps pairs at
+# Hamming <= _SH_BANDS - 1 = 3, and pigeonhole guarantees every such pair
+# shares a band — so the result is precisely ALL pairs within Hamming 3,
+# independent of banding. (The r4 twin verified at Hamming <= 8 with a
+# <= 5 guarantee, leaving band-collision-dependent recall at distances
+# 6-8; r5 removes that approximation residue along with a third of the
+# band rows.) Production keeps the wide 64-bit xxhash64 variant
+# (simhash_near_dup); this twin pins the algorithm.
 # ---------------------------------------------------------------------------
 
 _SH_BITS = 60
-_SH_BANDS = 6
+_SH_BANDS = 4
 _SH_BAND_BITS = _SH_BITS // _SH_BANDS
-_SH_HAMMING = 8
+_SH_HAMMING = _SH_BANDS - 1  # exact pigeonhole: no recall gap
 
 
 @query(

@@ -316,6 +316,8 @@ def decode_audio(media: DataFrame, codec: Codec = real_audio_codec) -> DataFrame
     def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             decoded = [codec(bytes(p)) for p in pdf["payload"]]
+            if not decoded:  # empty Arrow batch -> column-less frame
+                continue
             out = pd.DataFrame(decoded)
             out.insert(0, "media_id", pdf["media_id"].values)
             out.insert(1, "mime", pdf["mime"].values)
@@ -337,6 +339,8 @@ def decode_media(media: DataFrame, codec: Codec | None = None) -> DataFrame:
     def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             decoded = [codec(bytes(p)) for p in pdf["payload"]]
+            if not decoded:  # empty Arrow batch -> column-less frame
+                continue
             out = pd.DataFrame(decoded)
             out.insert(0, "media_id", pdf["media_id"].values)
             out.insert(1, "mime", pdf["mime"].values)
@@ -503,8 +507,8 @@ _AUDIO_FRAME_CAP = 8192
            CAST(8000 * (1 + doc_id % 3) AS INTEGER) AS sample_rate,
            CAST(1 + doc_id % 2 AS INTEGER) AS n_channels,
            CAST(16 AS INTEGER) AS bits_per_sample,
-           CAST(least(length(text) * 4, {_AUDIO_FRAME_CAP}) AS BIGINT) AS n_frames,
-           CAST((least(length(text) * 4, {_AUDIO_FRAME_CAP}) * 1000)
+           CAST(least(coalesce(length(text), 0) * 4, {_AUDIO_FRAME_CAP}) AS BIGINT) AS n_frames,
+           CAST((least(coalesce(length(text), 0) * 4, {_AUDIO_FRAME_CAP}) * 1000)
                 // (8000 * (1 + doc_id % 3)) AS BIGINT) AS duration_ms
     FROM documents
     """,
@@ -777,7 +781,7 @@ def _mp4_encode(
     SELECT doc_id AS media_id,
            'isom' AS major_brand,
            CAST(600 * (1 + doc_id % 4) AS INTEGER) AS timescale,
-           CAST((least(length(text) * 7, {_VIDEO_DUR_CAP}) * 1000)
+           CAST((least(coalesce(length(text), 0) * 7, {_VIDEO_DUR_CAP}) * 1000)
                 // (600 * (1 + doc_id % 4)) AS BIGINT) AS duration_ms,
            CAST(16 * (8 + doc_id % 5) AS INTEGER) AS width,
            CAST(16 * (6 + doc_id % 4) AS INTEGER) AS height,
@@ -838,8 +842,8 @@ _FLAC_SAMPLE_CAP = 1 << 20
            CAST(1 + doc_id % 4 AS INTEGER) AS n_channels,
            CAST(CASE WHEN doc_id % 2 = 0 THEN 16 ELSE 24 END AS INTEGER)
              AS bits_per_sample,
-           CAST(least(length(text) * 999, {_FLAC_SAMPLE_CAP}) AS BIGINT) AS n_frames,
-           CAST((least(length(text) * 999, {_FLAC_SAMPLE_CAP}) * 1000)
+           CAST(least(coalesce(length(text), 0) * 999, {_FLAC_SAMPLE_CAP}) AS BIGINT) AS n_frames,
+           CAST((least(coalesce(length(text), 0) * 999, {_FLAC_SAMPLE_CAP}) * 1000)
                 // (22050 * (1 + doc_id % 3)) AS BIGINT) AS duration_ms
     FROM documents
     """,

@@ -103,7 +103,12 @@ def run_to_memory(df: DataFrame, name: str, output_mode: str = "append") -> None
     q.awaitTermination()
 
 
-def drain_to_parquet(df: DataFrame, output_mode: str = "append") -> DataFrame:
+def drain_to_parquet(
+    df: DataFrame,
+    output_mode: str = "append",
+    dest: str | None = None,
+    checkpoint: str | None = None,
+) -> DataFrame:
     """availableNow + foreachBatch harness: drain the stream into a final
     parquet table and return a batch DataFrame over it — the
     oracle-checkable surface for streaming queries (r3 judge ask #3).
@@ -116,13 +121,23 @@ def drain_to_parquet(df: DataFrame, output_mode: str = "append") -> DataFrame:
     verbatim. foreachBatch + parquet rather than the memory sink: the
     memory sink collects to the driver (test-only); a parquet landing
     scales to any result size and is what production would do.
+
+    ``dest``/``checkpoint``: landing and checkpoint paths. On a CLUSTER
+    these MUST be supplied and point at shared storage (HDFS/S3/...) —
+    foreachBatch's ``batch_df.write`` runs on the executors, so the
+    driver-local tempdir default only works in local mode, where this
+    harness is used for oracle verification. A caller-supplied ``dest``
+    is kept (and its checkpoint preserved for restartability); the
+    tempdir default is reclaimed at interpreter exit.
     """
     import atexit
     import shutil
     import tempfile
 
-    dest = tempfile.mkdtemp(prefix="stream_drain_")
-    ckpt = tempfile.mkdtemp(prefix="stream_drain_ckpt_")
+    caller_owns = dest is not None
+    if dest is None:
+        dest = tempfile.mkdtemp(prefix="stream_drain_")
+    ckpt = checkpoint or tempfile.mkdtemp(prefix="stream_drain_ckpt_")
     mode = "overwrite" if output_mode == "complete" else "append"
 
     def write_batch(batch_df: DataFrame, _batch_id: int) -> None:
@@ -136,13 +151,17 @@ def drain_to_parquet(df: DataFrame, output_mode: str = "append") -> DataFrame:
         .start()
     )
     q.awaitTermination()
-    # the one-shot checkpoint is pure waste once the drain terminated
-    # (every call makes a fresh one, so it can never be restarted from);
-    # the landing dir must outlive this call — the returned DataFrame
-    # reads it lazily — so it is reclaimed at interpreter exit instead
-    # of leaking for the machine's lifetime across bench/test runs.
-    shutil.rmtree(ckpt, ignore_errors=True)
-    atexit.register(shutil.rmtree, dest, ignore_errors=True)
+    # The one-shot tempdir checkpoint is pure waste once the drain
+    # terminated (every call makes a fresh one, so it can never be
+    # restarted from); a CALLER-supplied checkpoint IS restartable and is
+    # preserved. The tempdir landing must outlive this call — the returned
+    # DataFrame reads it lazily — so it is reclaimed at interpreter exit
+    # instead of leaking across bench/test runs; a caller-supplied dest is
+    # theirs to manage.
+    if checkpoint is None:
+        shutil.rmtree(ckpt, ignore_errors=True)
+    if not caller_owns:
+        atexit.register(shutil.rmtree, dest, ignore_errors=True)
     spark = df.sparkSession
     try:
         return spark.read.schema(df.schema).parquet(dest)

@@ -552,7 +552,7 @@ def test_bpe_train_learns_the_classic_merges(spark):
         [("hug", 10), ("pug", 5), ("pun", 12), ("bun", 4), ("hugs", 5)],
         "w string, n bigint",
     )
-    merges = bpe_train(wc, 4)
+    merges = bpe_train(wc, 4).merges
     assert merges[0] == ("u", "g")  # c = 10 + 5 + 5 = 20, unique max
     # second round ties at 16: ('n','</w>') vs ('u','n') — the documented
     # deterministic tie-break is lexicographic, so ('n','</w>') wins
@@ -586,7 +586,7 @@ def test_bpe_compression_counts(spark):
         [(1, "hug hug hug hug"), (2, "pun bun"), (3, "")],
         "doc_id bigint, text string",
     )
-    merges = bpe_train(word_counts(docs), 16)
+    merges = bpe_train(word_counts(docs), 16).merges
     got = {
         r["doc_id"]: (r["n_bpe_tokens"], r["n_words"])
         for r in bpe_token_counts(docs, merges).collect()
@@ -606,7 +606,7 @@ def test_bpe_driver_and_dataframe_training_parity(spark):
     )
     driver = bpe_train(wc, 6)  # vocab of 5 -> driver tier
     dataframe = bpe_train(wc, 6, driver_max_vocab=0)  # force DataFrame loop
-    assert driver == dataframe and len(driver) >= 4
+    assert driver.merges == dataframe.merges and len(driver.merges) >= 4
 
 
 def test_pca_matches_numpy_exactly(spark):
@@ -676,9 +676,9 @@ def test_bpe_merge_batching_cuts_rounds(spark):
     n_merges = 6
     driver = bpe.bpe_train(wc, n_merges)
     dataframe = bpe.bpe_train(wc, n_merges, driver_max_vocab=0)
-    assert driver == dataframe and len(driver) == n_merges
+    assert driver.merges == dataframe.merges and len(driver.merges) == n_merges
     # one-at-a-time would need n_merges rounds; batching must beat it
-    assert bpe.LAST_TRAIN_ROUNDS < n_merges
+    assert dataframe.rounds < n_merges
 
 
 def test_bpe_merge_batching_parity_adversarial(spark):
@@ -696,7 +696,7 @@ def test_bpe_merge_batching_parity_adversarial(spark):
     )
     driver = bpe.bpe_train(wc, 12)
     dataframe = bpe.bpe_train(wc, 12, driver_max_vocab=0)
-    assert driver == dataframe
+    assert driver.merges == dataframe.merges
 
 
 def test_jdbc_packed_map_roundtrip_via_json(spark, tmp_path):

@@ -492,6 +492,26 @@ def test_drain_complete_equals_batch_tumbling(spark):
     assert streamed == batch
 
 
+def test_drain_caller_supplied_landing(spark, tmp_path, events_stream):
+    """r5: a caller-supplied dest/checkpoint (the cluster path — shared
+    storage) is written, read back, and PRESERVED (not reclaimed at exit),
+    with the checkpoint left restartable."""
+    import os
+
+    from dhs_to_database_spark.streaming.events import drain_to_parquet
+    from dhs_to_database_spark.streaming.stateful import session_paths
+
+    dest = str(tmp_path / "land")
+    ckpt = str(tmp_path / "ckpt")
+    landed = drain_to_parquet(
+        session_paths(events_stream), "append", dest=dest, checkpoint=ckpt
+    )
+    n = landed.count()
+    assert n > 0
+    assert any(f.endswith(".parquet") for f in os.listdir(dest))
+    assert os.path.isdir(os.path.join(ckpt, "offsets"))  # restartable
+
+
 def test_drain_append_matches_memory_sink(spark, events_stream):
     """The parquet foreachBatch drain emits the same closed sessions as the
     memory-sink drain (same availableNow semantics, different landing)."""
