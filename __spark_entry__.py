@@ -62,6 +62,19 @@ def entry(spark: SparkSession) -> DataFrame:
 #   3. rows-only queries (no DuckDB-expressible oracle) last.
 # Every tail query still passes `python tools/check_oracle.py` locally.
 _GRADE_TAIL = [
+    # --- r5 rotation: four-round-graded queries rest in the tail so the
+    # driver finally grades long-tenured tail members (VERDICT r4 ask #4);
+    # every one below is r1-r4 driver-green with an in-window family sibling.
+    "distinct_values",  # relational basics: projection_filter_ilike/union_distinct graded
+    "join_semi",  # join family: join_inner/join_anti/join_full_outer graded
+    "cast_at_query",  # expression family: string_pack/case_coalesce graded
+    "label_search",  # metadata family: label_similarity/catalog_introspect graded
+    "gap_fill_hourly",  # window family: session_windows/window_functions graded
+    "sequence_pack",  # chunking family: token_budget_mix graded; context_chunks tail-verified
+    "dedup_incremental",  # dedup family: dedup_exact/minhash_lsh_md5/dedup_components graded
+    "latest_version_per_group",  # metadata A-family: filename_meta_extract/schema_union graded
+    "top_unshipped_orders",  # TPC-H-ish agg/join family: pricing_summary/flagship graded
+    "asof_join",  # banded-join family: interval_join_attribution now graded in-window
     "doc_fingerprint",  # fingerprint family: winnowing_fingerprint graded
     "vocab_stats",  # text family: token_count/quality_score graded
     "ngram_jaccard_pairs",  # dedup verification primitive; dedup_* graded
@@ -85,10 +98,7 @@ _GRADE_TAIL = [
     "sample_k_per_group",  # sampling family: train_test_split/stratified graded
     "frequent_terms_topk",  # term-count family: vocab/token_count siblings graded
     "regex_token_count",  # tokenization family: token_count graded
-    "tfidf_topk",  # sparse-retrieval family: vocab/rarity siblings graded
-    "bm25_search",  # sparse-retrieval family: vocab/rarity siblings graded
     "duplicate_spans",  # span-dedup family: dedup_exact/decontaminate graded
-    "scd2_history",  # dimension-merge family: merge_upsert/spec_diff graded
     "profile_orders_columns",  # stats family: rowcount_reconcile/catalog graded
     "importance_weights",  # data-selection family: rarity/quality siblings graded
     "cohort_retention",  # event-analytics family: funnel/windows graded
@@ -96,10 +106,8 @@ _GRADE_TAIL = [
     "value_histogram",  # profiling family: decile_stats/percentiles graded
     "scd2_asof_lookup",  # dimension-merge family: joins graded broadly
     "lang_id_heuristic",  # r1-graded green; text family (token/quality) graded
-    "simhash_md5",  # LSH-twin family: minhash_lsh_md5 graded in-window
     "hybrid_search_rrf",  # retrieval family: embedding_topk graded in-window
     "content_reconcile",  # reconciliation family: rowcount_reconcile graded
-    "moving_average_daily",  # window-frame family: window_functions graded
     "setsim_join_prefix",  # set-sim family: ngram_jaccard/minhash_lsh_md5 graded
     "word_entropy",  # quality family: quality_score/repetition graded
     "weighted_sample_langs",  # sampling family: train_test/stratified graded
@@ -114,20 +122,15 @@ _GRADE_TAIL = [
     "quantile_normalize",  # rank family: decile_stats graded in-window
     "curation_pipeline_v2",  # composite of individually-graded round-2 stages
     "mode_per_group",  # agg family: top1_per_group/agg_having graded
-    "funnel_stages",  # event-analytics family: session_windows/window_functions graded (r2-green, displaced by survey_update_check)
     "temperature_mix",  # mixture family: token_budget_mix/train_test_split graded
     "dup_rate_by_source",  # dedup-diagnostic family: dedup_exact/duplicate_load_detect graded
-    "interval_join_attribution",  # banded-join family: asof_join/funnel_stages graded; streaming twin equivalence-tested
-    "doc_perplexity",  # LM-scoring family: importance_weights/token_rarity graded
     "bpe_pair_counts",  # corpus-stats family: pmi_collocations/vocab_stats graded
     "rich_inactive_customers_sql",  # subquery family: join_anti/agg_having graded
     "returned_orders_by_priority_sql",  # subquery family: join_semi graded
     "dq_checks_orders",  # reconciliation family: rowcount_reconcile/duplicate_load graded
     "stateful_session_paths",  # r4: rows-only -> oracle-backed (deterministic availableNow drain); session family graded via session_windows
     "streaming_window_counts",  # r4: streaming-engine agg, complete-mode drain == batch answer; tumbling_window graded family
-    "audio_metadata",  # r4: WAV encode->decode round trip; multimodal_features graded family
     "video_metadata",  # r4: MP4 box-tree encode->decode round trip; multimodal_features graded family
-    "exact_substring_excise",  # r4: ExactSubstr cleaned-corpus rewrite; span family (duplicate_spans) graded
     "flac_metadata",  # r4: FLAC STREAMINFO encode->decode round trip; audio_metadata sibling
     "corpus_dataset_card",  # r4: one-row release report; stats family (profile/moment/rowcount) graded
     "span_dedup_report",  # r4: excision composed into per-(lang,source) cost reporting; excise + dup_rate siblings

@@ -101,3 +101,25 @@ def test_grade_window_invariant():
     assert overflow == [], f"undocumented oracle-backed overflow: {overflow}"
     # and the window itself is fully oracle-backed
     assert all(n in ors for n in names[:50])
+
+
+def test_r5_grading_window_rotation():
+    """r5 rotation (VERDICT r4 ask #4): ten long-tenured tail queries must
+    now sit INSIDE the driver's 50-entry grading window, and the ten
+    four-round-graded siblings they displaced must rest in the tail."""
+    import __spark_entry__ as e
+
+    window = set(list(e.queries())[:50])
+    rotated_in = {
+        "tfidf_topk", "bm25_search", "doc_perplexity",
+        "exact_substring_excise", "scd2_history", "moving_average_daily",
+        "interval_join_attribution", "funnel_stages", "simhash_md5",
+        "audio_metadata",
+    }
+    rotated_out = {
+        "distinct_values", "join_semi", "cast_at_query", "label_search",
+        "gap_fill_hourly", "sequence_pack", "dedup_incremental",
+        "latest_version_per_group", "top_unshipped_orders", "asof_join",
+    }
+    assert rotated_in <= window, rotated_in - window
+    assert not (rotated_out & window), rotated_out & window
