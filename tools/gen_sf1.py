@@ -24,8 +24,14 @@ corpus, so this derives one from sf0.1 deterministically:
   same transformation).
 - ``embeddings``: 10 replicas, vec_id shifted, one coordinate nudged by a
   replica-dependent epsilon so no exact-duplicate vectors exist.
+- ``events`` (r5, for the streaming-drain probes): 10 replicas with
+  event_id AND user_id shifted — per-user event sequences (and therefore
+  session structure, watermark timeline, and per-key state size) are
+  exactly the original's, there are just 10x as many users; ts is
+  unchanged so window buckets get 10x the rows without growing state
+  cardinality beyond the linear user growth.
 
-Output: /root/repo/.scale_sf1/{documents,embeddings}.parquet (gitignored).
+Output: /root/repo/.scale_sf1/{documents,embeddings,events}.parquet (gitignored).
 Idempotent: skips work if outputs exist. Stdlib + duckdb only.
 """
 
@@ -83,7 +89,23 @@ def main() -> None:
             ) TO '{emb_out}' (FORMAT PARQUET)
             """
         )
-    for t in ("documents", "embeddings"):
+    ev_out = os.path.join(OUT, "events.parquet")
+    if not os.path.exists(ev_out):
+        con.execute(
+            f"""
+            COPY (
+              SELECT event_id + k * {SHIFT} AS event_id,
+                     ts,
+                     user_id + k * {SHIFT} AS user_id,
+                     event_type,
+                     value,
+                     props
+              FROM read_parquet('{SRC}/events.parquet')
+              CROSS JOIN (SELECT unnest(range({REPLICAS})) AS k)
+            ) TO '{ev_out}' (FORMAT PARQUET)
+            """
+        )
+    for t in ("documents", "embeddings", "events"):
         n = con.execute(
             f"SELECT COUNT(*) FROM read_parquet('{OUT}/{t}.parquet')"
         ).fetchone()[0]

@@ -95,10 +95,10 @@ PROBES = {
 }
 
 
-# The bench tail — the 5 most expensive r2 queries (VERDICT r2 item 5).
-# Probed to sf1 (10x sf0.1, synthesized by tools/gen_sf1.py — documents +
-# embeddings only, which is all these five touch) to prove linear
-# throughput holds over 1000x of data.
+# The bench tail — the most expensive registry queries (r2 item 5, grown
+# each round). Probed to sf1 (10x sf0.1, synthesized by tools/gen_sf1.py —
+# documents + embeddings + events) to prove linear throughput holds over
+# 1000x of data.
 SF1_DIR = "/root/repo/.scale_sf1"
 SLOW_TAIL = {
     "setsim_join_prefix": "documents",
@@ -117,6 +117,11 @@ SLOW_TAIL = {
     "dup_rate_by_source": "documents",
     # round-3 corpus-shuffling addition
     "doc_perplexity": "documents",
+    # r5 (VERDICT r4 ask #3): the r4 heavy registry entries
+    "exact_substring_excise": "documents",
+    "span_dedup_report": "documents",
+    "stateful_session_paths": "events",
+    "streaming_window_counts": "events",
 }
 
 
@@ -132,7 +137,9 @@ def probe_sf1() -> None:
     qs = em.queries()
     sfs = SFS + [SF1_DIR]
     counts = {
-        sf: load_table(spark, sf, "documents").count() for sf in sfs
+        (sf, t): load_table(spark, sf, t).count()
+        for sf in sfs
+        for t in set(SLOW_TAIL.values())
     }
     lines = [
         "\n## Slow-tail probe to sf1 (1000x; sf1 = 10x sf0.1 synthesized by"
@@ -151,7 +158,7 @@ def probe_sf1() -> None:
                 qs[name](spark, sf).write.format("noop").mode("overwrite").save()
                 runs.append(time.time() - t0)
             dt = min(runs)
-            cells.append(f"{dt:.2f} / {counts[sf] / dt / 1000:,.0f}")
+            cells.append(f"{dt:.2f} / {counts[(sf, table)] / dt / 1000:,.0f}")
         lines.append(f"| {name} | " + " | ".join(cells) + " |")
         print(lines[-1])
     with open("/root/repo/SCALING.md", "a") as f:
