@@ -134,6 +134,8 @@ _GRADE_TAIL = [
     "flac_metadata",  # r4: FLAC STREAMINFO encode->decode round trip; audio_metadata sibling
     "corpus_dataset_card",  # r4: one-row release report; stats family (profile/moment/rowcount) graded
     "span_dedup_report",  # r4: excision composed into per-(lang,source) cost reporting; excise + dup_rate siblings
+    "max_dup_span_stats",  # r5: maximal duplicated intervals; span family (duplicate_spans + excise) graded
+    "cdc_chunks",  # r5: content-defined chunking; chunking family (context_chunks/sequence_pack) tail-verified
 ]
 
 

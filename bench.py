@@ -97,6 +97,8 @@ BENCH_QUERIES = [
     "flac_metadata",
     "corpus_dataset_card",
     "span_dedup_report",
+    "max_dup_span_stats",
+    "cdc_chunks",
 ]
 
 

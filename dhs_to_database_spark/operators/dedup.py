@@ -697,6 +697,115 @@ def duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Maximal duplicated spans (r5): merge overlapping duplicated n-grams into
+# MAXIMAL per-doc intervals — the span statistic a suffix-array ExactSubstr
+# pass (Lee et al. 2022) reports naturally, recovered here from fixed-width
+# gram hits. Completes the span-dedup family: duplicate_spans FLAGS grams,
+# this measures contiguous duplicated REGIONS (how long, how many, how much
+# of the doc), exact_substring_excise REWRITES them.
+# Plan at 100 TB: narrow gram kernel -> one gram-keyed map-side-combined
+# shuffle (freq >= 2 filter) -> join back -> ONE doc_id shuffle collecting
+# covered token indexes (bounded by doc length, the excise cut_idx
+# pattern) -> islands computed by JVM higher-order lambdas on the sorted
+# per-doc array (zero window shuffles, no per-row Python).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "max_dup_span_stats",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+      FROM documents WHERE text IS NOT NULL
+    ),
+    occ AS (
+      SELECT doc_id, i - 1 AS pos, array_to_string(t[i:i+{_SPAN_N - 1}], ' ') AS gram
+      FROM toks, UNNEST(generate_series(1, len(t) - {_SPAN_N - 1})) AS u(i)
+    ),
+    dupg AS (SELECT gram FROM occ GROUP BY gram HAVING COUNT(*) >= 2),
+    cov AS (
+      SELECT DISTINCT o.doc_id, o.pos + j.j AS idx
+      FROM occ o JOIN dupg USING (gram),
+           UNNEST(generate_series(0, {_SPAN_N - 1})) AS j(j)
+    ),
+    isl AS (
+      SELECT doc_id, idx,
+             CASE WHEN idx - lag(idx) OVER w > 1 THEN 1 ELSE 0 END AS brk
+      FROM cov WINDOW w AS (PARTITION BY doc_id ORDER BY idx)
+    ),
+    sid AS (
+      SELECT doc_id,
+             SUM(brk) OVER (PARTITION BY doc_id ORDER BY idx
+                            ROWS UNBOUNDED PRECEDING) AS sid
+      FROM isl
+    ),
+    spans AS (SELECT doc_id, sid, COUNT(*) AS len FROM sid GROUP BY doc_id, sid)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_spans,
+           CAST(MAX(len) AS BIGINT) AS max_span_tokens,
+           CAST(SUM(len) AS BIGINT) AS dup_tokens
+    FROM spans GROUP BY doc_id
+    """,
+)
+def max_dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc maximal duplicated-span statistics (see block comment):
+    number of maximal contiguous duplicated regions, the longest one, and
+    total duplicated tokens. A gram is 'duplicated' when it occurs >= 2
+    times corpus-wide (within-doc repeats included); a doc appears iff it
+    carries at least one duplicated gram."""
+    from .sampling import explode_ngrams_pos
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    occ = explode_ngrams_pos(d, _SPAN_N).select("doc_id", "pos", "gram")
+    dupg = (
+        occ.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .filter(F.col("__c") >= 2)
+        .select("gram")
+    )
+    # one doc_id shuffle: map-side-partial collect_set of covered indexes
+    cov = (
+        occ.join(dupg, "gram")
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + (_SPAN_N - 1))
+            ).alias("idx"),
+        )
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_set("idx")).alias("__idx"))
+    )
+    # islands by pure JVM lambdas: break positions j where idx[j]-idx[j-1]>1
+    return cov.select(
+        "doc_id",
+        F.expr(
+            """
+            named_struct(
+              'starts', concat(array(0),
+                filter(sequence(1, size(__idx) - 1),
+                       j -> __idx[j] - __idx[j - 1] > 1)),
+              'len', size(__idx))
+            """
+        ).alias("__s"),
+    ).select(
+        "doc_id",
+        F.expr("size(__s.starts)").cast("bigint").alias("n_spans"),
+        F.expr(
+            """
+            array_max(zip_with(
+              __s.starts,
+              concat(slice(__s.starts, 2, size(__s.starts) - 1),
+                     array(__s.len)),
+              (s, e) -> e - s))
+            """
+        )
+        .cast("bigint")
+        .alias("max_span_tokens"),
+        F.col("__s.len").cast("bigint").alias("dup_tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Exact-substring excision (the ExactSubstr transform of Lee et al. 2022,
 # "Deduplicating Training Data Makes Language Models Better"): rewrite the
 # corpus so that every duplicated _EXCISE_N-token span survives in exactly

@@ -453,6 +453,107 @@ def context_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Content-defined chunking (r5): split each document at positions chosen by
+# the CONTENT, not by arithmetic — a boundary closes a chunk after token i
+# whenever the hash of the k-token window ending at i lands in 1/M of the
+# hash space (the Rabin-Karp/FastCDC rule, md5 here so both engines share
+# the hash). Unlike context_chunks' fixed stride, CDC boundaries survive
+# insertions/deletions: editing one token only moves boundaries within a
+# window of it, so downstream chunk-level dedup/storage (and chunk-hash
+# incremental embedding jobs) see unchanged chunks for unchanged content.
+# Plan: ZERO shuffles before the final per-doc projection — tokenize,
+# boundary positions, and chunk lengths are all JVM higher-order lambdas
+# over the per-doc token array (no explode, no window, no Python); the
+# expected chunk length is M tokens (_CDC_MOD), independent of doc length.
+# ---------------------------------------------------------------------------
+
+_CDC_K = 3  # hash-window tokens
+_CDC_MOD = 16  # boundary probability 1/16 -> expected 16-token chunks
+
+
+@query(
+    "cdc_chunks",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws
+      FROM documents WHERE text IS NOT NULL
+    ),
+    e AS (
+      SELECT doc_id, len(ws) AS n,
+             list_filter(generate_series({_CDC_K}, len(ws)),
+               i -> CAST(('0x' || substr(md5(array_to_string(ws[i-{_CDC_K - 1}:i], ' ')), 1, 4)) AS INTEGER)
+                    % {_CDC_MOD} = 0) AS b
+      FROM t
+    ),
+    ends AS (
+      SELECT doc_id, n,
+             CASE WHEN len(b) > 0 AND b[-1] = n THEN b
+                  ELSE list_append(b, n) END AS e
+      FROM e
+    )
+    SELECT doc_id,
+           CAST(n AS BIGINT) AS n_tokens,
+           CAST(len(e) AS BIGINT) AS n_chunks,
+           CAST(list_max(list_transform(e, (x, j) -> x - coalesce(e[j - 1], 0)))
+                AS BIGINT) AS max_chunk_tokens,
+           CAST(ROUND(CAST(n AS DECIMAL(18,6)) / len(e), 4) AS DOUBLE)
+             AS avg_chunk_tokens
+    FROM ends
+    """,
+)
+def cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc content-defined chunking statistics (see block comment):
+    token count, chunk count, longest chunk, mean chunk length. Boundary
+    rule: md5 of the {_CDC_K}-token window ending at position i, first 16
+    bits mod {_CDC_MOD} == 0, closes a chunk at i."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    # 1-based boundary end positions; the doc end always closes the last
+    # chunk. All pure JVM lambdas over the token array — no shuffle.
+    return (
+        d.select("doc_id", F.split(F.trim("text"), r"\s+").alias("__ws"))
+        .select(
+            "doc_id",
+            F.size("__ws").alias("__n"),
+            # size < K guard: Spark's sequence(K, n) DESCENDS when n < K
+            # (the bpe.py edge); DuckDB's generate_series is empty there
+            F.expr(
+                f"""
+                IF(size(__ws) < {_CDC_K}, array(),
+                  filter(sequence({_CDC_K}, size(__ws)),
+                    i -> cast(conv(substring(md5(
+                           concat_ws(' ', slice(__ws, i - {_CDC_K - 1}, {_CDC_K}))
+                         ), 1, 4), 16, 10) AS INT) % {_CDC_MOD} = 0))
+                """
+            ).alias("__b"),
+        )
+        .select(
+            "doc_id",
+            "__n",
+            F.expr(
+                "IF(size(__b) > 0 AND try_element_at(__b, -1) = __n,"
+                " __b, concat(__b, array(__n)))"
+            ).alias("__e"),
+        )
+        .select(
+            "doc_id",
+            F.col("__n").cast("bigint").alias("n_tokens"),
+            F.size("__e").cast("bigint").alias("n_chunks"),
+            F.expr(
+                "array_max(transform(__e,"
+                " (x, j) -> x - IF(j = 0, 0, element_at(__e, j))))"
+            )
+            .cast("bigint")
+            .alias("max_chunk_tokens"),
+            F.round(
+                F.col("__n").cast("decimal(18,6)") / F.size("__e"), 4
+            )
+            .cast("double")
+            .alias("avg_chunk_tokens"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Corpus-LM token rarity: score each document by the mean inverse corpus
 # frequency of its tokens — the unigram-language-model quality signal
 # (gibberish and boilerplate-free text differ sharply in mean token

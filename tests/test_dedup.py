@@ -131,3 +131,42 @@ def test_excise_drops_null_text_docs(spark):
     )
     rows = excise_exact_substrings(docs, 6).collect()
     assert [r["doc_id"] for r in rows] == [1]
+
+
+def test_max_dup_span_stats_merges_overlapping_grams(spark):
+    """Two duplicated 4-grams overlapping in one doc must merge into ONE
+    maximal island there while staying two islands in the doc where they
+    are disjoint; dup-free docs are absent."""
+    import dhs_to_database_spark.operators.dedup as dd
+    from dhs_to_database_spark.operators.dedup import max_dup_span_stats
+    from dhs_to_database_spark.operators.sampling import explode_ngrams_pos
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h"),  # "c d e f" @2, "e f g h" @4 -> 2..7
+            (2, "x c d e f y z w e f g h"),  # same grams @1 and @8, disjoint
+            (3, "p q r s t u v"),  # no duplicated gram
+        ],
+        "doc_id bigint, text string",
+    )
+    occ = explode_ngrams_pos(docs, 4)
+    # sanity of the fixture itself: exactly two cross-doc duplicated grams
+    dup = (
+        occ.groupBy("gram").count().filter("count >= 2").select("gram").collect()
+    )
+    assert {r["gram"] for r in dup} == {"c d e f", "e f g h"}
+
+    import dhs_to_database_spark.sources.tables as tables
+
+    orig = tables.load_table
+    try:
+        tables.load_table = lambda spark, sf_dir, name: docs
+        dd.load_table = tables.load_table
+        got = {
+            r["doc_id"]: (r["n_spans"], r["max_span_tokens"], r["dup_tokens"])
+            for r in max_dup_span_stats(spark, "unused").collect()
+        }
+    finally:
+        tables.load_table = orig
+        dd.load_table = orig
+    assert got == {1: (1, 6, 6), 2: (2, 4, 8)}

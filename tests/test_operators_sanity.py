@@ -744,3 +744,57 @@ def test_jdbc_packed_map_roundtrip_via_json(spark, tmp_path):
     got = {r["id"]: r["packed_values"] for r in back.collect()}
     assert got[7] == {"hv001": "7", "hv002": "v7"}
     assert len(got) == 50
+
+
+def test_cdc_chunks_matches_pure_python_mirror(spark):
+    """Content-defined chunking differential test: the operator's all-HOF
+    boundary/length computation must equal a direct python mirror of the
+    rule (md5 of the 3-token trailing window, first 16 bits % 16 == 0),
+    including the short-doc (< k tokens -> one chunk) edge."""
+    import hashlib
+
+    import dhs_to_database_spark.operators.text_analysis as ta
+    import dhs_to_database_spark.sources.tables as tables
+    from dhs_to_database_spark.operators.text_analysis import cdc_chunks
+
+    texts = {
+        1: "the quick brown fox jumps over the lazy dog again and again",
+        2: "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+           "lambda mu nu xi omicron pi rho sigma tau upsilon phi chi",
+        3: "one two",  # < k tokens -> no boundary scan, single chunk
+        4: "solo",
+    }
+    docs = spark.createDataFrame(
+        list(texts.items()), "doc_id bigint, text string"
+    )
+
+    def mirror(text):
+        t = text.split()
+        n = len(t)
+        b = [
+            i
+            for i in range(3, n + 1)
+            if int(hashlib.md5(" ".join(t[i - 3 : i]).encode()).hexdigest()[:4], 16)
+            % 16
+            == 0
+        ]
+        e = b if (b and b[-1] == n) else b + [n]
+        lens = [x - y for x, y in zip(e, [0] + e[:-1])]
+        return (n, len(e), max(lens), round(n / len(e), 4))
+
+    orig = tables.load_table
+    try:
+        ta.load_table = lambda spark, sf_dir, name: docs
+        got = {
+            r["doc_id"]: (
+                r["n_tokens"], r["n_chunks"],
+                r["max_chunk_tokens"], r["avg_chunk_tokens"],
+            )
+            for r in cdc_chunks(spark, "unused").collect()
+        }
+    finally:
+        ta.load_table = orig
+    want = {k: mirror(v) for k, v in texts.items()}
+    assert got == want
+    # the long docs must actually exercise content boundaries
+    assert any(want[k][1] > 1 for k in (1, 2))

@@ -92,6 +92,8 @@ PROBES = {
     "flac_metadata": "documents",
     "corpus_dataset_card": "documents",
     "span_dedup_report": "documents",
+    "max_dup_span_stats": "documents",
+    "cdc_chunks": "documents",
 }
 
 
