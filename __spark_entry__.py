@@ -136,6 +136,7 @@ _GRADE_TAIL = [
     "span_dedup_report",  # r4: excision composed into per-(lang,source) cost reporting; excise + dup_rate siblings
     "max_dup_span_stats",  # r5: maximal duplicated intervals; span family (duplicate_spans + excise) graded
     "cdc_chunks",  # r5: content-defined chunking; chunking family (context_chunks/sequence_pack) tail-verified
+    "decontaminate_pairs",  # r5: pair-level attribution; benchmark_decontaminate graded in-window
 ]
 
 

@@ -99,6 +99,7 @@ BENCH_QUERIES = [
     "span_dedup_report",
     "max_dup_span_stats",
     "cdc_chunks",
+    "decontaminate_pairs",
 ]
 
 

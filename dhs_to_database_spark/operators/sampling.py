@@ -542,6 +542,89 @@ def benchmark_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Pair-level contamination attribution (r5): benchmark_decontaminate says
+# WHICH train docs are contaminated; release hygiene also needs to know BY
+# WHAT — the benchmark doc each flagged train doc most overlaps (to route
+# it to the right eval's blocklist and to audit false positives). Output is
+# top-1 per train doc (deterministic: max shared grams, tie -> min
+# bench_doc), so it stays one-row-per-contaminated-doc even when template
+# text brushes many benchmark docs. Plan: the same broadcast bench-gram
+# probe (corpus grams never shuffle), a map-side-combined
+# (doc_id, bench_doc) agg over the surviving grams, then an argmax via
+# struct max — no window, no second shuffle beyond the doc_id collapse.
+@query(
+    "decontaminate_pairs",
+    oracle=f"""
+    WITH split AS (
+      SELECT doc_id, text,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT)
+               < {int(0.8 * _BUCKETS)} AS is_train
+      FROM documents
+    ), toks AS (
+      SELECT doc_id, is_train, string_split_regex(trim(text), '\\s+') AS t
+      FROM split
+    ), grams AS (
+      SELECT DISTINCT doc_id, is_train,
+             array_to_string(t[i:i+{_DECON_N - 1}], ' ') AS gram
+      FROM toks, UNNEST(generate_series(1, len(t) - {_DECON_N - 1})) AS u(i)
+    ), bcap AS (
+      SELECT gram FROM grams WHERE NOT is_train
+      GROUP BY gram HAVING COUNT(*) <= {_DECON_CAP}
+    ), pairs AS (
+      SELECT tr.doc_id, te.doc_id AS bench_doc,
+             CAST(COUNT(DISTINCT tr.gram) AS BIGINT) AS n_shared_grams
+      FROM (SELECT * FROM grams WHERE is_train) tr
+      JOIN (SELECT g.* FROM grams g JOIN bcap USING (gram) WHERE NOT g.is_train) te
+        USING (gram)
+      GROUP BY tr.doc_id, te.doc_id
+    )
+    SELECT doc_id, bench_doc, n_shared_grams FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                   ORDER BY n_shared_grams DESC, bench_doc) AS rn
+      FROM pairs
+    ) WHERE rn = 1
+    """,
+)
+def decontaminate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per contaminated train doc, the single most-overlapping benchmark
+    doc and the shared-gram count (see block comment). Same 80/20 split,
+    gram width, and boilerplate cap as ``benchmark_decontaminate``."""
+    d = load_table(spark, sf_dir, "documents")
+    split = d.withColumn("split", split_assignment(F.col("doc_id"), 0.8))
+    train = split.filter(F.col("split") == "train")
+    bench = split.filter(F.col("split") == "test")
+    train_grams = explode_ngrams(train, _DECON_N, out_id="doc_id")
+    bench_grams = explode_ngrams(bench, _DECON_N, out_id="bench_doc")
+    bcounts = bench_grams.groupBy("gram").agg(F.count(F.lit(1)).alias("__nbd"))
+    bench_grams = (
+        bench_grams.join(bcounts, "gram")
+        .filter(F.col("__nbd") <= _DECON_CAP)
+        .drop("__nbd")
+    )
+    pairs = (
+        train_grams.join(F.broadcast(bench_grams), "gram")
+        .groupBy("doc_id", "bench_doc")
+        .agg(F.countDistinct("gram").cast("bigint").alias("n_shared_grams"))
+    )
+    # deterministic argmax without a window: max over (count, -bench_doc)
+    return (
+        pairs.groupBy("doc_id")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("n_shared_grams"),
+                    (-F.col("bench_doc")).alias("__nb"),
+                )
+            ).alias("__s")
+        )
+        .select(
+            "doc_id",
+            (-F.col("__s.__nb")).cast("bigint").alias("bench_doc"),
+            F.col("__s.n_shared_grams").alias("n_shared_grams"),
+        )
+    )
+
+
 @query(
     "sample_k_per_group",
     oracle="""

@@ -532,3 +532,37 @@ def test_rank_carry_matches_global_window_on_sparse_calendar(spark):
 
     with _pytest.raises(ValueError, match="block_rows"):
         with_rank_carry(df, "day", 5, block_rows=3)
+
+
+def test_decontaminate_pairs_consistent_with_doc_level(spark):
+    """Pair-level attribution must cover exactly the contaminated docs the
+    doc-level report flags, with a per-pair share never exceeding the
+    doc's total shared grams, and the attributed bench doc in the test
+    split."""
+    from pyspark.sql import functions as F
+
+    from dhs_to_database_spark.operators.sampling import (
+        benchmark_decontaminate,
+        decontaminate_pairs,
+        split_assignment,
+    )
+    from dhs_to_database_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    doc_level = {
+        r["doc_id"]: r["n_shared_grams"]
+        for r in benchmark_decontaminate(spark, sf).collect()
+    }
+    pairs = decontaminate_pairs(spark, sf).collect()
+    assert {r["doc_id"] for r in pairs} == set(doc_level)
+    assert all(r["n_shared_grams"] <= doc_level[r["doc_id"]] for r in pairs)
+    test_ids = {
+        r["doc_id"]
+        for r in load_table(spark, sf, "documents")
+        .withColumn("s", split_assignment(F.col("doc_id"), 0.8))
+        .filter("s = 'test'")
+        .select("doc_id")
+        .collect()
+    }
+    assert {r["bench_doc"] for r in pairs} <= test_ids
+    assert pairs  # non-vacuous on this corpus

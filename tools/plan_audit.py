@@ -60,6 +60,7 @@ NOTES = {
     "duplicate_spans": "one narrow gram pass + one gram-keyed map-side-combined shuffle; production groups by xxhash64(gram) to shrink the shuffle key",
     "max_dup_span_stats": "gram-keyed freq shuffle + join-back + ONE doc_id collect_set shuffle; islands are JVM lambdas over the sorted per-doc index array (no window)",
     "cdc_chunks": "ZERO shuffles: tokenize, md5 boundary filter, and chunk lengths are all JVM higher-order lambdas over the per-doc token array",
+    "decontaminate_pairs": "bench grams broadcast (capped) — corpus gram stream probed map-side; (doc,bench) agg + struct-max argmax, no window",
     "rich_inactive_customers_sql": "SQL-text entry path: Catalyst decorrelates the NOT EXISTS to a broadcast null-aware anti join and the scalar subqueries to one-row broadcast aggregates",
     "dq_checks_orders": "six rules in two corpus passes: one multi-conditional agg (exact uniqueness adds the distinct shuffle) + one anti-join count; 1-row frames cross-joined and stacked",
     "stateful_session_paths": "runs the REAL streaming engine (availableNow foreachBatch drain): cost is micro-batch scheduling + transformWithState, not the plan; batch twin session_windows carries the plan proof",

@@ -94,6 +94,7 @@ PROBES = {
     "span_dedup_report": "documents",
     "max_dup_span_stats": "documents",
     "cdc_chunks": "documents",
+    "decontaminate_pairs": "documents",
 }
 
 
