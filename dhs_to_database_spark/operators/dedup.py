@@ -756,52 +756,65 @@ def max_dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .sampling import explode_ngrams_pos
 
     d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
-    occ = explode_ngrams_pos(d, _SPAN_N).select("doc_id", "pos", "gram")
+    # occ feeds BOTH the freq agg and the join probe — localCheckpoint so
+    # the Arrow n-gram kernel runs once (the excise_exact_substrings fix;
+    # ReuseExchange can't dedupe across the partial agg)
+    occ = (
+        explode_ngrams_pos(d, _SPAN_N)
+        .select("doc_id", "pos", "gram")
+        .localCheckpoint(eager=True)
+    )
     dupg = (
         occ.groupBy("gram")
         .agg(F.count(F.lit(1)).alias("__c"))
         .filter(F.col("__c") >= 2)
         .select("gram")
     )
-    # one doc_id shuffle: map-side-partial collect_set of covered indexes
+    # ONE doc_id shuffle carrying only gram START positions (not the
+    # _SPAN_N-exploded covered indexes — 4x less shuffle volume); interval
+    # merge happens in JVM lambdas on the sorted starts: two width-N gram
+    # intervals chain into one island iff the start gap is <= N, and a
+    # merged island covers last_start - first_start + N tokens.
     cov = (
         occ.join(dupg, "gram")
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_set("pos")).alias("__p"))
+    )
+    lens = (
+        cov.select(
+            "doc_id",
+            "__p",
+            # size-1 guard: sequence(1, 0) DESCENDS ([1, 0]) and would
+            # index out of bounds on a single-dup-gram doc
+            F.expr(
+                f"""
+                concat(array(0),
+                       IF(size(__p) < 2, array(),
+                          filter(sequence(1, size(__p) - 1),
+                                 j -> __p[j] - __p[j - 1] > {_SPAN_N})))
+                """
+            ).alias("__starts"),
+        )
         .select(
             "doc_id",
-            F.explode(
-                F.sequence(F.col("pos"), F.col("pos") + (_SPAN_N - 1))
-            ).alias("idx"),
+            F.expr(
+                f"""
+                zip_with(
+                  __starts,
+                  concat(slice(__starts, 2, size(__starts) - 1),
+                         array(size(__p))),
+                  (s, e) -> __p[e - 1] - __p[s] + {_SPAN_N})
+                """
+            ).alias("__lens"),
         )
-        .groupBy("doc_id")
-        .agg(F.array_sort(F.collect_set("idx")).alias("__idx"))
     )
-    # islands by pure JVM lambdas: break positions j where idx[j]-idx[j-1]>1
-    return cov.select(
+    return lens.select(
         "doc_id",
-        F.expr(
-            """
-            named_struct(
-              'starts', concat(array(0),
-                filter(sequence(1, size(__idx) - 1),
-                       j -> __idx[j] - __idx[j - 1] > 1)),
-              'len', size(__idx))
-            """
-        ).alias("__s"),
-    ).select(
-        "doc_id",
-        F.expr("size(__s.starts)").cast("bigint").alias("n_spans"),
-        F.expr(
-            """
-            array_max(zip_with(
-              __s.starts,
-              concat(slice(__s.starts, 2, size(__s.starts) - 1),
-                     array(__s.len)),
-              (s, e) -> e - s))
-            """
-        )
+        F.size("__lens").cast("bigint").alias("n_spans"),
+        F.array_max("__lens").cast("bigint").alias("max_span_tokens"),
+        F.expr("aggregate(__lens, 0L, (a, x) -> a + x)")
         .cast("bigint")
-        .alias("max_span_tokens"),
-        F.col("__s.len").cast("bigint").alias("dup_tokens"),
+        .alias("dup_tokens"),
     )
 
 

@@ -146,6 +146,7 @@ def test_max_dup_span_stats_merges_overlapping_grams(spark):
             (1, "a b c d e f g h"),  # "c d e f" @2, "e f g h" @4 -> 2..7
             (2, "x c d e f y z w e f g h"),  # same grams @1 and @8, disjoint
             (3, "p q r s t u v"),  # no duplicated gram
+            (4, "m m m c d e f"),  # exactly ONE dup gram (size-1 edge)
         ],
         "doc_id bigint, text string",
     )
@@ -169,4 +170,4 @@ def test_max_dup_span_stats_merges_overlapping_grams(spark):
     finally:
         tables.load_table = orig
         dd.load_table = orig
-    assert got == {1: (1, 6, 6), 2: (2, 4, 8)}
+    assert got == {1: (1, 6, 6), 2: (2, 4, 8), 4: (1, 4, 4)}

@@ -58,7 +58,7 @@ NOTES = {
     "tfidf_topk": "map-side-combined tf shuffle is the only full-token-stream exchange; the later df agg + per-doc rank window re-shuffle only the collapsed tf table (vocab/doc-sized)",
     "bm25_search": "tf table persisted and reused for lengths + query slice; df and corpus stats broadcast; query-term filter cuts the scored side before any join",
     "duplicate_spans": "one narrow gram pass + one gram-keyed map-side-combined shuffle; production groups by xxhash64(gram) to shrink the shuffle key",
-    "max_dup_span_stats": "gram-keyed freq shuffle + join-back + ONE doc_id collect_set shuffle; islands are JVM lambdas over the sorted per-doc index array (no window)",
+    "max_dup_span_stats": "gram-keyed freq shuffle + join-back + ONE doc_id shuffle of gram START positions only (no N-exploded cover indexes); interval merge via JVM lambdas on the sorted starts (no window)",
     "cdc_chunks": "ZERO shuffles: tokenize, md5 boundary filter, and chunk lengths are all JVM higher-order lambdas over the per-doc token array",
     "decontaminate_pairs": "bench grams broadcast (capped) — corpus gram stream probed map-side; (doc,bench) agg + struct-max argmax, no window",
     "rich_inactive_customers_sql": "SQL-text entry path: Catalyst decorrelates the NOT EXISTS to a broadcast null-aware anti join and the scalar subqueries to one-row broadcast aggregates",
