@@ -27,6 +27,7 @@ def _registry():
     from dhs_to_database_spark.operators import registry  # noqa: F401
     from dhs_to_database_spark.operators import (  # noqa: F401
         bpe,
+        classifier,
         clustering,
         dedup,
         layout,
@@ -137,6 +138,7 @@ _GRADE_TAIL = [
     "max_dup_span_stats",  # r5: maximal duplicated intervals; span family (duplicate_spans + excise) graded
     "cdc_chunks",  # r5: content-defined chunking; chunking family (context_chunks/sequence_pack) tail-verified
     "decontaminate_pairs",  # r5: pair-level attribution; benchmark_decontaminate graded in-window
+    "minhash_calibration",  # r5: estimator-vs-truth report; minhash_lsh_md5 graded in-window
 ]
 
 

@@ -100,6 +100,8 @@ BENCH_QUERIES = [
     "max_dup_span_stats",
     "cdc_chunks",
     "decontaminate_pairs",
+    "minhash_calibration",
+    "quality_classifier",
 ]
 
 

@@ -1018,6 +1018,82 @@ def _md5_long28(col: Column) -> Column:
     return F.conv(F.substring(F.md5(col), 1, 7), 16, 10).cast("bigint")
 
 
+def _md5_shingle_hashes(d: DataFrame) -> DataFrame:
+    """(doc_id, h) per shingle OCCURRENCE — h is the engine-portable
+    28-bit md5 shingle hash both the twin and its calibration share."""
+    return (
+        d.select("doc_id", tokenize_words("text").alias("ws"))
+        .select("doc_id", F.explode(word_shingles("ws", 3)).alias("shingle"))
+        .select("doc_id", _md5_long28(F.col("shingle")).alias("h"))
+    )
+
+
+def _minhash_md5_scored_pairs(d: DataFrame) -> DataFrame:
+    """LSH candidate pairs with their signature match count: (doc_a,
+    doc_b, matches [0..{_MD5_N_HASHES}]). The full md5-twin pipeline up to
+    (but excluding) the similarity threshold, shared by ``minhash_lsh_md5``
+    and ``minhash_calibration``."""
+    sh = _md5_shingle_hashes(d)
+    # ONE shuffle of docs x 16 partial-min columns (map-side combine);
+    # the permutations are column expressions, not exploded rows.
+    mins = sh.groupBy("doc_id").agg(
+        *[
+            F.min(
+                (F.lit(a).cast("bigint") * F.col("h") + F.lit(b)) % F.lit(_MH_P)
+            ).alias(f"m{i}")
+            for i, (a, b) in enumerate(_MH_PERMS)
+        ]
+    )
+    mins.persist()
+    try:
+        band_exprs = ", ".join(
+            "{b}, concat_ws(',', {cols})".format(
+                b=b,
+                cols=", ".join(
+                    f"m{i}"
+                    for i in range(
+                        b * _MD5_ROWS_PER_BAND, (b + 1) * _MD5_ROWS_PER_BAND
+                    )
+                ),
+            )
+            for b in range(_MD5_N_HASHES // _MD5_ROWS_PER_BAND)
+        )
+        bands = mins.select(
+            "doc_id",
+            F.expr(
+                f"stack({_MD5_N_HASHES // _MD5_ROWS_PER_BAND}, {band_exprs})"
+                " AS (band_idx, band_val)"
+            ),
+        )
+        # hot-bucket cap ACTIVE and ENCODED IN THE ORACLE (capped CTE):
+        # both engines drop the same over-cap buckets, so the comparison
+        # stays value-exact at any SF while an exact-dup mega-cluster
+        # can't quadratically dominate the pair join (measured 80s vs 3s
+        # at sf1 uncapped vs capped).
+        pairs = bucket_pairs(bands)
+        ma = mins.select(
+            F.col("doc_id").alias("doc_a"),
+            *[F.col(f"m{i}").alias(f"a{i}") for i in range(_MD5_N_HASHES)],
+        )
+        mb = mins.select(
+            F.col("doc_id").alias("doc_b"),
+            *[F.col(f"m{i}").alias(f"b{i}") for i in range(_MD5_N_HASHES)],
+        )
+        matches = F.expr(
+            " + ".join(f"IF(a{i} = b{i}, 1, 0)" for i in range(_MD5_N_HASHES))
+        )
+        out = (
+            pairs.join(ma, "doc_a")
+            .join(mb, "doc_b")
+            .select("doc_a", "doc_b", matches.cast("int").alias("matches"))
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        mins.unpersist()
+    return out
+
+
+
 @query(
     "minhash_lsh_md5",
     oracle=f"""
@@ -1079,75 +1155,171 @@ def minhash_lsh_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     family — the oracle-verified twin of ``minhash_near_dup`` (see block
     comment for the one-md5 + integer-family design)."""
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    sh = (
-        d.select("doc_id", tokenize_words("text").alias("ws"))
-        .select("doc_id", F.explode(word_shingles("ws", 3)).alias("shingle"))
-        .select("doc_id", _md5_long28(F.col("shingle")).alias("h"))
-    )
-    # ONE shuffle of docs x 16 partial-min columns (map-side combine);
-    # the permutations are column expressions, not exploded rows.
-    mins = sh.groupBy("doc_id").agg(
-        *[
-            F.min(
-                (F.lit(a).cast("bigint") * F.col("h") + F.lit(b)) % F.lit(_MH_P)
-            ).alias(f"m{i}")
-            for i, (a, b) in enumerate(_MH_PERMS)
-        ]
-    )
-    mins.persist()
-    try:
-        band_exprs = ", ".join(
-            "{b}, concat_ws(',', {cols})".format(
-                b=b,
-                cols=", ".join(
-                    f"m{i}"
-                    for i in range(
-                        b * _MD5_ROWS_PER_BAND, (b + 1) * _MD5_ROWS_PER_BAND
-                    )
-                ),
-            )
-            for b in range(_MD5_N_HASHES // _MD5_ROWS_PER_BAND)
+    return (
+        _minhash_md5_scored_pairs(d)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(F.col("matches") / F.lit(float(_MD5_N_HASHES)), 4)
+            .cast("double")
+            .alias("est_jaccard"),
         )
-        bands = mins.select(
-            "doc_id",
-            F.expr(
-                f"stack({_MD5_N_HASHES // _MD5_ROWS_PER_BAND}, {band_exprs})"
-                " AS (band_idx, band_val)"
+        .filter(F.col("est_jaccard") >= 0.5)
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash estimator calibration (r5): how good is the 16-permutation
+# estimate, measured on this corpus? For every LSH candidate pair the TRUE
+# Jaccard of the (distinct) 28-bit shingle-hash sets is computed and the
+# report buckets by the estimator's value (matches/16): pair count, mean
+# true Jaccard, mean |est - true|. The practical knob this feeds: whether
+# 16 permutations suffice for the 0.5 production threshold or the
+# signature needs widening. ALL arithmetic that crosses the agg is
+# integer (true Jaccard scaled to 1e6 by BIGINT division, est as
+# matches*62500), so sums are order-independent and the DuckDB comparison
+# is exact — no float-summation-order hazard.
+# Scale: candidates are bucket-capped (same guard as the twin); the
+# true-Jaccard join streams each candidate's shingle sets through one
+# (doc, h) equi-join — volume = pairs x doc shingles, bounded by the cap.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "minhash_calibration",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS t
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(array_to_string(t[i:i+2], ' ')), 1, 7)) AS BIGINT) AS h
+      FROM toks, UNNEST(generate_series(1, greatest(len(t) - 2, 1))) AS u(i)
+    ),
+    shd AS (SELECT DISTINCT doc_id, h FROM sh),
+    sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz FROM shd GROUP BY doc_id),
+    perms(i, a, b) AS (VALUES {_MH_PERMS_VALUES}),
+    sig AS (
+      SELECT doc_id, p.i, MIN((p.a * h + p.b) % {_MH_P}) AS m
+      FROM sh CROSS JOIN perms p
+      GROUP BY doc_id, p.i
+    ),
+    bands AS (
+      SELECT doc_id, i // {_MD5_ROWS_PER_BAND} AS band_idx,
+             string_agg(CAST(m AS VARCHAR), ',' ORDER BY i) AS band_val
+      FROM sig GROUP BY doc_id, band_idx
+    ),
+    capped AS (
+      SELECT band_idx, band_val FROM bands
+      GROUP BY band_idx, band_val HAVING COUNT(*) <= {MAX_BUCKET_SIZE}
+    ),
+    kept AS (
+      SELECT b.doc_id, b.band_idx, b.band_val
+      FROM bands b JOIN capped c USING (band_idx, band_val)
+    ),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM kept a JOIN kept b
+        ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+       AND a.doc_id < b.doc_id
+    ),
+    scored AS (
+      SELECT p.doc_a, p.doc_b,
+             CAST(SUM(CASE WHEN sa.m = sb.m THEN 1 ELSE 0 END) AS INTEGER) AS matches
+      FROM pairs p
+      JOIN sig sa ON sa.doc_id = p.doc_a
+      JOIN sig sb ON sb.doc_id = p.doc_b AND sb.i = sa.i
+      GROUP BY p.doc_a, p.doc_b
+    ),
+    inter AS (
+      SELECT s.doc_a, s.doc_b, CAST(COUNT(hb.h) AS BIGINT) AS n_common
+      FROM scored s
+      JOIN shd ha ON ha.doc_id = s.doc_a
+      LEFT JOIN shd hb ON hb.doc_id = s.doc_b AND hb.h = ha.h
+      GROUP BY s.doc_a, s.doc_b
+    ),
+    truth AS (
+      SELECT s.matches,
+             (i.n_common * 1000000) // (za.sz + zb.sz - i.n_common) AS tj1e6
+      FROM scored s
+      JOIN inter i ON i.doc_a = s.doc_a AND i.doc_b = s.doc_b
+      JOIN sizes za ON za.doc_id = s.doc_a
+      JOIN sizes zb ON zb.doc_id = s.doc_b
+    )
+    SELECT CAST(ROUND(matches / {float(_MD5_N_HASHES)}, 4) AS DOUBLE) AS est_jaccard,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(ROUND(CAST(SUM(tj1e6) AS DECIMAL(28,10))
+                      / (COUNT(*) * 1000000), 4) AS DOUBLE) AS mean_true_jaccard,
+           CAST(ROUND(CAST(SUM(ABS(matches * 62500 - tj1e6)) AS DECIMAL(28,10))
+                      / (COUNT(*) * 1000000), 4) AS DOUBLE) AS mean_abs_err
+    FROM truth
+    GROUP BY matches
+    """,
+)
+def minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Estimated-vs-true Jaccard calibration of the md5 MinHash twin over
+    its LSH candidate pairs, bucketed by estimator value (see block
+    comment; integer-exact cross-agg arithmetic)."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    scored = _minhash_md5_scored_pairs(d)
+    shd = _md5_shingle_hashes(d).distinct()
+    sizes = shd.groupBy("doc_id").agg(F.count(F.lit(1)).cast("bigint").alias("sz"))
+    inter = (
+        scored.join(
+            shd.select(F.col("doc_id").alias("doc_a"), "h"), "doc_a"
+        )
+        .join(
+            shd.select(F.col("doc_id").alias("__db"), F.col("h").alias("hb")),
+            (F.col("doc_b") == F.col("__db")) & (F.col("h") == F.col("hb")),
+            "left",
+        )
+        .groupBy("doc_a", "doc_b", "matches")
+        .agg(F.count("hb").cast("bigint").alias("n_common"))
+    )
+    truth = (
+        inter.join(
+            sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sza")),
+            "doc_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("szb")),
+            "doc_b",
+        )
+        .select(
+            "matches",
+            F.expr("(n_common * 1000000) div (sza + szb - n_common)").alias(
+                "tj1e6"
             ),
         )
-        # hot-bucket cap ACTIVE and ENCODED IN THE ORACLE (capped CTE):
-        # both engines drop the same over-cap buckets, so the comparison
-        # stays value-exact at any SF while an exact-dup mega-cluster
-        # can't quadratically dominate the pair join (measured 80s vs 3s
-        # at sf1 uncapped vs capped).
-        pairs = bucket_pairs(bands)
-        ma = mins.select(
-            F.col("doc_id").alias("doc_a"),
-            *[F.col(f"m{i}").alias(f"a{i}") for i in range(_MD5_N_HASHES)],
+    )
+    return truth.groupBy("matches").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.round(
+            F.sum("tj1e6").cast("decimal(28,10)")
+            / (F.count(F.lit(1)) * 1_000_000),
+            4,
         )
-        mb = mins.select(
-            F.col("doc_id").alias("doc_b"),
-            *[F.col(f"m{i}").alias(f"b{i}") for i in range(_MD5_N_HASHES)],
-        )
-        matches = F.expr(
-            " + ".join(f"IF(a{i} = b{i}, 1, 0)" for i in range(_MD5_N_HASHES))
-        )
-        out = (
-            pairs.join(ma, "doc_a")
-            .join(mb, "doc_b")
-            .select(
-                "doc_a",
-                "doc_b",
-                F.round(matches / F.lit(float(_MD5_N_HASHES)), 4)
-                .cast("double")
-                .alias("est_jaccard"),
+        .cast("double")
+        .alias("mean_true_jaccard"),
+        F.round(
+            F.sum(F.abs(F.col("matches") * 62500 - F.col("tj1e6"))).cast(
+                "decimal(28,10)"
             )
-            .filter(F.col("est_jaccard") >= 0.5)
-            .localCheckpoint(eager=True)
+            / (F.count(F.lit(1)) * 1_000_000),
+            4,
         )
-    finally:
-        mins.unpersist()
-    return out
+        .cast("double")
+        .alias("mean_abs_err"),
+    ).select(
+        F.round(F.col("matches") / F.lit(float(_MD5_N_HASHES)), 4)
+        .cast("double")
+        .alias("est_jaccard"),
+        "n_pairs",
+        "mean_true_jaccard",
+        "mean_abs_err",
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,87 @@
+"""Distilled quality classifier: distributed LR training over hashed
+features (operators/classifier.py)."""
+
+import numpy as np
+
+
+def _auc(scores, labels):
+    s = np.asarray(scores)
+    y = np.asarray(labels)
+    order = np.argsort(s)
+    ranks = np.empty(len(s))
+    ranks[order] = np.arange(1, len(s) + 1)
+    n1, n0 = y.sum(), (1 - y).sum()
+    return (ranks[y == 1].sum() - n1 * (n1 + 1) / 2) / (n1 * n0)
+
+
+def test_quality_classifier_recovers_the_rule(spark):
+    """The trained scorer must rank rule-positive docs above rule-negative
+    ones (AUC) and agree with the rule at the 0.5 cut on nearly every
+    doc — the distillation actually learned the gate, not noise."""
+    from dhs_to_database_spark.operators.classifier import quality_classifier
+
+    rows = quality_classifier(spark, "/root/testdata/sf0.01").collect()
+    scores = [r["score"] for r in rows]
+    labels = [r["label"] for r in rows]
+    assert 0 < sum(labels) < len(labels), "label must be non-degenerate"
+    assert _auc(scores, labels) > 0.97
+    agree = sum((s >= 0.5) == bool(l) for s, l in zip(scores, labels))
+    assert agree / len(rows) > 0.9
+
+
+def test_training_reduces_logloss(spark):
+    """Each training run must land strictly below the w=0 loss (ln 2) —
+    the gradient aggregation is actually descending, not a no-op."""
+    from dhs_to_database_spark.operators.classifier import (
+        _CLF_DIM,
+        featurize,
+        mean_logloss,
+        train_logistic,
+    )
+    from dhs_to_database_spark.sources.tables import load_table
+
+    d = load_table(spark, "/root/testdata/sf0.001", "documents")
+    feats = featurize(d).localCheckpoint(eager=True)
+    w0 = [0.0] * (_CLF_DIM + 1)
+    w = train_logistic(feats)
+    assert mean_logloss(feats, w) < 0.5 * mean_logloss(feats, w0)
+
+
+def test_featurize_matches_python_mirror(spark):
+    """The Arrow kernel's features equal a direct python computation
+    (bucket hashing, normalization, dense signals, rule label)."""
+    import hashlib
+    import math
+
+    from dhs_to_database_spark.operators.classifier import (
+        _HASH_DIM,
+        _STOPWORDS,
+        featurize,
+    )
+    from dhs_to_database_spark.operators.sampling import _java_ws_tokens
+
+    texts = {
+        1: "the quick brown fox " * 30,  # long, passes the gate
+        2: "tiny doc",  # fails: short
+        3: "of to and " + "word " * 40,  # stopword-heavy, passes
+    }
+    docs = spark.createDataFrame(list(texts.items()), "doc_id bigint, text string")
+    got = {r["doc_id"]: (list(r["x"]), r["y"]) for r in featurize(docs).collect()}
+
+    for did, tx in texts.items():
+        t = _java_ws_tokens(tx)
+        nt = len(t)
+        counts = [0.0] * _HASH_DIM
+        for tok in t:
+            counts[int(hashlib.md5(tok.encode()).hexdigest()[:8], 16) % _HASH_DIM] += 1
+        counts = [c / nt for c in counts]
+        dense = [
+            math.log1p(len(tx)) / 10.0,
+            min(nt, 1000) / 100.0,
+            sum(len(tok) for tok in t) / nt / 10.0,
+            sum(1 for tok in t if tok in _STOPWORDS) / nt,
+        ]
+        y = 1.0 if (100 <= len(tx) <= 20000 and nt >= 20) else 0.0
+        x_got, y_got = got[did]
+        assert y_got == y
+        assert np.allclose(x_got, counts + dense, atol=1e-12)

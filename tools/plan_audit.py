@@ -61,6 +61,8 @@ NOTES = {
     "max_dup_span_stats": "gram-keyed freq shuffle + join-back + ONE doc_id shuffle of gram START positions only (no N-exploded cover indexes); interval merge via JVM lambdas on the sorted starts (no window)",
     "cdc_chunks": "ZERO shuffles: tokenize, md5 boundary filter, and chunk lengths are all JVM higher-order lambdas over the per-doc token array",
     "decontaminate_pairs": "bench grams broadcast (capped) — corpus gram stream probed map-side; (doc,bench) agg + struct-max argmax, no window",
+    "minhash_calibration": "shares the twin's scored-pairs plan (localCheckpointed); true Jaccard via one (doc,h) equi-join over bucket-capped candidates; integer-exact cross-agg math",
+    "quality_classifier": "ONE Arrow featurize pass (hashing trick, localCheckpointed) + 6 GD iterations each = one map-side-combined agg of d+1 gradient sums; driver holds only w",
     "rich_inactive_customers_sql": "SQL-text entry path: Catalyst decorrelates the NOT EXISTS to a broadcast null-aware anti join and the scalar subqueries to one-row broadcast aggregates",
     "dq_checks_orders": "six rules in two corpus passes: one multi-conditional agg (exact uniqueness adds the distinct shuffle) + one anti-join count; 1-row frames cross-joined and stacked",
     "stateful_session_paths": "runs the REAL streaming engine (availableNow foreachBatch drain): cost is micro-batch scheduling + transformWithState, not the plan; batch twin session_windows carries the plan proof",

@@ -95,6 +95,8 @@ PROBES = {
     "max_dup_span_stats": "documents",
     "cdc_chunks": "documents",
     "decontaminate_pairs": "documents",
+    "minhash_calibration": "documents",
+    "quality_classifier": "documents",
 }
 
 
