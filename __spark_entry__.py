@@ -139,6 +139,7 @@ _GRADE_TAIL = [
     "cdc_chunks",  # r5: content-defined chunking; chunking family (context_chunks/sequence_pack) tail-verified
     "decontaminate_pairs",  # r5: pair-level attribution; benchmark_decontaminate graded in-window
     "minhash_calibration",  # r5: estimator-vs-truth report; minhash_lsh_md5 graded in-window
+    "containment_pairs",  # r5: asymmetric containment join; setsim_join_prefix sibling (lossless-vs-naive proof)
 ]
 
 

@@ -102,6 +102,7 @@ BENCH_QUERIES = [
     "decontaminate_pairs",
     "minhash_calibration",
     "quality_classifier",
+    "containment_pairs",
 ]
 
 

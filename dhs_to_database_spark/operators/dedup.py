@@ -1169,6 +1169,134 @@ def minhash_lsh_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Containment join (r5): ASYMMETRIC near-duplication — C(A -> B) =
+# |sh(A) n sh(B)| / |sh(A)|, the fraction of A's distinct shingles that B
+# also carries. Jaccard misses exactly this case: a short doc quoted
+# verbatim inside a much longer one has J ~ |A|/|B| ~ 0 but containment
+# ~ 1 (the boilerplate/quotation detector used in code-corpus dedup).
+# Scale: LOSSLESS containment-prefix candidates — if C(A -> B) >= t then
+# at most (1-t)|A| of A's shingles miss B, so B must contain one of A's
+# first floor((1-t)|A|) + 1 shingles under ANY global order; with the
+# frequency-ascending order (setsim_join_prefix's) those prefix shingles
+# are A's RAREST, so the bucket join against the full inverted index has
+# tiny natural fan-out (t=0.9 -> prefix is ~|A|/10 shingles/doc). A
+# length filter (|B| >= t|A| — B needs that many of A's shingles) prunes
+# further. Verification is exact on the full shingle sets, and the
+# oracle is the NAIVE all-pairs containment join: the driver hash-match
+# is an algorithm-vs-naive equality proof, not just self-consistency.
+# ---------------------------------------------------------------------------
+
+_CONT_T = 0.9  # containment threshold
+# integer form of the threshold (9/10) for the prefix/length bounds:
+# float ceil(0.9*sz) can land one off (0.9 is inexact in binary), which
+# would silently shorten the prefix and break the lossless contract
+_CONT_NUM, _CONT_DEN = 9, 10
+
+
+@query(
+    "containment_pairs",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS t
+      FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS w
+      FROM toks, UNNEST(generate_series(1, greatest(len(t) - 2, 1))) AS u(i)
+    ),
+    sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS n_common
+      FROM sh a JOIN sh b ON a.w = b.w AND a.doc_id <> b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT i.doc_a, i.doc_b,
+           CAST(ROUND(CAST(i.n_common AS DECIMAL(18,6)) / za.sz, 4) AS DOUBLE)
+             AS containment
+    FROM inter i JOIN sizes za ON za.doc_id = i.doc_a
+    WHERE CAST(i.n_common AS DECIMAL(18,6)) / za.sz >= {_CONT_T}
+    """,
+)
+def containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed pairs (doc_a -> doc_b) where doc_b carries >= {_CONT_T}
+    of doc_a's distinct 3-shingles (see block comment; prefix filter is
+    lossless, oracle is the naive all-pairs truth)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = (
+        d.select("doc_id", tokenize_words("text").alias("ws"))
+        .select("doc_id", F.explode(word_shingles("ws", 3)).alias("w"))
+        .distinct()
+    )
+    freq = toks.groupBy("w").agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+    ordered = (
+        toks.join(freq, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(freq, w))), x -> x.w)"
+            ).alias("tokens")
+        )
+        .withColumn("sz", F.size("tokens").cast("bigint"))
+        .withColumn(
+            "prefix",
+            # max missing shingles = sz - ceil(t*sz); prefix = that + 1,
+            # all in exact integer math (ceil-div)
+            F.expr(
+                f"slice(tokens, 1, CAST(sz - (({_CONT_NUM} * sz +"
+                f" {_CONT_DEN - 1}) div {_CONT_DEN}) + 1 AS INT))"
+            ),
+        )
+        .localCheckpoint(eager=True)  # feeds prefixes, index, and verify
+    )
+    sh = ordered.select("doc_id", F.explode("tokens").alias("w"))
+    sizes = ordered.select("doc_id", "sz")
+    cand = (
+        ordered.select(
+            F.col("doc_id").alias("doc_a"),
+            F.col("sz").alias("sz_a"),
+            F.explode("prefix").alias("w"),
+        )
+        .join(
+            ordered.select(
+                F.col("doc_id").alias("doc_b"),
+                F.col("sz").alias("sz_b"),
+                F.explode("tokens").alias("w"),
+            ),
+            "w",
+        )
+        .filter(
+            (F.col("doc_a") != F.col("doc_b"))
+            & (_CONT_DEN * F.col("sz_b") >= _CONT_NUM * F.col("sz_a"))
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    inter = (
+        cand.join(sh.select(F.col("doc_id").alias("doc_a"), "w"), "doc_a")
+        .join(
+            sh.select(F.col("doc_id").alias("__db"), F.col("w").alias("wb")),
+            (F.col("doc_b") == F.col("__db")) & (F.col("w") == F.col("wb")),
+            "left",
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("wb").cast("bigint").alias("n_common"))
+    )
+    ratio = F.col("n_common").cast("decimal(18,6)") / F.col("sz")
+    return (
+        inter.join(sizes.select(F.col("doc_id").alias("doc_a"), "sz"), "doc_a")
+        # threshold on the UNROUNDED ratio, exactly like the oracle's
+        # WHERE (rounding first would admit 0.89996 -> 0.9)
+        .filter(ratio >= _CONT_T)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(ratio, 4).cast("double").alias("containment"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # MinHash estimator calibration (r5): how good is the 16-permutation
 # estimate, measured on this corpus? For every LSH candidate pair the TRUE
 # Jaccard of the (distinct) 28-bit shingle-hash sets is computed and the

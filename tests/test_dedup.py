@@ -171,3 +171,33 @@ def test_max_dup_span_stats_merges_overlapping_grams(spark):
         tables.load_table = orig
         dd.load_table = orig
     assert got == {1: (1, 6, 6), 2: (2, 4, 8), 4: (1, 4, 4)}
+
+
+def test_containment_catches_what_jaccard_misses(spark):
+    """A short doc quoted verbatim inside a much longer one: Jaccard is
+    tiny (size mismatch) but containment short->long must be ~1 and the
+    reverse direction absent."""
+    import dhs_to_database_spark.operators.dedup as dd
+    import dhs_to_database_spark.sources.tables as tables
+    from dhs_to_database_spark.operators.dedup import containment_pairs
+
+    quote = " ".join(f"q{i}" for i in range(12))
+    filler = " ".join(f"f{i}" for i in range(300))
+    docs = spark.createDataFrame(
+        [
+            (1, quote),  # 10 distinct 3-shingles, all inside doc 2
+            (2, filler + " " + quote + " " + " ".join(f"g{i}" for i in range(300))),
+            (3, "unrelated words only here nothing shared with others at all"),
+        ],
+        "doc_id bigint, text string",
+    )
+    orig = tables.load_table
+    try:
+        dd.load_table = lambda spark, sf_dir, name: docs
+        rows = {(r["doc_a"], r["doc_b"]): r["containment"]
+                for r in containment_pairs(spark, "unused").collect()}
+    finally:
+        dd.load_table = orig
+    assert rows.get((1, 2)) == 1.0  # short fully contained in long
+    assert (2, 1) not in rows  # reverse containment is tiny
+    assert not any(3 in k for k in rows)

@@ -63,6 +63,7 @@ NOTES = {
     "decontaminate_pairs": "bench grams broadcast (capped) — corpus gram stream probed map-side; (doc,bench) agg + struct-max argmax, no window",
     "minhash_calibration": "shares the twin's scored-pairs plan (localCheckpointed); true Jaccard via one (doc,h) equi-join over bucket-capped candidates; integer-exact cross-agg math",
     "quality_classifier": "ONE Arrow featurize pass (hashing trick, localCheckpointed) + 6 GD iterations each = one map-side-combined agg of d+1 gradient sums; driver holds only w",
+    "containment_pairs": "lossless containment-prefix candidates (rarest ~(1-t)|A| shingles vs full inverted index, integer-exact bounds) + exact verify; oracle is the naive all-pairs truth",
     "rich_inactive_customers_sql": "SQL-text entry path: Catalyst decorrelates the NOT EXISTS to a broadcast null-aware anti join and the scalar subqueries to one-row broadcast aggregates",
     "dq_checks_orders": "six rules in two corpus passes: one multi-conditional agg (exact uniqueness adds the distinct shuffle) + one anti-join count; 1-row frames cross-joined and stacked",
     "stateful_session_paths": "runs the REAL streaming engine (availableNow foreachBatch drain): cost is micro-batch scheduling + transformWithState, not the plan; batch twin session_windows carries the plan proof",

@@ -97,6 +97,7 @@ PROBES = {
     "decontaminate_pairs": "documents",
     "minhash_calibration": "documents",
     "quality_classifier": "documents",
+    "containment_pairs": "documents",
 }
 
 
@@ -124,6 +125,11 @@ SLOW_TAIL = {
     "doc_perplexity": "documents",
     # r5 (VERDICT r4 ask #3): the r4 heavy registry entries
     "exact_substring_excise": "documents",
+    # r5 additions above ~2s at sf0.1
+    "max_dup_span_stats": "documents",
+    "decontaminate_pairs": "documents",
+    "containment_pairs": "documents",
+    "quality_classifier": "documents",
     "span_dedup_report": "documents",
     "stateful_session_paths": "events",
     "streaming_window_counts": "events",
