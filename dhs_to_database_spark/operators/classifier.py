@@ -129,8 +129,7 @@ def train_logistic(
             .first()
         )
         n = float(row["n"])
-        w = [w[j] - lr * float(row[f"g{j}"] if j else row["g0"]) / n
-             for j in range(dim + 1)]
+        w = [w[j] - lr * float(row[f"g{j}"]) / n for j in range(dim + 1)]
     return w
 
 

@@ -1199,7 +1199,7 @@ _CONT_NUM, _CONT_DEN = 9, 10
     WITH toks AS (
       SELECT doc_id,
              string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS t
-      FROM documents
+      FROM documents WHERE text IS NOT NULL
     ),
     sh AS (
       SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS w
@@ -1222,7 +1222,10 @@ def containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Directed pairs (doc_a -> doc_b) where doc_b carries >= {_CONT_T}
     of doc_a's distinct 3-shingles (see block comment; prefix filter is
     lossless, oracle is the naive all-pairs truth)."""
-    d = load_table(spark, sf_dir, "documents")
+    # NULL-text docs dropped on BOTH sides: Spark's shingle path would give
+    # them a joinable '' shingle while the oracle's array_to_string(NULL)
+    # never joins (the pinned NULL-text gotcha)
+    d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     toks = (
         d.select("doc_id", tokenize_words("text").alias("ws"))
         .select("doc_id", F.explode(word_shingles("ws", 3)).alias("w"))
@@ -1319,7 +1322,7 @@ def containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH toks AS (
       SELECT doc_id,
              string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS t
-      FROM documents
+      FROM documents WHERE text IS NOT NULL
     ),
     sh AS (
       SELECT doc_id,
@@ -1390,9 +1393,17 @@ def minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Estimated-vs-true Jaccard calibration of the md5 MinHash twin over
     its LSH candidate pairs, bucketed by estimator value (see block
     comment; integer-exact cross-agg arithmetic)."""
-    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # NULL-text docs dropped on BOTH sides (md5('') vs md5(NULL) would
+    # diverge); shd feeds sizes AND two join branches of inter, so it is
+    # localCheckpointed to run the shingle/md5 kernel once (the excise
+    # double-execution fix).
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", "text")
+    )
     scored = _minhash_md5_scored_pairs(d)
-    shd = _md5_shingle_hashes(d).distinct()
+    shd = _md5_shingle_hashes(d).distinct().localCheckpoint(eager=True)
     sizes = shd.groupBy("doc_id").agg(F.count(F.lit(1)).cast("bigint").alias("sz"))
     inter = (
         scored.join(
@@ -1476,10 +1487,12 @@ def minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   * the oracle pre-filters bands through `capped` BEFORE the pair
 #     self-join (the r3 oracle materialized the uncapped bands x bands
 #     product first).
-# Semantics are EXACT, not approximate (r5): verification keeps pairs at
-# Hamming <= _SH_BANDS - 1 = 3, and pigeonhole guarantees every such pair
-# shares a band — so the result is precisely ALL pairs within Hamming 3,
-# independent of banding. (The r4 twin verified at Hamming <= 8 with a
+# Semantics are EXACT modulo the hot-bucket cap (r5): verification keeps
+# pairs at Hamming <= _SH_BANDS - 1 = 3, and pigeonhole guarantees every
+# such pair shares a band — so the result is precisely ALL pairs within
+# Hamming 3 EXCEPT pairs whose every shared band sits in an over-cap
+# bucket (MAX_BUCKET_SIZE, identical in the oracle — same caveat as the
+# minhash twin). (The r4 twin verified at Hamming <= 8 with a
 # <= 5 guarantee, leaving band-collision-dependent recall at distances
 # 6-8; r5 removes that approximation residue along with a third of the
 # band rows.) Production keeps the wide 64-bit xxhash64 variant

@@ -469,6 +469,26 @@ def decontaminate(
     ``_DECON_CAP`` and its oracle encodes the SAME cap (a capped CTE),
     so DuckDB parity stays value-exact with the guard active; ``None``
     disables the cap entirely."""
+    return _gram_matches(
+        train, benchmark, n, id_col, text_col, max_gram_bench_docs
+    ).groupBy("doc_id").agg(
+        F.countDistinct("gram").alias("n_shared_grams"),
+        F.countDistinct("bench_doc").alias("n_bench_docs"),
+    )
+
+
+def _gram_matches(
+    train: DataFrame,
+    benchmark: DataFrame,
+    n: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_gram_bench_docs: int | None = None,
+) -> DataFrame:
+    """(doc_id, bench_doc, gram) rows for every train-gram that also
+    occurs in a (cap-surviving) benchmark doc — the shared probe stage of
+    ``benchmark_decontaminate`` and ``decontaminate_pairs``, so the cap
+    semantics live in exactly one Spark code path."""
     train_grams = explode_ngrams(train, n, id_col, text_col, out_id="doc_id")
     bench_grams = explode_ngrams(benchmark, n, id_col, text_col, out_id="bench_doc")
     if max_gram_bench_docs is not None:
@@ -480,14 +500,7 @@ def decontaminate(
             .filter(F.col("__nbd") <= max_gram_bench_docs)
             .drop("__nbd")
         )
-    return (
-        train_grams.join(F.broadcast(bench_grams), "gram")
-        .groupBy("doc_id")
-        .agg(
-            F.countDistinct("gram").alias("n_shared_grams"),
-            F.countDistinct("bench_doc").alias("n_bench_docs"),
-        )
-    )
+    return train_grams.join(F.broadcast(bench_grams), "gram")
 
 
 _DECON_N = 3  # production: 8-13; see module comment
@@ -593,16 +606,8 @@ def decontaminate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     split = d.withColumn("split", split_assignment(F.col("doc_id"), 0.8))
     train = split.filter(F.col("split") == "train")
     bench = split.filter(F.col("split") == "test")
-    train_grams = explode_ngrams(train, _DECON_N, out_id="doc_id")
-    bench_grams = explode_ngrams(bench, _DECON_N, out_id="bench_doc")
-    bcounts = bench_grams.groupBy("gram").agg(F.count(F.lit(1)).alias("__nbd"))
-    bench_grams = (
-        bench_grams.join(bcounts, "gram")
-        .filter(F.col("__nbd") <= _DECON_CAP)
-        .drop("__nbd")
-    )
     pairs = (
-        train_grams.join(F.broadcast(bench_grams), "gram")
+        _gram_matches(train, bench, _DECON_N, max_gram_bench_docs=_DECON_CAP)
         .groupBy("doc_id", "bench_doc")
         .agg(F.countDistinct("gram").cast("bigint").alias("n_shared_grams"))
     )

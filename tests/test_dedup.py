@@ -201,3 +201,24 @@ def test_containment_catches_what_jaccard_misses(spark):
     assert rows.get((1, 2)) == 1.0  # short fully contained in long
     assert (2, 1) not in rows  # reverse containment is tiny
     assert not any(3 in k for k in rows)
+
+
+def test_containment_drops_null_text_docs(spark):
+    """r5 code-review regression: NULL-text docs must be excluded — the
+    Spark shingle path would otherwise give them a joinable '' shingle
+    (pairing all NULL docs at containment 1.0) while the oracle's
+    array_to_string(NULL) never joins."""
+    import dhs_to_database_spark.operators.dedup as dd
+    import dhs_to_database_spark.sources.tables as tables
+    from dhs_to_database_spark.operators.dedup import containment_pairs
+
+    docs = spark.createDataFrame(
+        [(1, None), (2, None), (3, "some real words here")],
+        "doc_id bigint, text string",
+    )
+    orig = tables.load_table
+    try:
+        dd.load_table = lambda spark, sf_dir, name: docs
+        assert containment_pairs(spark, "unused").collect() == []
+    finally:
+        dd.load_table = orig
