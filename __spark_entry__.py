@@ -140,6 +140,9 @@ _GRADE_TAIL = [
     "decontaminate_pairs",  # r5: pair-level attribution; benchmark_decontaminate graded in-window
     "minhash_calibration",  # r5: estimator-vs-truth report; minhash_lsh_md5 graded in-window
     "containment_pairs",  # r5: asymmetric containment join; setsim_join_prefix sibling (lossless-vs-naive proof)
+    "boilerplate_prune",  # r5: corpus-DF boilerplate gram excision; exact_substring_excise sibling (shared rewrite tail)
+    "pivot_status_by_year",  # r5: explicit-list PIVOT = one conditional-agg shuffle; agg family (cube_agg) graded
+    "unpivot_nation_metrics",  # r5: UNPIVOT/melt generator projection; agg_having/cube_agg siblings graded
 ]
 
 

@@ -103,6 +103,9 @@ BENCH_QUERIES = [
     "minhash_calibration",
     "quality_classifier",
     "containment_pairs",
+    "boilerplate_prune",
+    "pivot_status_by_year",
+    "unpivot_nation_metrics",
 ]
 
 

@@ -899,9 +899,18 @@ def excise_exact_substrings(
         .groupBy("doc_id")
         .agg(F.collect_set("idx").alias("__exc"))
     )
-    # F.split(trim, '\s+') matches explode_ngrams_pos's tokenizer
-    # EXACTLY (java-regex semantics, see _java_ws_tokens) — the cut
-    # indexes below are positions into this array.
+    return _rebuild_without_cuts(docs, cut_idx)
+
+
+def _rebuild_without_cuts(docs: DataFrame, cut_idx: DataFrame) -> DataFrame:
+    """Rebuild ``cleaned_text`` from ``docs(doc_id, text)`` minus the token
+    positions in ``cut_idx(doc_id, __exc: array<int>)`` — the shared tail of
+    ``excise_exact_substrings`` and ``remove_boilerplate_grams``. ONE doc_id
+    equi-join (cut sets are per-doc arrays, bounded by doc length, never
+    corpus-scale); the rewrite is a JVM higher-order lambda over the token
+    array. ``F.split(trim, '\\s+')`` matches explode_ngrams_pos's tokenizer
+    EXACTLY (java-regex semantics, see _java_ws_tokens) — the cut indexes
+    are positions into this array."""
     toks = docs.select("doc_id", F.split(F.trim("text"), r"\s+").alias("__ws"))
     return (
         toks.join(cut_idx, "doc_id", "left")
@@ -962,6 +971,127 @@ def exact_substring_excise(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus with every duplicated {n}-token span excised everywhere but
     its globally-first occurrence."""
     return excise_exact_substrings(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Corpus-frequency boilerplate removal (the document-frequency complement of
+# ExactSubstr): an n-gram present in >= _BP_PCT% of ALL documents is template
+# text (license headers, nav chrome, prompt scaffolding — the RefinedWeb /
+# CCNet "most common paragraphs" rule recast at gram granularity), and EVERY
+# occurrence is cut — unlike excision, which keeps a duplicated span's first
+# occurrence, boilerplate earns no keeper. Plan shape at 100 TB:
+#   * document frequency needs no (doc, gram) shuffle: grams are
+#     array_distinct'ed INSIDE each doc's token array (JVM lambda, map-side),
+#     so the only corpus-scale shuffle is the map-side-combined groupBy(gram)
+#     count;
+#   * the boilerplate set is intrinsically tiny (grams in >=_BP_PCT% of a
+#     corpus are bounded by 100/_BP_PCT * grams-per-doc, not corpus size) and
+#     is further capped deterministically (df DESC, gram LIMIT _BP_CAP, cap
+#     mirrored in the oracle) — so the occurrence probe is a broadcast hash
+#     join, never a shuffle;
+#   * cut positions collapse per doc and the rewrite reuses
+#     _rebuild_without_cuts (one doc_id equi-join + JVM lambda).
+# The corpus-size threshold is integer-exact in both engines
+# (df * 100 >= pct * n_docs — no float ratio, no ceil).
+# ---------------------------------------------------------------------------
+
+_BP_N = 2
+_BP_PCT = 8  # boilerplate iff present in >= 8% of documents
+_BP_CAP = 2000  # deterministic broadcast guard, encoded in the oracle
+
+
+def remove_boilerplate_grams(
+    docs: DataFrame, n: int = _BP_N, pct: int = _BP_PCT, cap: int = _BP_CAP
+) -> DataFrame:
+    """Cleaned corpus with every occurrence of corpus-boilerplate ``n``-grams
+    (document frequency >= ``pct``% of docs, capped at ``cap`` grams by
+    (df DESC, gram)) excised. Returns (doc_id, n_tokens, n_removed,
+    cleaned_text); NULL-text docs are dropped, docs shorter than ``n``
+    tokens pass through uncut."""
+    docs = docs.filter(F.col("text").isNotNull())
+    toks = docs.select("doc_id", F.split(F.trim("text"), r"\s+").alias("__ws"))
+    grams_expr = (
+        f"transform(sequence(1, size(__ws) - {n - 1}),"
+        f" i -> concat_ws(' ', slice(__ws, i, {n})))"
+    )
+    long_enough = toks.filter(F.size("__ws") >= n)
+    # Per-doc distinct happens inside the array (map-side) — the groupBy is
+    # the plan's ONLY corpus-scale shuffle, and it map-side combines.
+    df_counts = (
+        long_enough.select(
+            F.explode(F.expr(f"array_distinct({grams_expr})")).alias("gram")
+        )
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    total = docs.agg(F.count(F.lit(1)).alias("__nd"))
+    bp = (
+        df_counts.crossJoin(F.broadcast(total))
+        .filter(F.col("df") * 100 >= pct * F.col("__nd"))
+        .orderBy(F.col("df").desc(), "gram")
+        .limit(cap)
+        .select("gram")
+    )
+    occ = long_enough.select(
+        "doc_id",
+        F.posexplode(F.expr(grams_expr)).alias("pos", "gram"),
+    )
+    cut_idx = (
+        occ.join(F.broadcast(bp), "gram")
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.col("pos"), F.col("pos") + (n - 1))).alias("idx"),
+        )
+        .groupBy("doc_id")
+        .agg(F.collect_set("idx").alias("__exc"))
+    )
+    return _rebuild_without_cuts(docs, cut_idx)
+
+
+@query(
+    "boilerplate_prune",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+      FROM documents WHERE text IS NOT NULL
+    ),
+    tot AS (SELECT COUNT(*) AS nd FROM toks),
+    occ AS (
+      SELECT doc_id, i - 1 AS pos, array_to_string(t[i:i+{_BP_N - 1}], ' ') AS gram
+      FROM toks, UNNEST(generate_series(1, len(t) - {_BP_N - 1})) AS u(i)
+    ),
+    df AS (SELECT gram, COUNT(DISTINCT doc_id) AS df FROM occ GROUP BY gram),
+    bp AS (
+      SELECT gram FROM df, tot
+      WHERE df * 100 >= {_BP_PCT} * nd
+      ORDER BY df DESC, gram LIMIT {_BP_CAP}
+    ),
+    exc AS (
+      SELECT DISTINCT o.doc_id, o.pos + j.j AS idx
+      FROM occ o JOIN bp USING (gram), UNNEST(generate_series(0, {_BP_N - 1})) AS j(j)
+    ),
+    tok AS (
+      SELECT doc_id, i - 1 AS idx, t[i] AS tokn, len(t) AS nt
+      FROM toks, UNNEST(generate_series(1, len(t))) AS u(i)
+    ),
+    mask AS (
+      SELECT tok.doc_id, tok.idx, tok.tokn, tok.nt, e.idx IS NOT NULL AS cut
+      FROM tok LEFT JOIN exc e ON e.doc_id = tok.doc_id AND e.idx = tok.idx
+    )
+    SELECT doc_id,
+           CAST(MAX(nt) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) FILTER (WHERE cut) AS BIGINT) AS n_removed,
+           COALESCE(string_agg(tokn, ' ' ORDER BY idx) FILTER (WHERE NOT cut), '')
+             AS cleaned_text
+    FROM mask
+    GROUP BY doc_id
+    """,
+)
+def boilerplate_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-boilerplate gram removal (see block comment): every occurrence
+    of an n-gram present in >= {_BP_PCT}% of documents is cut, cleaned text
+    hash-compared byte-for-byte."""
+    return remove_boilerplate_grams(load_table(spark, sf_dir, "documents"))
 
 
 # ---------------------------------------------------------------------------

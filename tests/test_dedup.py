@@ -222,3 +222,37 @@ def test_containment_drops_null_text_docs(spark):
         assert containment_pairs(spark, "unused").collect() == []
     finally:
         dd.load_table = orig
+
+
+def test_boilerplate_prune_fixture(spark):
+    """Hand-built corpus: a bigram in 6 of 7 non-null docs crosses the 50%
+    document-frequency threshold and is cut at EVERY occurrence (no keeper,
+    unlike excision); rarer grams survive; sub-n docs pass through uncut;
+    NULL-text docs are dropped."""
+    from dhs_to_database_spark.operators.dedup import remove_boilerplate_grams
+
+    docs = spark.createDataFrame(
+        [
+            (1, "foo bar alpha"),
+            (2, "beta foo bar"),
+            (3, "foo bar foo bar"),  # overlapping covers union cleanly
+            (4, "gamma foo bar delta"),
+            (5, "foo bar"),
+            (6, "epsilon zeta foo bar"),
+            (7, "x"),  # shorter than n: passes through
+            (8, None),  # dropped, matching the oracle's NULL handling
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_removed"], r["cleaned_text"])
+        for r in remove_boilerplate_grams(docs, n=2, pct=50, cap=100).collect()
+    }
+    assert 8 not in got
+    assert got[1] == (3, 2, "alpha")
+    assert got[2] == (3, 2, "beta")
+    assert got[3] == (4, 4, "")
+    assert got[4] == (4, 2, "gamma delta")
+    assert got[5] == (2, 2, "")
+    assert got[6] == (4, 2, "epsilon zeta")
+    assert got[7] == (1, 0, "x")

@@ -64,6 +64,9 @@ NOTES = {
     "minhash_calibration": "shares the twin's scored-pairs plan (localCheckpointed); true Jaccard via one (doc,h) equi-join over bucket-capped candidates; integer-exact cross-agg math",
     "quality_classifier": "ONE Arrow featurize pass (hashing trick, localCheckpointed) + 6 GD iterations each = one map-side-combined agg of d+1 gradient sums; driver holds only w",
     "containment_pairs": "lossless containment-prefix candidates (rarest ~(1-t)|A| shingles vs full inverted index, integer-exact bounds) + exact verify; oracle is the naive all-pairs truth",
+    "boilerplate_prune": "doc-frequency via in-array array_distinct (map-side) -> ONE gram-keyed combined shuffle; capped boilerplate set broadcast-probed (no join shuffle); rewrite shares excision's cut-set tail",
+    "pivot_status_by_year": "explicit-value-list PIVOT compiles to ONE map-side-combined conditional agg — no value-discovery scan, no driver collect",
+    "unpivot_nation_metrics": "UNPIVOT is a zero-shuffle generator projection over the aggregated frame; dim join broadcast, agg is the only exchange",
     "rich_inactive_customers_sql": "SQL-text entry path: Catalyst decorrelates the NOT EXISTS to a broadcast null-aware anti join and the scalar subqueries to one-row broadcast aggregates",
     "dq_checks_orders": "six rules in two corpus passes: one multi-conditional agg (exact uniqueness adds the distinct shuffle) + one anti-join count; 1-row frames cross-joined and stacked",
     "stateful_session_paths": "runs the REAL streaming engine (availableNow foreachBatch drain): cost is micro-batch scheduling + transformWithState, not the plan; batch twin session_windows carries the plan proof",

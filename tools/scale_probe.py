@@ -98,6 +98,9 @@ PROBES = {
     "minhash_calibration": "documents",
     "quality_classifier": "documents",
     "containment_pairs": "documents",
+    "boilerplate_prune": "documents",
+    "pivot_status_by_year": "orders",
+    "unpivot_nation_metrics": "customer",
 }
 
 
@@ -131,6 +134,7 @@ SLOW_TAIL = {
     "containment_pairs": "documents",
     "quality_classifier": "documents",
     "span_dedup_report": "documents",
+    "boilerplate_prune": "documents",
     "stateful_session_paths": "events",
     "streaming_window_counts": "events",
 }
