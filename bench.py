@@ -106,6 +106,8 @@ BENCH_QUERIES = [
     "boilerplate_prune",
     "pivot_status_by_year",
     "unpivot_nation_metrics",
+    "training_shuffle_order",
+    "json_props_extract",
 ]
 
 

@@ -313,3 +313,56 @@ def quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint(eager=True)
     handle.unpersist()
     return out
+
+
+# ---------------------------------------------------------------------------
+# Deterministic training-order shuffle — the "global shuffle" every LLM
+# training run needs before sharding: a seeded pseudo-random total order
+# (md5 of a seeded key — engine-portable, reproducible across reruns and
+# cluster layouts), then round-robin sharding off the global rank so every
+# shard's size is balanced to +-1 row WITHOUT a second pass. Built on the
+# distributed global rank (range-partitioned sort, no single-partition
+# window); at 100 TB the order key is uniform by construction, so
+# repartitionByRange's sampled boundaries stay balanced — no skew path.
+# ---------------------------------------------------------------------------
+
+_SHUF_SEED = "shuf1"
+_SHUF_SHARDS = 8
+
+
+@query(
+    "training_shuffle_order",
+    oracle=f"""
+    WITH k AS (
+      SELECT doc_id,
+             md5('{_SHUF_SEED}:' || CAST(doc_id AS VARCHAR)) AS key
+      FROM documents
+    ),
+    r AS (
+      SELECT doc_id, ROW_NUMBER() OVER (ORDER BY key, doc_id) AS rk FROM k
+    )
+    SELECT doc_id,
+           CAST((rk - 1) % {_SHUF_SHARDS} AS INT) AS shard,
+           CAST((rk - 1) // {_SHUF_SHARDS} AS BIGINT) AS pos
+    FROM r
+    """,
+)
+def training_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded deterministic epoch shuffle: md5('{seed}:'||doc_id) defines
+    the permutation, the distributed global rank materializes it, and
+    round-robin on the rank yields balanced shard assignments (shard,
+    within-shard position) — reproducible bit-for-bit at any cluster
+    layout or scale."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    keyed = d.withColumn(
+        "key",
+        F.md5(F.concat(F.lit(_SHUF_SEED + ":"), F.col("doc_id").cast("string"))),
+    )
+    ranked, _, handle = global_rank_parts(keyed, ["key", "doc_id"], rank_name="rk")
+    out = ranked.select(
+        "doc_id",
+        ((F.col("rk") - 1) % _SHUF_SHARDS).cast("int").alias("shard"),
+        F.floor((F.col("rk") - 1) / _SHUF_SHARDS).cast("bigint").alias("pos"),
+    ).localCheckpoint(eager=True)
+    handle.unpersist()
+    return out

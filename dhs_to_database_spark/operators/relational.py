@@ -1318,3 +1318,44 @@ def returned_orders_by_priority_sql(spark: SparkSession, sf_dir: str) -> DataFra
     least one returned line (correlated EXISTS -> left semi join)."""
     _register_views(spark, sf_dir, "orders", "lineitem")
     return spark.sql(_Q4_SQL)
+
+
+# ---------------------------------------------------------------------------
+# JSON-string field extraction (B21's other half: map_pack_extract covers
+# MapType packed columns; this covers JSON kept as raw TEXT — the events
+# table's `props`). get_json_object evaluates JVM-side per row with no
+# UDF and no full from_json schema materialization — the right call when
+# only one path is needed; at 100 TB prefer from_json once into a struct
+# column if MANY paths are probed (one parse instead of k).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "json_props_extract",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+             AS sum_k,
+           CAST(COUNT(*) FILTER (
+             WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) >= 50
+           ) AS BIGINT) AS n_high
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate over a JSON-path field extracted from a raw-text props
+    column — single conditional-agg shuffle, extraction inlined in the
+    scan projection (no UDF, no schema materialization)."""
+    e = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return (
+        e.select("event_type", k.alias("__k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("__k").alias("sum_k"),
+            F.count(F.when(F.col("__k") >= 50, 1)).alias("n_high"),
+        )
+    )

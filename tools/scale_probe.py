@@ -101,6 +101,8 @@ PROBES = {
     "boilerplate_prune": "documents",
     "pivot_status_by_year": "orders",
     "unpivot_nation_metrics": "customer",
+    "training_shuffle_order": "documents",
+    "json_props_extract": "events",
 }
 
 
