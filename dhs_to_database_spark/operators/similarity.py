@@ -454,13 +454,18 @@ def pq_train(sample, m: int = _PQ_M, k: int = _PQ_K, iters: int = _PQ_ITERS):
         cents = sub[:: max(n // k, 1)][:k].copy()  # deterministic stride init
         if len(cents) < k:  # tiny sample: pad by repeating
             cents = np.resize(cents, (k, dsub))
+        sub_sq = (sub * sub).sum(axis=1)[:, None]
         for _ in range(iters):
-            d2 = ((sub[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            # GEMM form of ||a-b||^2 — one BLAS call instead of an
+            # (n, k, dsub) broadcast-difference allocation per iteration
+            d2 = sub_sq + (cents * cents).sum(axis=1)[None, :] - 2.0 * (sub @ cents.T)
             assign = d2.argmin(axis=1)
-            for c in range(k):
-                mask = assign == c
-                if mask.any():
-                    cents[c] = sub[mask].mean(axis=0)
+            # vectorized Lloyd update (bincount sums, no per-centroid mask)
+            counts = np.bincount(assign, minlength=k)
+            sums = np.zeros((k, dsub))
+            np.add.at(sums, assign, sub)
+            nz = counts > 0
+            cents[nz] = sums[nz] / counts[nz, None]
         books[s] = cents
     return books
 
@@ -474,13 +479,16 @@ def pq_encode(emb: DataFrame, codebooks, id_col: str = "vec_id") -> DataFrame:
 
     m, k, dsub = codebooks.shape
 
+    cb_sq = (codebooks * codebooks).sum(axis=2)  # (m, k)
+
     def enc(batches):
         for pdf in batches:
             vecs = np.array([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
             codes = np.empty((len(vecs), m), dtype=np.int32)
             for s in range(m):
                 sub = vecs[:, s * dsub : (s + 1) * dsub]
-                d2 = ((sub[:, None, :] - codebooks[s][None, :, :]) ** 2).sum(axis=2)
+                # GEMM form; the ||sub||^2 term is argmin-invariant, dropped
+                d2 = cb_sq[s][None, :] - 2.0 * (sub @ codebooks[s].T)
                 codes[:, s] = d2.argmin(axis=1)
             yield pd.DataFrame({id_col: pdf[id_col], "codes": list(codes)})
 
@@ -518,22 +526,27 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         tables[:, s, :] = ((qsub[:, None, :] - books[s][None, :, :]) ** 2).sum(axis=2)
     corpus_codes = pq_encode(emb.filter(F.col("vec_id") >= _N_QUERIES), books)
 
+    qarr = np.asarray(qids, dtype=np.int64)
+
     def score(batches):
         for pdf in batches:
             codes = np.array(list(pdf["codes"]), dtype=np.int64)  # (n, m)
             n = len(codes)
             if n == 0:
                 continue
-            # ADC: for each query, sum the m table lookups per candidate
-            out_ids, out_q, out_d = [], [], []
-            sub_idx = np.arange(m)
-            for qi, qid in enumerate(qids):
-                d = tables[qi][sub_idx, codes].sum(axis=1)  # (n,)
-                out_ids.extend(pdf["vec_id"])
-                out_q.extend([qid] * n)
-                out_d.extend(d)
+            # ADC for ALL queries at once: D[q, i] = sum_s T[q, s, codes[i, s]]
+            # — one fancy-indexed accumulate per subspace, no Python
+            # per-query loop or list building
+            D = np.zeros((len(qarr), n))
+            for s in range(m):
+                D += tables[:, s, codes[:, s]]
+            vec_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
             yield pd.DataFrame(
-                {"query_id": out_q, "vec_id": out_ids, "approx_d2": out_d}
+                {
+                    "query_id": np.repeat(qarr, n),
+                    "vec_id": np.tile(vec_ids, len(qarr)),
+                    "approx_d2": D.ravel(),
+                }
             )
 
     scored = corpus_codes.mapInPandas(
