@@ -256,3 +256,61 @@ def test_boilerplate_prune_fixture(spark):
     assert got[5] == (2, 2, "")
     assert got[6] == (4, 2, "epsilon zeta")
     assert got[7] == (1, 0, "x")
+
+
+def test_boilerplate_prune_matches_pure_python_mirror(spark):
+    """Differential test on a seeded random small-vocab corpus (so
+    boilerplate actually emerges): the Spark plan must equal a direct
+    python mirror of the DF-threshold/cap/cut rule, including empty-string
+    and NULL docs."""
+    import random
+    import re
+    from collections import Counter
+
+    from dhs_to_database_spark.operators.dedup import remove_boilerplate_grams
+
+    rng = random.Random(7)
+    vocab = ["aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh"]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 12))))
+        for i in range(28)
+    ]
+    rows += [(28, ""), (29, None)]
+    n, pct, cap = 2, 30, 5  # small cap so the cap path is exercised too
+
+    def mirror():
+        toks = {
+            d: re.split("[ \t\n\x0b\f\r]+", t.strip(" "))
+            for d, t in rows
+            if t is not None
+        }
+        nd = len(toks)
+        df = Counter()
+        occ = {}
+        for d, t in toks.items():
+            grams = [" ".join(t[i : i + n]) for i in range(len(t) - n + 1)]
+            occ[d] = grams
+            for g in set(grams):
+                df[g] += 1
+        bp = set(
+            sorted(
+                (g for g, c in df.items() if c * 100 >= pct * nd),
+                key=lambda g: (-df[g], g),
+            )[:cap]
+        )
+        out = {}
+        for d, t in toks.items():
+            cut = set()
+            for i, g in enumerate(occ[d]):
+                if g in bp:
+                    cut.update(range(i, i + n))
+            kept = [tok for j, tok in enumerate(t) if j not in cut]
+            out[d] = (len(t), len(cut), " ".join(kept))
+        return out
+
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_removed"], r["cleaned_text"])
+        for r in remove_boilerplate_grams(docs, n=n, pct=pct, cap=cap).collect()
+    }
+    assert got == mirror()
