@@ -145,6 +145,7 @@ _GRADE_TAIL = [
     "unpivot_nation_metrics",  # r5: UNPIVOT/melt generator projection; agg_having/cube_agg siblings graded
     "training_shuffle_order",  # r5: seeded epoch shuffle on the distributed global rank; decile_stats/quantile_normalize siblings graded/verified
     "json_props_extract",  # r5: JSON-path extraction over raw-text props; map_pack_extract (B21) graded in-window
+    "source_overlap_matrix",  # r5: cross-source span-overlap diagnostics; span family (excise/span_dedup_report) verified
 ]
 
 

@@ -108,6 +108,7 @@ BENCH_QUERIES = [
     "unpivot_nation_metrics",
     "training_shuffle_order",
     "json_props_extract",
+    "source_overlap_matrix",
 ]
 
 

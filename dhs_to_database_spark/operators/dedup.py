@@ -2180,3 +2180,67 @@ def span_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("removal_rate"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-source duplication overlap matrix — release diagnostics answering
+# "which pairs of sources share content?" (contract violations, mirror
+# sites, re-crawls). Overlap is counted at span granularity (distinct
+# _EXCISE_N-grams present in both sources) because exact whole-doc dups
+# rarely cross source boundaries. 100 TB plan: NO gram self-join — the
+# (gram -> sorted source set) aggregation is ONE map-side-combined shuffle
+# whose value is bounded by the source catalog (not corpus size), pairs
+# are expanded map-side by a JVM lambda over the per-gram source array
+# (<= |sources|^2 per gram), and the final pair agg is tiny.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "source_overlap_matrix",
+    oracle=f"""
+    WITH toks AS (
+      SELECT source, string_split_regex(trim(text), '\\s+') AS t
+      FROM documents WHERE text IS NOT NULL
+    ),
+    occ AS (
+      SELECT DISTINCT source, array_to_string(t[i:i+{_EXCISE_N - 1}], ' ') AS gram
+      FROM toks, UNNEST(generate_series(1, len(t) - {_EXCISE_N - 1})) AS u(i)
+    )
+    SELECT a.source AS source_a, b.source AS source_b,
+           CAST(COUNT(*) AS BIGINT) AS n_shared_grams
+    FROM occ a JOIN occ b ON a.gram = b.gram AND a.source < b.source
+    GROUP BY a.source, b.source
+    """,
+)
+def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct shared {n}-gram count per unordered source pair (see block
+    comment; the oracle states the same thing as the naive self-join)."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    n = _EXCISE_N
+    toks = docs.select("source", F.split(F.trim("text"), r"\s+").alias("__ws"))
+    grams = toks.filter(F.size("__ws") >= n).select(
+        "source",
+        F.explode(
+            F.expr(
+                f"array_distinct(transform(sequence(1, size(__ws) - {n - 1}),"
+                f" i -> concat_ws(' ', slice(__ws, i, {n}))))"
+            )
+        ).alias("gram"),
+    )
+    per_gram = (
+        grams.groupBy("gram")
+        .agg(F.sort_array(F.collect_set("source")).alias("__ss"))
+        .filter(F.size("__ss") >= 2)
+    )
+    pairs = per_gram.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(__ss, (x, i) ->"
+                " transform(slice(__ss, i + 2, size(__ss)),"
+                " y -> struct(x AS source_a, y AS source_b))))"
+            )
+        ).alias("p")
+    ).select("p.source_a", "p.source_b")
+    return pairs.groupBy("source_a", "source_b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_shared_grams")
+    )

@@ -103,6 +103,7 @@ PROBES = {
     "unpivot_nation_metrics": "customer",
     "training_shuffle_order": "documents",
     "json_props_extract": "events",
+    "source_overlap_matrix": "documents",
 }
 
 
