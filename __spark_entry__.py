@@ -141,8 +141,6 @@ _GRADE_TAIL = [
     "minhash_calibration",  # r5: estimator-vs-truth report; minhash_lsh_md5 graded in-window
     "containment_pairs",  # r5: asymmetric containment join; setsim_join_prefix sibling (lossless-vs-naive proof)
     "boilerplate_prune",  # r5: corpus-DF boilerplate gram excision; exact_substring_excise sibling (shared rewrite tail)
-    "pivot_status_by_year",  # r5: explicit-list PIVOT = one conditional-agg shuffle; agg family (cube_agg) graded
-    "unpivot_nation_metrics",  # r5: UNPIVOT/melt generator projection; agg_having/cube_agg siblings graded
     "training_shuffle_order",  # r5: seeded epoch shuffle on the distributed global rank; decile_stats/quantile_normalize siblings graded/verified
     "json_props_extract",  # r5: JSON-path extraction over raw-text props; map_pack_extract (B21) graded in-window
     "source_overlap_matrix",  # r5: cross-source span-overlap diagnostics; span family (excise/span_dedup_report) verified

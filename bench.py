@@ -104,8 +104,6 @@ BENCH_QUERIES = [
     "quality_classifier",
     "containment_pairs",
     "boilerplate_prune",
-    "pivot_status_by_year",
-    "unpivot_nation_metrics",
     "training_shuffle_order",
     "json_props_extract",
     "source_overlap_matrix",

@@ -917,82 +917,6 @@ def cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# PIVOT / UNPIVOT — the reshaping pair of the relational surface (the
-# reference reshapes long<->wide when packing sparse survey columns into
-# per-row maps, lib04:446-506; these are the relational-API forms). PIVOT
-# with an EXPLICIT value list compiles to one map-side-combined conditional
-# agg (one shuffle, no per-value scans — never call .pivot() without the
-# list at scale: the value-discovery pass is an extra corpus scan + a
-# driver collect). UNPIVOT (df.unpivot / SQL stack()) is a zero-shuffle
-# generator projection.
-# ---------------------------------------------------------------------------
-
-_PIVOT_STATUSES = ["O", "F", "P"]
-
-
-@query(
-    "pivot_status_by_year",
-    oracle="""
-    SELECT CAST(year(o_orderdate) AS INT) AS order_year,
-           CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS n_open,
-           CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS n_filled,
-           CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS BIGINT) AS n_pending
-    FROM orders
-    GROUP BY order_year
-    """,
-)
-def pivot_status_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Order-status counts pivoted to one column per status, rows by year.
-    The explicit value list keeps this a single conditional-agg shuffle."""
-    o = load_table(spark, sf_dir, "orders")
-    return (
-        o.withColumn("order_year", F.year("o_orderdate"))
-        .groupBy("order_year")
-        .pivot("o_orderstatus", _PIVOT_STATUSES)
-        .agg(F.count(F.lit(1)))
-        .select(
-            "order_year",
-            F.coalesce("O", F.lit(0)).cast("bigint").alias("n_open"),
-            F.coalesce("F", F.lit(0)).cast("bigint").alias("n_filled"),
-            F.coalesce("P", F.lit(0)).cast("bigint").alias("n_pending"),
-        )
-    )
-
-
-@query(
-    "unpivot_nation_metrics",
-    oracle="""
-    WITH agg AS (
-      SELECT n_name,
-             CAST(COUNT(*) AS DOUBLE) AS n_customers,
-             CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(18,2))), 2) AS DOUBLE)
-               AS total_acctbal
-      FROM customer JOIN nation ON c_nationkey = n_nationkey
-      GROUP BY n_name
-    )
-    SELECT n_name, 'n_customers' AS metric, n_customers AS value FROM agg
-    UNION ALL
-    SELECT n_name, 'total_acctbal' AS metric, total_acctbal AS value FROM agg
-    """,
-)
-def unpivot_nation_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Wide per-nation metrics melted to (n_name, metric, value) long form —
-    df.unpivot is a generator projection over the aggregated frame (the agg
-    is the only shuffle; the dim join is broadcast)."""
-    c = load_table(spark, sf_dir, "customer")
-    n = load_table(spark, sf_dir, "nation")
-    agg = (
-        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
-        .groupBy("n_name")
-        .agg(
-            F.count(F.lit(1)).cast("double").alias("n_customers"),
-            _money(F.sum(_dec("c_acctbal"))).alias("total_acctbal"),
-        )
-    )
-    return agg.unpivot("n_name", ["n_customers", "total_acctbal"], "metric", "value")
-
-
-# ---------------------------------------------------------------------------
 # Extension: the TPC-H Q3 shape — selective dim filter -> two equi-joins
 # -> grouped revenue -> global top-k. The canonical "interactive
 # analytics" pipeline: customer filter broadcast into orders, orders

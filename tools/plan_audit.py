@@ -65,8 +65,6 @@ NOTES = {
     "quality_classifier": "ONE Arrow featurize pass (hashing trick, localCheckpointed) + 6 GD iterations each = one map-side-combined agg of d+1 gradient sums; driver holds only w",
     "containment_pairs": "lossless containment-prefix candidates (rarest ~(1-t)|A| shingles vs full inverted index, integer-exact bounds) + exact verify; oracle is the naive all-pairs truth",
     "boilerplate_prune": "doc-frequency via in-array array_distinct (map-side) -> ONE gram-keyed combined shuffle; capped boilerplate set broadcast-probed (no join shuffle); rewrite shares excision's cut-set tail",
-    "pivot_status_by_year": "explicit-value-list PIVOT compiles to ONE map-side-combined conditional agg — no value-discovery scan, no driver collect",
-    "unpivot_nation_metrics": "UNPIVOT is a zero-shuffle generator projection over the aggregated frame; dim join broadcast, agg is the only exchange",
     "training_shuffle_order": "seeded md5 permutation ranked by the distributed global rank (range-partitioned sort, no single-partition window); round-robin shard/pos are pure column math off the rank",
     "json_props_extract": "get_json_object inlined in the scan projection (JVM-side, no UDF) -> ONE map-side-combined conditional agg",
     "source_overlap_matrix": "NO gram self-join: gram -> sorted source-set agg (value bounded by the source catalog) is the only corpus-scale shuffle; pairs expanded map-side by a JVM lambda; final pair agg tiny",

@@ -99,8 +99,6 @@ PROBES = {
     "quality_classifier": "documents",
     "containment_pairs": "documents",
     "boilerplate_prune": "documents",
-    "pivot_status_by_year": "orders",
-    "unpivot_nation_metrics": "customer",
     "training_shuffle_order": "documents",
     "json_props_extract": "events",
     "source_overlap_matrix": "documents",
