@@ -798,3 +798,60 @@ def test_cdc_chunks_matches_pure_python_mirror(spark):
     assert got == want
     # the long docs must actually exercise content boundaries
     assert any(want[k][1] > 1 for k in (1, 2))
+
+
+def test_training_shuffle_order_permutation_properties(spark):
+    """The epoch shuffle must be a permutation: every doc exactly once,
+    shards balanced to +-1, per-shard positions contiguous from 0, and
+    bit-identical across re-runs (seeded, layout-independent)."""
+    import dhs_to_database_spark.operators.ranking as rk
+
+    sf = "/root/testdata/sf0.001"
+    a = {(r["doc_id"], r["shard"], r["pos"])
+         for r in rk.training_shuffle_order(spark, sf).collect()}
+    b = {(r["doc_id"], r["shard"], r["pos"])
+         for r in rk.training_shuffle_order(spark, sf).collect()}
+    assert a == b  # deterministic
+    docs = sorted(d for d, _, _ in a)
+    assert docs == sorted(set(docs))  # every doc exactly once
+    from collections import defaultdict
+    by_shard = defaultdict(list)
+    for _, s, p in a:
+        by_shard[s].append(p)
+    sizes = {s: len(ps) for s, ps in by_shard.items()}
+    assert max(sizes.values()) - min(sizes.values()) <= 1  # balanced
+    for ps in by_shard.values():
+        assert sorted(ps) == list(range(len(ps)))  # contiguous positions
+
+
+def test_source_overlap_matrix_fixture(spark):
+    """Hand-built corpus: sources sharing a 6-gram are counted once per
+    distinct shared gram; non-sharing sources are absent; pair order is
+    lexicographic (a < b)."""
+    import dhs_to_database_spark.operators.dedup as dd
+    import dhs_to_database_spark.sources.tables as tables
+
+    g = "w1 w2 w3 w4 w5 w6"
+    docs = spark.createDataFrame(
+        [
+            (1, g + " tail_a", "srcA"),
+            (2, "head_b " + g, "srcB"),  # shares g with srcA
+            (3, g + " other", "srcB"),  # same source, same gram: no self-pair
+            (4, "p q r s t u v", "srcC"),  # shares nothing
+            (5, None, "srcD"),
+        ],
+        "doc_id bigint, text string, source string",
+    )
+    orig = tables.load_table
+    try:
+        dd.load_table = lambda spark, sf_dir, name: docs
+        got = {
+            (r["source_a"], r["source_b"]): r["n_shared_grams"]
+            for r in dd.source_overlap_matrix(spark, "unused").collect()
+        }
+    finally:
+        dd.load_table = orig
+    # srcA & srcB share exactly the 6-grams of `g` windows present in both:
+    # doc1 grams: [w1..w6, w2..tail_a]; doc2: [head_b..w5, w1..w6];
+    # doc3: [w1..w6, w2..other] -> shared distinct grams = {w1..w6} only
+    assert got == {("srcA", "srcB"): 1}
