@@ -801,23 +801,28 @@ def test_cdc_chunks_matches_pure_python_mirror(spark):
 
 
 def test_training_shuffle_order_permutation_properties(spark):
-    """The epoch shuffle must be a permutation: every doc exactly once,
-    shards balanced to +-1, per-shard positions contiguous from 0, and
-    bit-identical across re-runs (seeded, layout-independent)."""
+    """The epoch shuffle must be a permutation OF THE WHOLE TABLE: every
+    source doc exactly once, every shard populated and balanced to +-1,
+    per-shard positions contiguous from 0, and bit-identical across
+    re-runs (seeded, layout-independent)."""
     import dhs_to_database_spark.operators.ranking as rk
+    from dhs_to_database_spark.operators.ranking import _SHUF_SHARDS
+    from dhs_to_database_spark.sources.tables import load_table
 
-    sf = "/root/testdata/sf0.001"
     a = {(r["doc_id"], r["shard"], r["pos"])
-         for r in rk.training_shuffle_order(spark, sf).collect()}
+         for r in rk.training_shuffle_order(spark, SF_DIR).collect()}
     b = {(r["doc_id"], r["shard"], r["pos"])
-         for r in rk.training_shuffle_order(spark, sf).collect()}
+         for r in rk.training_shuffle_order(spark, SF_DIR).collect()}
     assert a == b  # deterministic
-    docs = sorted(d for d, _, _ in a)
-    assert docs == sorted(set(docs))  # every doc exactly once
+    source_ids = sorted(
+        r["doc_id"] for r in load_table(spark, SF_DIR, "documents").select("doc_id").collect()
+    )
+    assert sorted(d for d, _, _ in a) == source_ids  # complete, no dup, no drop
     from collections import defaultdict
     by_shard = defaultdict(list)
     for _, s, p in a:
         by_shard[s].append(p)
+    assert sorted(by_shard) == list(range(_SHUF_SHARDS))  # every shard populated
     sizes = {s: len(ps) for s, ps in by_shard.items()}
     assert max(sizes.values()) - min(sizes.values()) <= 1  # balanced
     for ps in by_shard.values():
