@@ -40,6 +40,11 @@ PLAN_BUDGET = {
     "tfidf_topk": (4, "BroadcastHashJoin"),  # tf + df + window; df broadcast back
     "importance_weights": (4, "BroadcastHashJoin"),  # vocab agg + 1-row totals agg + score agg; ratios broadcast
     "scd2_asof_lookup": (4, None),  # dim build (full-outer) + fact join
+    # round-5 additions
+    "boilerplate_prune": (4, "BroadcastHashJoin"),  # DF agg + cut agg + rebuild join; bp set MUST broadcast
+    "training_shuffle_order": (0, None),  # rank pass pre-materialized; returned frame is pure column math
+    "json_props_extract": (1, None),  # one conditional-agg shuffle, extraction in the scan projection
+    "source_overlap_matrix": (2, None),  # gram->source-set agg + pair agg; a gram self-join would blow this budget
 }
 
 
