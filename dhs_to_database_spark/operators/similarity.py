@@ -812,3 +812,455 @@ def pca_embedding_reduce(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.transform("reduced", lambda x: F.round(x, 6)).alias("reduced"),
         F.round(sq(centered) - sq(F.col("reduced")), 4).alias("sq_residual"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ANN estimator-vs-truth calibration (r6): the minhash_calibration template
+# (dedup.py) applied to the ANN family — the last rows-only family with a
+# computable ground truth becomes driver-hash-checkable. One oracle-backed
+# report scores three deterministic ANN twins against the SQL-verified exact
+# cosine top-k:
+#   * lsh_md5     — the production multi-table hyperplane LSH (ann_lsh_topk)
+#                   with md5-derived +-1 planes instead of xxhash64, exactly
+#                   how minhash_lsh_md5 twins the xxhash MinHash;
+#   * ivf_stride  — the production IVF-Flat (ann_ivf_topk) with the
+#                   deterministic stride-centroid init (`stride_centroids`)
+#                   and NO float Lloyd's iterations, so the coarse quantizer
+#                   is bit-reproducible in ANSI SQL;
+#   * pq_stride   — the production PQ/ADC (ann_pq_topk) with stride-sampled
+#                   codebooks (k-means at iteration zero): encode = per-
+#                   subspace argmin ||sub - code||^2, rank = cosine(query,
+#                   reconstructed vector) — concat of chosen codewords.
+# Cross-engine float exactness: every score is built ONLY from the proven
+# left-to-right fold primitives (`dot`/`cosine` here == list_dot_product on
+# DOUBLE[] in DuckDB — the embedding_topk hash-match pins this), d2 uses the
+# shared three-dot identity (daa - 2*dab) + dbb with identical association,
+# and all report ratios are int/int divisions whose 4-dp rounding provably
+# never lands on a tie (x/8 and x/40 have a zero 5th decimal digit).
+# Ties inside argmax/argmin are broken by id in both engines.
+#
+# Scale shape (the part the twins share with production): queries, centroids
+# and codebooks are broadcast (8 / 16 / 64 rows); the corpus is touched by
+# narrow linear passes (signature projection, cell assign, subspace encode);
+# the only shuffles are the per-vector argmin partial aggs and the tiny
+# per-query top-k windows (8 partitions). The exact all-pairs side is the
+# CALIBRATION instrument, deliberately bounded to the 8 query rows — at
+# 100 TB you run it over a sampled query panel, never all-pairs.
+# ---------------------------------------------------------------------------
+
+_CAL_TABLES = 4  # LSH tables (mirror _N_TABLES)
+_CAL_PLANES = 5  # bits per LSH table (mirror _N_PLANES)
+_CAL_CELLS = 16  # IVF coarse cells (twin-sized; production uses 32)
+_CAL_PROBES = 4  # IVF cells probed per query
+_CAL_M = 8  # PQ subspaces (8x8 dims, 16 codes each: measured best twin recall)
+_CAL_DSUB = _DIM // _CAL_M  # dims per subspace (16)
+_CAL_DENOM = _N_QUERIES * _TOP_K  # recall denominator (40)
+
+
+def _cal_plane_md5(t: int, p: int) -> list[float]:
+    """+-1 hyperplane (len _DIM) for LSH table t, plane p, with signs from
+    the first md5 hex char of 't{t}_p{p}_{d}' — reproducible in any engine
+    with md5 (the xxhash64 production planes are not). Evaluated ONCE on the
+    driver (4x5x64 fixed-string hashes) and shipped as array literals, not
+    re-hashed per row per branch."""
+    import hashlib
+
+    return [
+        1.0
+        if int(hashlib.md5(f"t{t}_p{p}_{d}".encode()).hexdigest()[0], 16) % 2 == 0
+        else -1.0
+        for d in range(_DIM)
+    ]
+
+
+def _cal_lsh_sig(emb_col: str, t: int) -> Column:
+    # One F.expr per table: building 5 planes x 64 literals as nested
+    # Column ops costs ~1.5 s of py4j round trips per call; a single SQL
+    # string is one call. The fold is the same left-to-right aggregate as
+    # dot() — CAST(x AS DOUBLE) * plane, init 0.0D — so float results are
+    # unchanged.
+    parts = []
+    for p in range(_CAL_PLANES):
+        arr = ", ".join(f"{v:.1f}D" for v in _cal_plane_md5(t, p))
+        proj = (
+            f"aggregate(zip_with({emb_col}, array({arr}),"
+            f" (x, y) -> CAST(x AS DOUBLE) * y), 0.0D, (acc, x) -> acc + x)"
+        )
+        parts.append(f"(CASE WHEN {proj} >= 0 THEN {2**p} ELSE 0 END)")
+    return F.expr(" + ".join(parts))
+
+
+@query(
+    "ann_calibration",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+    ),
+    st AS (SELECT COUNT(*) // {_CAL_CELLS} AS stride FROM embeddings),
+    q AS (SELECT vec_id AS query_id, emb AS qe FROM e WHERE vec_id < {_N_QUERIES}),
+    -- exact all-pairs cosine for the 8-query panel: truth AND rerank scores
+    ex_pairs AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id,
+             list_dot_product(q.qe, e.emb)
+             / (sqrt(list_dot_product(q.qe, q.qe))
+                * sqrt(list_dot_product(e.emb, e.emb))) AS cos
+      FROM q, e WHERE e.vec_id != q.query_id
+    ),
+    ex_top AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cos DESC, neighbor_id) AS rnk
+        FROM ex_pairs) WHERE rnk <= {_TOP_K}
+    ),
+    -- ===== lsh_md5 twin =====
+    plane_bits AS (
+      SELECT t.t, p.p, d.d,
+             CASE WHEN CAST(('0x' || substr(md5('t' || t.t || '_p' || p.p || '_' || d.d), 1, 1)) AS INT) % 2 = 0
+                  THEN 1.0 ELSE -1.0 END AS s
+      FROM (SELECT unnest(generate_series(0, {_CAL_TABLES - 1})) AS t) t,
+           (SELECT unnest(generate_series(0, {_CAL_PLANES - 1})) AS p) p,
+           (SELECT unnest(generate_series(0, {_DIM - 1})) AS d) d
+    ),
+    planes AS (
+      SELECT t, p, list(s ORDER BY d) AS plane FROM plane_bits GROUP BY t, p
+    ),
+    sigs AS (
+      SELECT e.vec_id, pl.t,
+             CAST(SUM(CASE WHEN list_dot_product(e.emb, pl.plane) >= 0
+                           THEN (1 << pl.p) ELSE 0 END) AS BIGINT) AS sig
+      FROM e, planes pl GROUP BY e.vec_id, pl.t
+    ),
+    qprobes AS (
+      SELECT s.vec_id AS query_id, s.t,
+             CASE WHEN pr.i = {_CAL_PLANES} THEN s.sig
+                  ELSE xor(s.sig, CAST((1 << pr.i) AS BIGINT)) END AS bucket
+      FROM (SELECT * FROM sigs WHERE vec_id < {_N_QUERIES}) s,
+           (SELECT unnest(generate_series(0, {_CAL_PLANES})) AS i) pr
+    ),
+    lsh_cand AS (
+      SELECT DISTINCT qp.query_id, s.vec_id AS neighbor_id
+      FROM qprobes qp JOIN sigs s ON s.t = qp.t AND s.sig = qp.bucket
+      WHERE s.vec_id != qp.query_id
+    ),
+    lsh_top AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT c.query_id, c.neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY c.query_id
+                                  ORDER BY p.cos DESC, c.neighbor_id) AS rnk
+        FROM lsh_cand c
+        JOIN ex_pairs p ON p.query_id = c.query_id AND p.neighbor_id = c.neighbor_id
+      ) WHERE rnk <= {_TOP_K}
+    ),
+    -- ===== ivf_stride twin =====
+    cents AS (
+      SELECT CAST(e.vec_id // st.stride AS INT) AS cid, e.emb AS cemb
+      FROM e, st
+      WHERE e.vec_id % st.stride = 0 AND e.vec_id < st.stride * {_CAL_CELLS}
+    ),
+    cent_cos AS (
+      SELECT e.vec_id, c.cid,
+             list_dot_product(e.emb, c.cemb)
+             / (sqrt(list_dot_product(e.emb, e.emb))
+                * sqrt(list_dot_product(c.cemb, c.cemb))) AS cos
+      FROM e, cents c
+    ),
+    assign AS (
+      SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY cos DESC, cid) AS rnk
+        FROM cent_cos) WHERE rnk = 1
+    ),
+    qcells AS (
+      SELECT vec_id AS query_id, cid FROM (
+        SELECT vec_id, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY cos DESC, cid) AS rnk
+        FROM cent_cos WHERE vec_id < {_N_QUERIES}) WHERE rnk <= {_CAL_PROBES}
+    ),
+    ivf_cand AS (
+      SELECT qc.query_id, a.vec_id AS neighbor_id
+      FROM qcells qc JOIN assign a ON a.cid = qc.cid
+      WHERE a.vec_id != qc.query_id
+    ),
+    ivf_top AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT c.query_id, c.neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY c.query_id
+                                  ORDER BY p.cos DESC, c.neighbor_id) AS rnk
+        FROM ivf_cand c
+        JOIN ex_pairs p ON p.query_id = c.query_id AND p.neighbor_id = c.neighbor_id
+      ) WHERE rnk <= {_TOP_K}
+    ),
+    -- ===== pq_stride twin =====
+    cb AS (
+      SELECT m.m, CAST(e.vec_id // st.stride AS INT) AS c,
+             list_slice(e.emb, m.m * {_CAL_DSUB} + 1, m.m * {_CAL_DSUB} + {_CAL_DSUB}) AS cw
+      FROM e, st, (SELECT unnest(generate_series(0, {_CAL_M - 1})) AS m) m
+      WHERE e.vec_id % st.stride = 0 AND e.vec_id < st.stride * {_CAL_CELLS}
+    ),
+    subs AS (
+      SELECT e.vec_id, m.m,
+             list_slice(e.emb, m.m * {_CAL_DSUB} + 1, m.m * {_CAL_DSUB} + {_CAL_DSUB}) AS sub
+      FROM e, (SELECT unnest(generate_series(0, {_CAL_M - 1})) AS m) m
+    ),
+    codes AS (
+      SELECT vec_id, m, c AS code FROM (
+        SELECT s.vec_id, s.m, cb.c,
+               ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
+                 ORDER BY (list_dot_product(cb.cw, cb.cw)
+                           - 2.0 * list_dot_product(s.sub, cb.cw)) ASC, cb.c) AS rnk
+        FROM subs s JOIN cb ON cb.m = s.m
+      ) WHERE rnk = 1
+    ),
+    recon AS (
+      SELECT k.vec_id, flatten(list(cb.cw ORDER BY k.m)) AS rv
+      FROM codes k JOIN cb ON cb.m = k.m AND cb.c = k.code
+      GROUP BY k.vec_id
+    ),
+    pq_pairs AS (
+      SELECT q.query_id, r.vec_id AS neighbor_id,
+             list_dot_product(q.qe, r.rv)
+             / (sqrt(list_dot_product(q.qe, q.qe))
+                * sqrt(list_dot_product(r.rv, r.rv))) AS score
+      FROM q, recon r WHERE r.vec_id != q.query_id
+    ),
+    pq_top AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY score DESC, neighbor_id) AS rnk
+        FROM pq_pairs) WHERE rnk <= {_TOP_K}
+    ),
+    report AS (
+      SELECT 'exact' AS method,
+             (SELECT COUNT(*) FROM ex_pairs) AS n_cand,
+             (SELECT COUNT(*) FROM ex_top) AS hits
+      UNION ALL
+      SELECT 'lsh_md5',
+             (SELECT COUNT(*) FROM lsh_cand),
+             (SELECT COUNT(*) FROM lsh_top t JOIN ex_top x
+                ON x.query_id = t.query_id AND x.neighbor_id = t.neighbor_id)
+      UNION ALL
+      SELECT 'ivf_stride',
+             (SELECT COUNT(*) FROM ivf_cand),
+             (SELECT COUNT(*) FROM ivf_top t JOIN ex_top x
+                ON x.query_id = t.query_id AND x.neighbor_id = t.neighbor_id)
+      UNION ALL
+      SELECT 'pq_stride',
+             (SELECT COUNT(*) FROM pq_pairs),
+             (SELECT COUNT(*) FROM pq_top t JOIN ex_top x
+                ON x.query_id = t.query_id AND x.neighbor_id = t.neighbor_id)
+    )
+    SELECT method,
+           CAST({_N_QUERIES} AS BIGINT) AS n_queries,
+           CAST({_TOP_K} AS INT) AS k,
+           CAST(ROUND(CAST(n_cand AS DOUBLE) / {_N_QUERIES}, 4) AS DOUBLE) AS mean_candidates,
+           CAST(hits AS BIGINT) AS hits,
+           CAST(ROUND(CAST(hits AS DOUBLE) / {_CAL_DENOM}, 4) AS DOUBLE) AS recall_at_k
+    FROM report
+    """,
+)
+def ann_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the three deterministic ANN twins (md5-plane LSH,
+    stride-centroid IVF, stride-codebook PQ) against the exact cosine
+    top-k — see the block comment for the twin/production relationship
+    and the cross-engine float-exactness argument."""
+    from pyspark.sql.window import Window
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    n = emb.count()
+    stride = n // _CAL_CELLS
+    assert stride >= 1, "corpus smaller than the twin cell count"
+
+    q = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    # exact panel: computed ONCE, reused by truth + both reranks (3 branches)
+    ex_pairs = (
+        emb.select(F.col("vec_id").alias("neighbor_id"), "embedding")
+        .join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", cosine("qe", "embedding").alias("cos"))
+        .localCheckpoint(eager=True)
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    ex_top = (
+        ex_pairs.withColumn("rnk", F.row_number().over(wq))
+        .filter(F.col("rnk") <= _TOP_K)
+        .select("query_id", "neighbor_id")
+    )
+
+    # ===== lsh_md5 twin =====
+    sig_cols = [_cal_lsh_sig("embedding", t).alias(f"b{t}") for t in range(_CAL_TABLES)]
+    # one signature pass, memoized: buckets AND qprobes read it
+    corpus_sigs = emb.select("vec_id", *sig_cols).localCheckpoint(eager=True)
+    buckets = corpus_sigs.select(
+        "vec_id",
+        F.posexplode(F.array(*[f"b{t}" for t in range(_CAL_TABLES)])).alias(
+            "t", "bucket"
+        ),
+    )
+    qprobes = (
+        corpus_sigs.filter(F.col("vec_id") < _N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.posexplode(
+                F.array(*[f"b{t}" for t in range(_CAL_TABLES)])
+            ).alias("t", "qb"),
+        )
+        .select(
+            "query_id",
+            "t",
+            F.explode(
+                F.concat(
+                    F.array(F.col("qb")),
+                    F.expr(
+                        f"transform(sequence(0, {_CAL_PLANES - 1}),"
+                        f" p -> CAST(qb AS INT) ^ shiftleft(1, p))"
+                    ),
+                )
+            ).alias("bucket"),
+        )
+    )
+    lsh_cand = (
+        buckets.join(F.broadcast(qprobes), ["t", "bucket"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+        .distinct()
+    )
+
+    # ===== ivf_stride twin =====
+    cents = emb.filter(
+        (F.col("vec_id") % stride == 0) & (F.col("vec_id") < stride * _CAL_CELLS)
+    ).select(
+        (F.col("vec_id") / stride).cast("int").alias("cid"),
+        F.col("embedding").alias("cemb"),
+    )
+    cent_cos = emb.join(F.broadcast(cents)).select(
+        "vec_id", "cid", cosine("embedding", "cemb").alias("cos")
+    )
+    # argmax cos, tie -> min cid: map-side-combined struct-min (no window)
+    assign = (
+        cent_cos.groupBy("vec_id")
+        .agg(F.min(F.struct((-F.col("cos")).alias("nc"), F.col("cid").alias("cid"))).alias("s"))
+        .select("vec_id", F.col("s.cid").alias("cid"))
+    )
+    wv = Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("cid"))
+    qcells = (
+        cent_cos.filter(F.col("vec_id") < _N_QUERIES)
+        .withColumn("rnk", F.row_number().over(wv))
+        .filter(F.col("rnk") <= _CAL_PROBES)
+        .select(F.col("vec_id").alias("query_id"), "cid")
+    )
+    ivf_cand = (
+        assign.join(F.broadcast(qcells), "cid")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+    )
+
+    # ===== pq_stride twin =====
+    ms = F.explode(F.sequence(F.lit(0), F.lit(_CAL_M - 1))).alias("m")
+    cb = emb.filter(
+        (F.col("vec_id") % stride == 0) & (F.col("vec_id") < stride * _CAL_CELLS)
+    ).select((F.col("vec_id") / stride).cast("int").alias("c"), "embedding", ms).select(
+        "m",
+        "c",
+        F.expr(f"slice(embedding, m * {_CAL_DSUB} + 1, {_CAL_DSUB})").alias("cw"),
+    )
+    subs = emb.select("vec_id", "embedding", ms).select(
+        "vec_id",
+        "m",
+        F.expr(f"slice(embedding, m * {_CAL_DSUB} + 1, {_CAL_DSUB})").alias("sub"),
+    )
+    # ||sub||^2 is argmin-invariant and dropped in BOTH engines (the
+    # production pq_encode does the same); ties unchanged (broken by c)
+    d2 = (dot("cw", "cw") - 2.0 * dot("sub", "cw")).alias("d2")
+    codes = (
+        subs.join(F.broadcast(cb), "m")
+        .select("vec_id", "m", "c", d2)
+        .groupBy("vec_id", "m")
+        .agg(F.min(F.struct(F.col("d2"), F.col("c").alias("c"))).alias("s"))
+        .select("vec_id", "m", F.col("s.c").alias("code"))
+    )
+    cbr = cb.select(
+        F.col("m").alias("cm"), F.col("c").alias("cc"), "cw"
+    )
+    recon = (
+        codes.join(
+            F.broadcast(cbr),
+            (F.col("m") == F.col("cm")) & (F.col("code") == F.col("cc")),
+        )
+        .select("vec_id", F.col("m").alias("mm"), "cw")
+        .groupBy("vec_id")
+        .agg(*[
+            F.max(F.when(F.col("mm") == i, F.col("cw"))).alias(f"cw{i}")
+            for i in range(_CAL_M)
+        ])
+        .select(
+            "vec_id",
+            F.concat(*[f"cw{i}" for i in range(_CAL_M)]).alias("rv"),
+        )
+    )
+    pq_pairs = (
+        recon.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cosine("qe", "rv").alias("score"),
+        )
+        .localCheckpoint(eager=True)  # consumed by count + top-k branches
+    )
+    wqs = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    pq_top = (
+        pq_pairs.withColumn("rnk", F.row_number().over(wqs))
+        .filter(F.col("rnk") <= _TOP_K)
+        .select("query_id", "neighbor_id")
+    )
+
+    # ===== report assembly: ONE candidates union + ONE tops union, two
+    # groupBy(method) aggs — not per-method one-row aggs (8 branches of
+    # fixed job/plan overhead collapsed into 2)
+    def tag(m: str, df: DataFrame) -> DataFrame:
+        return df.select(
+            F.lit(m).alias("method"), "query_id", "neighbor_id"
+        )
+
+    cands = (
+        tag("exact", ex_pairs)
+        .unionByName(tag("lsh_md5", lsh_cand))
+        .unionByName(tag("ivf_stride", ivf_cand))
+        .unionByName(tag("pq_stride", pq_pairs))
+    )
+    wm = Window.partitionBy("method", "query_id").orderBy(
+        F.desc("cos"), F.asc("neighbor_id")
+    )
+    reranked = (
+        tag("lsh_md5", lsh_cand)
+        .unionByName(tag("ivf_stride", ivf_cand))
+        .join(ex_pairs, ["query_id", "neighbor_id"])
+        .withColumn("rnk", F.row_number().over(wm))
+        .filter(F.col("rnk") <= _TOP_K)
+        .select("method", "query_id", "neighbor_id")
+    )
+    tops = (
+        tag("exact", ex_top)
+        .unionByName(reranked)
+        .unionByName(tag("pq_stride", pq_top))
+    )
+    n_cand = cands.groupBy("method").agg(F.count(F.lit(1)).alias("n_cand"))
+    hits = (
+        tops.join(ex_top, ["query_id", "neighbor_id"])
+        .groupBy("method")
+        .agg(F.count(F.lit(1)).alias("hits"))
+    )
+    report = n_cand.join(hits, "method")
+    return report.select(
+        "method",
+        F.lit(_N_QUERIES).cast("bigint").alias("n_queries"),
+        F.lit(_TOP_K).cast("int").alias("k"),
+        F.round(F.col("n_cand").cast("double") / _N_QUERIES, 4).alias("mean_candidates"),
+        F.col("n_cand").alias("__drop"),
+        F.col("hits").cast("bigint").alias("hits"),
+        F.round(F.col("hits").cast("double") / _CAL_DENOM, 4).alias("recall_at_k"),
+    ).drop("__drop")

@@ -4,7 +4,11 @@ Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` on DuckDB at
 the given scale factor, then compares row count, column names, and an
 order-insensitive value hash (columns sorted by name; values normalized).
 
-Usage: python tools/check_oracle.py [sf_dir] [query ...]
+Usage: python tools/check_oracle.py [sf_dir] [query ...] [--only SUBSTR]
+
+Positional query names select exact queries; ``--only SUBSTR`` (repeatable)
+selects every registered query whose name contains SUBSTR — the fast gate for
+a changed family (e.g. ``--only ann``) while CI still runs the full set.
 """
 
 from __future__ import annotations
@@ -86,8 +90,14 @@ def dtype_mismatches(sdf: pd.DataFrame, ddf: pd.DataFrame) -> list[str]:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = sys.argv[1:]
+    substrs = []
+    while "--only" in args:
+        i = args.index("--only")
+        substrs.append(args[i + 1])
+        del args[i : i + 2]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
 
     import __spark_entry__ as entrymod
     from dhs_to_database_spark.session import get_spark
@@ -101,10 +111,14 @@ def main() -> int:
     ).split():
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
+    if substrs:
+        only |= {n for n in qs if any(s in n for s in substrs)}
     failures = []
+    n_checked = 0
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        n_checked += 1
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir).toPandas()
@@ -143,7 +157,7 @@ def main() -> int:
             failures.append(name)
         else:
             print(f"OK    {name}: {len(sdf)} rows match [{spark_s:.1f}s]")
-    print(f"\n{len(failures)} failures of {len(only) if only else len(qs)} checked")
+    print(f"\n{len(failures)} failures of {n_checked} checked")
     return 1 if failures else 0
 
 
