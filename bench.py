@@ -101,6 +101,7 @@ BENCH_QUERIES = [
     "cdc_chunks",
     "decontaminate_pairs",
     "minhash_calibration",
+    "ann_calibration",
     "quality_classifier",
     "containment_pairs",
     "boilerplate_prune",

@@ -442,7 +442,17 @@ _PQ_TOP_K = 10
 
 def pq_train(sample, m: int = _PQ_M, k: int = _PQ_K, iters: int = _PQ_ITERS):
     """Per-subspace Lloyd's k-means on a sample matrix (n x dim).
-    Returns codebooks of shape (m, k, dim//m)."""
+    Returns codebooks of shape (m, k, dim//m).
+
+    Reproducibility note (ADVICE r5): the GEMM distance form
+    (||a||^2 + ||b||^2 - 2ab) floats differently from an explicit
+    (a-b)^2 sum, so argmin can flip on near-ties and codes/centroids are
+    BLAS-implementation-dependent. Acceptable for this rows-only ANN
+    path (recall tests use tolerances, not exact codes); the
+    oracle-checked ``ann_calibration`` twin avoids the hazard entirely
+    with fold-exact JVM arithmetic and id tie-breaks. If cross-platform
+    code stability were ever required, break argmin ties with a tiny
+    index-based epsilon."""
     import numpy as np
 
     x = np.asarray(sample, dtype=np.float64)

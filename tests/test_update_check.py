@@ -123,3 +123,26 @@ def test_r5_grading_window_rotation():
     }
     assert rotated_in <= window, rotated_in - window
     assert not (rotated_out & window), rotated_out & window
+
+
+def test_r6_grading_window_rotation():
+    """r6 rotation (VERDICT r5 ask #1): the ten never-driver-graded r4/r5
+    additions plus the new ann_calibration must sit INSIDE the driver's
+    50-entry grading window, and the eleven five-round-graded siblings
+    they displaced must rest in the tail."""
+    import __spark_entry__ as e
+
+    window = set(list(e.queries())[:50])
+    rotated_in = {
+        "span_dedup_report", "max_dup_span_stats", "cdc_chunks",
+        "decontaminate_pairs", "minhash_calibration", "containment_pairs",
+        "boilerplate_prune", "training_shuffle_order", "json_props_extract",
+        "source_overlap_matrix", "ann_calibration",
+    }
+    rotated_out = {
+        "dedup_exact", "minhash_lsh_md5", "token_count", "union_distinct",
+        "join_inner", "string_pack", "sort_limit", "pivot_wide",
+        "winnowing_fingerprint", "filename_meta_extract", "top1_per_group",
+    }
+    assert rotated_in <= window, rotated_in - window
+    assert not (rotated_out & window), rotated_out & window

@@ -96,6 +96,7 @@ PROBES = {
     "cdc_chunks": "documents",
     "decontaminate_pairs": "documents",
     "minhash_calibration": "documents",
+    "ann_calibration": "embeddings",
     "quality_classifier": "documents",
     "containment_pairs": "documents",
     "boilerplate_prune": "documents",
