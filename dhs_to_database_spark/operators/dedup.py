@@ -1157,32 +1157,62 @@ def _md5_long28(col: Column) -> Column:
     return F.conv(F.substring(F.md5(col), 1, 7), 16, 10).cast("bigint")
 
 
-def _md5_shingle_hashes(d: DataFrame) -> DataFrame:
+def _md5_shingle_hashes(d: DataFrame, wide: bool = False) -> DataFrame:
     """(doc_id, h) per shingle OCCURRENCE — h is the engine-portable
-    28-bit md5 shingle hash both the twin and its calibration share."""
+    28-bit md5 shingle hash both the twin and its calibration share.
+
+    ``wide=True`` is the PRODUCTION tier (r6, VERDICT r5 ask #7): the
+    shingle identity widens to the full signed 64-bit ``xxhash64`` —
+    whole-stage-codegen JVM hashing, no md5/conv string work — because
+    the 28-bit space birthday-collides once a doc's distinct-shingle set
+    approaches ~2^14 (web-corpus scale), silently shrinking set sizes
+    and skewing true-Jaccard. The 28-bit twin stays the ORACLE surface
+    (DuckDB shares md5, not xxhash64); the tier-parity test pins that at
+    sandbox vocab the two tiers see identical distinct-set sizes (the
+    twin's truth side is collision-free where it is graded)."""
     return (
         d.select("doc_id", tokenize_words("text").alias("ws"))
         .select("doc_id", F.explode(word_shingles("ws", 3)).alias("shingle"))
-        .select("doc_id", _md5_long28(F.col("shingle")).alias("h"))
+        .select(
+            "doc_id",
+            (
+                F.xxhash64("shingle")
+                if wide
+                else _md5_long28(F.col("shingle"))
+            ).alias("h"),
+        )
     )
 
 
-def _minhash_md5_scored_pairs(d: DataFrame) -> DataFrame:
+def _minhash_md5_scored_pairs(d: DataFrame, wide: bool = False) -> DataFrame:
     """LSH candidate pairs with their signature match count: (doc_a,
     doc_b, matches [0..{_MD5_N_HASHES}]). The full md5-twin pipeline up to
     (but excluding) the similarity threshold, shared by ``minhash_lsh_md5``
-    and ``minhash_calibration``."""
-    sh = _md5_shingle_hashes(d)
+    and ``minhash_calibration``.
+
+    ``wide=True`` swaps BOTH hash layers for the production 64-bit tier
+    (see ``_md5_shingle_hashes``): shingle id = xxhash64(shingle), and
+    the 16 permutations become the hash-of-hash family g_i =
+    xxhash64(i, h) (the same family ``minhash_near_dup`` uses) — the
+    (a*h + b) mod p universal family would overflow 64-bit ints at
+    h ~ 2^63. Banding, hot-bucket caps and signature verification are
+    IDENTICAL across tiers; only the hash family differs."""
+    sh = _md5_shingle_hashes(d, wide)
     # ONE shuffle of docs x 16 partial-min columns (map-side combine);
     # the permutations are column expressions, not exploded rows.
-    mins = sh.groupBy("doc_id").agg(
-        *[
+    if wide:
+        perm_cols = [
+            F.min(F.xxhash64(F.lit(i), F.col("h"))).alias(f"m{i}")
+            for i in range(_MD5_N_HASHES)
+        ]
+    else:
+        perm_cols = [
             F.min(
                 (F.lit(a).cast("bigint") * F.col("h") + F.lit(b)) % F.lit(_MH_P)
             ).alias(f"m{i}")
             for i, (a, b) in enumerate(_MH_PERMS)
         ]
-    )
+    mins = sh.groupBy("doc_id").agg(*perm_cols)
     mins.persist()
     try:
         band_exprs = ", ".join(

@@ -314,3 +314,50 @@ def test_boilerplate_prune_matches_pure_python_mirror(spark):
         for r in remove_boilerplate_grams(docs, n=n, pct=pct, cap=cap).collect()
     }
     assert got == mirror()
+
+
+def test_minhash_wide_tier_parity(spark):
+    """r6 shingle-space guard (VERDICT r5 ask #7): the production 64-bit
+    xxhash64 tier and the 28-bit md5 oracle twin must see IDENTICAL
+    per-doc distinct-shingle-set sizes at sandbox vocab — proving the
+    twin's true-Jaccard side is collision-free where it is graded — and
+    the wide pipeline must run end-to-end with the swapped hash family."""
+    from pyspark.sql import functions as F
+
+    from dhs_to_database_spark.operators.dedup import (
+        _md5_shingle_hashes,
+        _minhash_md5_scored_pairs,
+    )
+    from dhs_to_database_spark.sources.tables import load_table
+
+    d = (
+        load_table(spark, "/root/testdata/sf0.01", "documents")
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", "text")
+    )
+
+    def set_sizes(wide):
+        return {
+            r["doc_id"]: r["sz"]
+            for r in _md5_shingle_hashes(d, wide=wide)
+            .distinct()
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("sz"))
+            .collect()
+        }
+
+    narrow, wide = set_sizes(False), set_sizes(True)
+    assert narrow == wide  # no 28-bit collisions at this vocab
+    assert len(narrow) > 0
+
+    # the wide tier's full pipeline (hash-of-hash permutations, banding,
+    # caps, signature verify) runs and emits sane match counts
+    scored = _minhash_md5_scored_pairs(d, wide=True)
+    rows = scored.collect()
+    assert len(rows) > 0  # the corpus has near-dup candidates
+    assert all(0 <= r["matches"] <= 16 for r in rows)
+    # NOTE deliberately NOT asserted: per-pair match-count equality across
+    # tiers — the two hash families are independent 16-permutation
+    # estimators, so their per-pair estimates (and borderline candidate
+    # sets) legitimately differ; the invariant that matters is the
+    # distinct-set-size parity above (truth side) plus an intact pipeline.
