@@ -165,16 +165,29 @@ def demux_to_parquet(
     spec: DatSpec,
     out_dir: str,
     mode: str = "overwrite",
+    pack_wide: bool = True,
 ) -> dict[str, str]:
     """Demux + write one parquet dataset per record type, partitioned by
     surveyid (partition-pruned downstream; idempotent per-survey overwrite
-    is the Spark-native version of the reference's drop-and-reload A22)."""
+    is the Spark-native version of the reference's drop-and-reload A22).
+
+    Wide records (r6): a record type whose field count crosses the
+    reference's JSON-table threshold (>500 columns, lib04:140-152 via
+    ``should_pack_as_map``) is written PACKED — key columns stay
+    first-class, the payload collapses into one ``data``
+    map<string,string> column (``pack_wide_table``, the Spark-native
+    jsonb). Same narrow shuffle-free plan: the pack is a projection."""
+    from ..plans.schema_evolution import pack_wide_table, should_pack_as_map
+
     tagged = read_tagged_lines(spark, path, spec).cache()
     try:
         out = {}
         for rec in spec.records.values():
             dest = f"{out_dir}/{rec.record_name}"
-            project_record(tagged, rec).write.mode(mode).partitionBy("surveyid").parquet(dest)
+            df = project_record(tagged, rec)
+            if pack_wide and should_pack_as_map(len(rec.fields), None):
+                df = pack_wide_table(df)
+            df.write.mode(mode).partitionBy("surveyid").parquet(dest)
             out[rec.record_name] = dest
         return out
     finally:

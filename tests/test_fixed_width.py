@@ -127,3 +127,58 @@ def test_blank_fields_load_as_null_end_to_end(spark, tmp_path):
     data = {r["CASEID"]: r["data"] for r in packed.collect()}
     assert data["       9   903 "]["HV006"] == ""  # NULL -> '' in the map
     assert data["       8   904 "]["HV006"] == "7"
+
+
+def test_demux_packs_wide_record(spark, tmp_path):
+    """r6: a record type crossing the reference's >500-column JSON-table
+    threshold (lib04:140-152) is written PACKED by demux_to_parquet —
+    key columns first-class, payload as one map<string,string> column
+    with absent values as '' (the reference's fillna('') jsonb rule) —
+    while a normal record stays fully columnar."""
+    from pyspark.sql.types import MapType
+
+    from dhs_to_database_spark.sources.fixed_width import (
+        DatSpec,
+        FieldSpec,
+        RecordSpec,
+    )
+
+    n_wide = 501
+    wide_fields = (FieldSpec("CASEID", 1, 15),) + tuple(
+        FieldSpec(f"WP{i:03d}", 19 + i, 1) for i in range(n_wide)
+    )
+    narrow_fields = (
+        FieldSpec("CASEID", 1, 15),
+        FieldSpec("HV1", 19, 2),
+    )
+    spec = DatSpec(
+        rt_start=16,
+        rt_len=3,
+        records={
+            "W50": RecordSpec("WREC5", "W50", wide_fields),
+            "N00": RecordSpec("NREC0", "N00", narrow_fields),
+        },
+    )
+    caseid = f"{901:>4}{7:>11}"
+    payload = "".join(str(i % 10) for i in range(n_wide - 1))  # last absent
+    lines = [
+        f"{caseid}W50{payload} ",  # trailing blank -> ''-valued map entry
+        f"{caseid}N00 5",
+    ]
+    d = tmp_path / "dat"
+    d.mkdir()
+    (d / "901.W.dat").write_text("\n".join(lines) + "\n")
+    out = demux_to_parquet(spark, str(d / "901.W.dat"), spec, str(tmp_path / "wh"))
+
+    packed = spark.read.parquet(out["WREC5"])
+    fields = {f.name: f.dataType for f in packed.schema.fields}
+    assert isinstance(fields["data"], MapType), fields
+    assert "CASEID" in fields and "surveyid" in fields
+    row = packed.collect()[0]
+    assert row["CASEID"] == caseid  # key untouched, padding intact
+    assert len(row["data"]) == n_wide
+    assert row["data"]["WP000"] == "0"
+    assert row["data"][f"WP{n_wide - 1:03d}"] == ""  # absent -> '' not NULL
+
+    narrow = spark.read.parquet(out["NREC0"])
+    assert set(narrow.columns) == {"surveyid", "CASEID", "HV1"}

@@ -47,6 +47,7 @@ TIERS = [
     ("t1e5", 100_000, 8),
     ("t1e6", 1_000_000, 8),
     ("t1e7", 10_000_000, 8),
+    ("t1e8", 100_000_000, 8),  # r6: one more decade (~2.6 GB of .DAT)
 ]
 # Skewed tier: same total as t1e6, 2 surveys at ~100:1.
 SKEW = ("skew1e6", 1_000_000, None)
@@ -101,6 +102,132 @@ def _gen_tier(name: str, total_lines: int, n_surveys: int | None) -> tuple[str, 
     return d, n
 
 
+# ---------------------------------------------------------------------------
+# Wide-record tier (r6, VERDICT r5 ask #6): a second dictionary with
+#   * WREC0 'W00' — a RECH0-like 172-char record (22 seven-char items), and
+#   * WREC5 'W50' — a 520-item record that crosses the reference's >500
+#     column JSON-table threshold (lib04:140-152), so demux_to_parquet's
+#     pack path writes it as key columns + one map<string,string> payload.
+# ---------------------------------------------------------------------------
+
+_W0_ITEMS = 22  # 7 chars each: 19 + 22*7 - 1 = 172 (RECH0's width)
+_W5_ITEMS = 520  # > MAX_FIRST_CLASS_COLUMNS=500 -> packed
+_LINES_PER_HH_WIDE = 2
+_W5_STATIC = ("0123456789" * 52)[: _W5_ITEMS - 7]
+
+
+def _wide_dcf() -> str:
+    parts = [
+        "[Dictionary]",
+        "Version=CSPro 7.0",
+        "Label=Wide-record probe dictionary",
+        "Name=WIDEDICT",
+        "RecordTypeStart=16",
+        "RecordTypeLen=3",
+        "Positions=Relative",
+        "ZeroFill=Yes",
+        "DecimalChar=No",
+        "",
+        "[Level]",
+        "Label=Household",
+        "Name=HOUSEHOLD",
+        "",
+        "[IdItems]",
+        "",
+        "[Item]",
+        "Label=Case Identification",
+        "Name=CASEID",
+        "Start=1",
+        "Len=15",
+        "",
+        "[Record]",
+        "Label=Wide basic record",
+        "Name=WREC0",
+        "RecordTypeValue='W00'",
+    ]
+    for i in range(_W0_ITEMS):
+        parts += [
+            "",
+            "[Item]",
+            f"Label=Wide field {i}",
+            f"Name=WV{i:03d}",
+            f"Start={19 + 7 * i}",
+            "Len=7",
+        ]
+    parts += [
+        "",
+        "[Record]",
+        "Label=Packed wide record",
+        "Name=WREC5",
+        "RecordTypeValue='W50'",
+    ]
+    for i in range(_W5_ITEMS):
+        parts += [
+            "",
+            "[Item]",
+            f"Label=Packed field {i}",
+            f"Name=WP{i:03d}",
+            f"Start={19 + i}",
+            "Len=1",
+        ]
+    return "\n".join(parts) + "\n"
+
+
+def _write_wide_survey(path: str, surveyid: int, n_households: int) -> int:
+    n = 0
+    with open(path, "w") as f:
+        w = f.write
+        for hh in range(n_households):
+            caseid = f"{surveyid:>4}{hh:>11}"
+            w0 = "".join(f"{(hh * (k + 3)) % 10**7:>7}" for k in range(_W0_ITEMS))
+            w(f"{caseid}W00{w0}\n")
+            w(f"{caseid}W50{hh % 10**7:07d}{_W5_STATIC}\n")
+            n += 2
+    return n
+
+
+def _gen_wide_tier(name: str, total_lines: int, n_surveys: int) -> tuple[str, int]:
+    d = os.path.join(ROOT, name)
+    marker = os.path.join(d, ".complete")
+    if os.path.exists(marker):
+        with open(marker) as f:
+            return d, int(f.read())
+    shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(d)
+    n = 0
+    hh_each = total_lines // _LINES_PER_HH_WIDE // n_surveys
+    for i in range(n_surveys):
+        surveyid = 501 + i
+        filecode = f"{surveyid}.WIDE"
+        with open(os.path.join(d, f"{filecode}.dcf"), "w") as f:
+            f.write(_wide_dcf())
+        n += _write_wide_survey(os.path.join(d, f"{filecode}.dat"), surveyid, hh_each)
+    with open(marker, "w") as f:
+        f.write(str(n))
+    return d, n
+
+
+def _run_wide_tier(spark, staging: str, warehouse: str) -> float:
+    from pyspark.sql.types import MapType
+
+    from dhs_to_database_spark.pipeline import run_pipeline
+
+    shutil.rmtree(warehouse, ignore_errors=True)
+    t0 = time.time()
+    res = run_pipeline(spark, staging, warehouse)
+    assert set(res.tables) == {"WREC0", "WREC5"}, res.tables
+    dt = time.time() - t0
+    # the >500-column record must land PACKED: keys first-class, payload
+    # as one map<string,string> column (the reference's jsonb shape)
+    packed = spark.read.parquet(res.tables["WREC5"])
+    fields = {f.name: f.dataType for f in packed.schema.fields}
+    assert isinstance(fields["data"], MapType), fields
+    assert "CASEID" in fields and "surveyid" in fields, fields
+    wide0 = spark.read.parquet(res.tables["WREC0"])
+    assert len(wide0.columns) == _W0_ITEMS + 2, len(wide0.columns)  # unpacked
+    return dt
+
+
 def _run_tier(spark, staging: str, warehouse: str) -> float:
     from dhs_to_database_spark.pipeline import run_pipeline
 
@@ -140,6 +267,19 @@ def main() -> None:
         "path is supposed to be shuffle-free and skew-immune"
     )
 
+    # wide-record / packed-table tier (r6)
+    wide_rows = []
+    for name, total, n_surveys in [("wide1e6", 1_000_000, 4)]:
+        staging, n_lines = _gen_wide_tier(name, total, n_surveys)
+        wh = os.path.join(ROOT, f"wh_{name}")
+        runs = [_run_wide_tier(spark, staging, wh) for _ in range(2)]
+        dt = min(runs)
+        wide_rows.append(
+            f"| {name} | {n_lines:,} | {dt:.2f} | {n_lines / dt / 1000:,.0f} |"
+        )
+        print(wide_rows[-1])
+        shutil.rmtree(wh, ignore_errors=True)
+
     lines = [
         "\n## Fixed-width demux pipeline probe (`tools/demux_probe.py`)\n",
         "run_pipeline end-to-end (DCF parse -> spec group -> demux -> "
@@ -152,6 +292,17 @@ def main() -> None:
         f"\n{verdict} — the demux plan has no shuffle (input splits drive "
         "parallelism; partitionBy writes straight from scan tasks), so "
         "survey skew does not concentrate work; probe asserts ratio < 1.8.",
+        "\n### Wide-record / packed-table tier (r6)\n",
+        "A second dictionary with a RECH0-like 172-char record (WREC0, 22 "
+        "fields) and a 520-item record (WREC5) that crosses the reference's "
+        ">500-column JSON-table threshold — demux writes WREC5 PACKED (keys "
+        "first-class + one map<string,string> payload, the Spark-native "
+        "jsonb; asserted on the written parquet). Same shuffle-free plan; "
+        "lines are ~14x wider than the balanced tiers', so compare MB/s, "
+        "not klines/s, across sections.\n",
+        "| tier | lines | s | klines/s |",
+        "|---|---|---|---|",
+        *wide_rows,
     ]
     with open("/root/repo/SCALING.md", "a") as f:
         f.write("\n".join(lines) + "\n")
