@@ -102,6 +102,7 @@ BENCH_QUERIES = [
     "decontaminate_pairs",
     "minhash_calibration",
     "ann_calibration",
+    "leakage_safe_split",
     "quality_classifier",
     "containment_pairs",
     "boilerplate_prune",

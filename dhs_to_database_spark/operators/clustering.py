@@ -292,3 +292,137 @@ def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") == F.col("component")).alias("is_representative"),
         F.count(F.lit(1)).over(w).alias("cluster_size"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Leakage-safe train/test splitting (r6): assign splits by DUPLICATE
+# CLUSTER, not by document — the standard fix for benchmark leakage through
+# duplicates (a test doc whose copy/near-copy sits in train inflates eval;
+# the split must treat a duplicate cluster as one unit). Clusters are the
+# connected components of TWO verified edge sources union-ed:
+#   * exact-duplicate digest groups, CORPUS-WIDE (md5(text) — dedup_exact's
+#     keyspace; each member links to its group-min root: linear edges, no
+#     quadratic pair join), and
+#   * the exact-Jaccard near-dup pairs on dedup_components' bounded slice
+#     (the all-pairs truth slice; at 100 TB this source is the MinHash
+#     candidate graph of near_dup_clusters instead).
+# Split assignment is train_test_split's md5 hash-bucket rule applied to
+# the COMPONENT id; ``naive_leaky`` marks every doc whose cluster would
+# span train and test under per-document hashing — the leakage this
+# operator removes (the safe split is leak-free by construction). Both
+# edge sources produce real multi-doc clusters somewhere in the shipped
+# SFs (digest groups at sf0.1, Jaccard pairs at sf0.001/0.01), so no SF
+# exercises an empty passthrough. Scale shape: one digest shuffle + the
+# linear CC path; the split is a projection; the audit one agg.
+# ---------------------------------------------------------------------------
+
+_SPLIT_FRACTION = 0.8
+
+
+@query(
+    "leakage_safe_split",
+    oracle=f"""
+    WITH RECURSIVE nn AS (
+      SELECT doc_id, md5(text) AS dg, lower(text) AS t
+      FROM documents WHERE text IS NOT NULL
+    ),
+    dgmin AS (SELECT dg, MIN(doc_id) AS root FROM nn GROUP BY dg),
+    exact_edges AS (
+      SELECT m.root AS a, d.doc_id AS b
+      FROM nn d JOIN dgmin m USING (dg) WHERE d.doc_id <> m.root
+    ),
+    docs AS (
+      SELECT doc_id, t FROM nn
+      WHERE doc_id < {_JACCARD_LIMIT} AND length(t) >= 4
+    ),
+    idx AS (SELECT doc_id, t, unnest(range(1, length(t) - 2)) AS i FROM docs),
+    sh AS (SELECT DISTINCT doc_id, substr(t, CAST(i AS INT), 4) AS sh FROM idx),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    jpairs AS (
+      SELECT doc_a, doc_b
+      FROM inter
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE CAST(ROUND(CAST(n_common AS DECIMAL(18,6)) / (sa.sz + sb.sz - n_common), 4)
+                 AS DOUBLE) >= {_JACCARD_THRESHOLD}
+    ),
+    edges AS (
+      SELECT a, b FROM exact_edges
+      UNION SELECT b, a FROM exact_edges
+      UNION SELECT doc_a, doc_b FROM jpairs
+      UNION SELECT doc_b, doc_a FROM jpairs
+    ),
+    reach AS (
+      SELECT doc_id AS n, doc_id AS m FROM nn
+      UNION
+      SELECT edges.a, reach.m FROM edges JOIN reach ON edges.b = reach.n
+    ),
+    comp AS (SELECT n AS doc_id, MIN(m) AS component FROM reach GROUP BY n),
+    labeled AS (
+      SELECT doc_id, component,
+             CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT)
+                       < {int(_SPLIT_FRACTION * 65536)}
+                  THEN 'train' ELSE 'test' END AS naive_split,
+             CASE WHEN CAST(('0x' || substr(md5(CAST(component AS VARCHAR)), 1, 4)) AS BIGINT)
+                       < {int(_SPLIT_FRACTION * 65536)}
+                  THEN 'train' ELSE 'test' END AS split
+      FROM comp
+    ),
+    leak AS (
+      SELECT component, COUNT(DISTINCT naive_split) > 1 AS naive_leaky
+      FROM labeled GROUP BY component
+    )
+    SELECT l.doc_id, l.component, l.split, l.naive_split, k.naive_leaky
+    FROM labeled l JOIN leak k USING (component)
+    """,
+)
+def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-level train/test split (see block comment): every doc of a
+    duplicate component gets the SAME split (hash of the component id);
+    ``naive_leaky`` flags components the per-doc hash would have torn
+    across splits."""
+    from .sampling import split_assignment
+
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", "text")
+    )
+    dg = d.select("doc_id", F.md5("text").alias("dg"))
+    roots = dg.groupBy("dg").agg(F.min("doc_id").alias("root"))
+    exact_edges = (
+        dg.join(roots, "dg")
+        .filter(F.col("doc_id") != F.col("root"))
+        .select(F.col("root").alias("doc_a"), F.col("doc_id").alias("doc_b"))
+    )
+    jpairs = ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    comp = connected_components(
+        jpairs.unionByName(exact_edges), src="doc_a", dst="doc_b"
+    )
+    nodes = dg.select("doc_id")
+    labeled = (
+        nodes.join(comp, nodes["doc_id"] == comp["node"], "left")
+        .select(
+            nodes["doc_id"],
+            F.coalesce(comp["component"], nodes["doc_id"]).alias("component"),
+        )
+        .select(
+            "doc_id",
+            "component",
+            split_assignment(F.col("doc_id"), _SPLIT_FRACTION).alias(
+                "naive_split"
+            ),
+            split_assignment(F.col("component"), _SPLIT_FRACTION).alias("split"),
+        )
+    )
+    leak = labeled.groupBy("component").agg(
+        (F.count_distinct("naive_split") > 1).alias("naive_leaky")
+    )
+    return labeled.join(leak, "component").select(
+        "doc_id", "component", "split", "naive_split", "naive_leaky"
+    )

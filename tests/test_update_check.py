@@ -137,12 +137,13 @@ def test_r6_grading_window_rotation():
         "span_dedup_report", "max_dup_span_stats", "cdc_chunks",
         "decontaminate_pairs", "minhash_calibration", "containment_pairs",
         "boilerplate_prune", "training_shuffle_order", "json_props_extract",
-        "source_overlap_matrix", "ann_calibration",
+        "source_overlap_matrix", "ann_calibration", "leakage_safe_split",
     }
     rotated_out = {
         "dedup_exact", "minhash_lsh_md5", "token_count", "union_distinct",
         "join_inner", "string_pack", "sort_limit", "pivot_wide",
         "winnowing_fingerprint", "filename_meta_extract", "top1_per_group",
+        "embedding_cosine_near_dup",
     }
     assert rotated_in <= window, rotated_in - window
     assert not (rotated_out & window), rotated_out & window

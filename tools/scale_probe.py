@@ -97,6 +97,7 @@ PROBES = {
     "decontaminate_pairs": "documents",
     "minhash_calibration": "documents",
     "ann_calibration": "embeddings",
+    "leakage_safe_split": "documents",
     "quality_classifier": "documents",
     "containment_pairs": "documents",
     "boilerplate_prune": "documents",
@@ -139,6 +140,12 @@ SLOW_TAIL = {
     "boilerplate_prune": "documents",
     "stateful_session_paths": "events",
     "streaming_window_counts": "events",
+    # r6 (VERDICT r5 ask #3): the three r5 entries without 1000x evidence,
+    # plus the new ANN calibration report
+    "minhash_calibration": "documents",
+    "source_overlap_matrix": "documents",
+    "cdc_chunks": "documents",
+    "ann_calibration": "embeddings",
 }
 
 
