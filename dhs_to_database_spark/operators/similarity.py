@@ -904,16 +904,18 @@ def _cal_lsh_sig(emb_col: str, t: int) -> Column:
     "ann_calibration",
     oracle=f"""
     WITH e AS (
-      SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+      -- per-vector norm hoisted ONCE (identical float to the inline
+      -- sqrt(dot(v,v)) it replaces; 3x fewer folds in every pair expr)
+      SELECT vec_id, embedding::DOUBLE[] AS emb,
+             sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+      FROM embeddings
     ),
     st AS (SELECT COUNT(*) // {_CAL_CELLS} AS stride FROM embeddings),
-    q AS (SELECT vec_id AS query_id, emb AS qe FROM e WHERE vec_id < {_N_QUERIES}),
+    q AS (SELECT vec_id AS query_id, emb AS qe, nrm AS qnrm FROM e WHERE vec_id < {_N_QUERIES}),
     -- exact all-pairs cosine for the 8-query panel: truth AND rerank scores
     ex_pairs AS (
       SELECT q.query_id, e.vec_id AS neighbor_id,
-             list_dot_product(q.qe, e.emb)
-             / (sqrt(list_dot_product(q.qe, q.qe))
-                * sqrt(list_dot_product(e.emb, e.emb))) AS cos
+             list_dot_product(q.qe, e.emb) / (q.qnrm * e.nrm) AS cos
       FROM q, e WHERE e.vec_id != q.query_id
     ),
     ex_top AS (
@@ -964,15 +966,14 @@ def _cal_lsh_sig(emb_col: str, t: int) -> Column:
     ),
     -- ===== ivf_stride twin =====
     cents AS (
-      SELECT CAST(e.vec_id // st.stride AS INT) AS cid, e.emb AS cemb
+      SELECT CAST(e.vec_id // st.stride AS INT) AS cid, e.emb AS cemb,
+             e.nrm AS cnrm
       FROM e, st
       WHERE e.vec_id % st.stride = 0 AND e.vec_id < st.stride * {_CAL_CELLS}
     ),
     cent_cos AS (
       SELECT e.vec_id, c.cid,
-             list_dot_product(e.emb, c.cemb)
-             / (sqrt(list_dot_product(e.emb, e.emb))
-                * sqrt(list_dot_product(c.cemb, c.cemb))) AS cos
+             list_dot_product(e.emb, c.cemb) / (e.nrm * c.cnrm) AS cos
       FROM e, cents c
     ),
     assign AS (
@@ -1005,10 +1006,13 @@ def _cal_lsh_sig(emb_col: str, t: int) -> Column:
     ),
     -- ===== pq_stride twin =====
     cb AS (
-      SELECT m.m, CAST(e.vec_id // st.stride AS INT) AS c,
-             list_slice(e.emb, m.m * {_CAL_DSUB} + 1, m.m * {_CAL_DSUB} + {_CAL_DSUB}) AS cw
-      FROM e, st, (SELECT unnest(generate_series(0, {_CAL_M - 1})) AS m) m
-      WHERE e.vec_id % st.stride = 0 AND e.vec_id < st.stride * {_CAL_CELLS}
+      -- codeword norm^2 hoisted per entry (64 rows, not N x 128 folds)
+      SELECT m, c, cw, list_dot_product(cw, cw) AS cwsq FROM (
+        SELECT m.m AS m, CAST(e.vec_id // st.stride AS INT) AS c,
+               list_slice(e.emb, m.m * {_CAL_DSUB} + 1, m.m * {_CAL_DSUB} + {_CAL_DSUB}) AS cw
+        FROM e, st, (SELECT unnest(generate_series(0, {_CAL_M - 1})) AS m) m
+        WHERE e.vec_id % st.stride = 0 AND e.vec_id < st.stride * {_CAL_CELLS}
+      )
     ),
     subs AS (
       SELECT e.vec_id, m.m,
@@ -1019,21 +1023,21 @@ def _cal_lsh_sig(emb_col: str, t: int) -> Column:
       SELECT vec_id, m, c AS code FROM (
         SELECT s.vec_id, s.m, cb.c,
                ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
-                 ORDER BY (list_dot_product(cb.cw, cb.cw)
+                 ORDER BY (cb.cwsq
                            - 2.0 * list_dot_product(s.sub, cb.cw)) ASC, cb.c) AS rnk
         FROM subs s JOIN cb ON cb.m = s.m
       ) WHERE rnk = 1
     ),
     recon AS (
-      SELECT k.vec_id, flatten(list(cb.cw ORDER BY k.m)) AS rv
-      FROM codes k JOIN cb ON cb.m = k.m AND cb.c = k.code
-      GROUP BY k.vec_id
+      SELECT vec_id, rv, sqrt(list_dot_product(rv, rv)) AS rnrm FROM (
+        SELECT k.vec_id, flatten(list(cb.cw ORDER BY k.m)) AS rv
+        FROM codes k JOIN cb ON cb.m = k.m AND cb.c = k.code
+        GROUP BY k.vec_id
+      )
     ),
     pq_pairs AS (
       SELECT q.query_id, r.vec_id AS neighbor_id,
-             list_dot_product(q.qe, r.rv)
-             / (sqrt(list_dot_product(q.qe, q.qe))
-                * sqrt(list_dot_product(r.rv, r.rv))) AS score
+             list_dot_product(q.qe, r.rv) / (q.qnrm * r.rnrm) AS score
       FROM q, recon r WHERE r.vec_id != q.query_id
     ),
     pq_top AS (
@@ -1079,19 +1083,29 @@ def ann_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the cross-engine float-exactness argument."""
     from pyspark.sql.window import Window
 
-    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    # per-vector norm hoisted once (identical float to the inline
+    # sqrt(dot(v,v)); 3x fewer folds in every pair expression)
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", l2_norm("embedding").alias("nrm")
+    )
     n = emb.count()
     stride = n // _CAL_CELLS
     assert stride >= 1, "corpus smaller than the twin cell count"
 
     q = emb.filter(F.col("vec_id") < _N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        F.col("nrm").alias("qnrm"),
     )
     # exact panel: computed ONCE, reused by truth + both reranks (3 branches)
     ex_pairs = (
-        emb.select(F.col("vec_id").alias("neighbor_id"), "embedding")
+        emb.select(F.col("vec_id").alias("neighbor_id"), "embedding", "nrm")
         .join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "neighbor_id", cosine("qe", "embedding").alias("cos"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (dot("qe", "embedding") / (F.col("qnrm") * F.col("nrm"))).alias("cos"),
+        )
         .localCheckpoint(eager=True)
     )
     wq = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
@@ -1146,9 +1160,12 @@ def ann_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         (F.col("vec_id") / stride).cast("int").alias("cid"),
         F.col("embedding").alias("cemb"),
+        F.col("nrm").alias("cnrm"),
     )
     cent_cos = emb.join(F.broadcast(cents)).select(
-        "vec_id", "cid", cosine("embedding", "cemb").alias("cos")
+        "vec_id",
+        "cid",
+        (dot("embedding", "cemb") / (F.col("nrm") * F.col("cnrm"))).alias("cos"),
     )
     # argmax cos, tie -> min cid: map-side-combined struct-min (no window)
     assign = (
@@ -1177,7 +1194,7 @@ def ann_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         "m",
         "c",
         F.expr(f"slice(embedding, m * {_CAL_DSUB} + 1, {_CAL_DSUB})").alias("cw"),
-    )
+    ).withColumn("cwsq", dot("cw", "cw"))  # hoisted: 64 rows, not N x 128 folds
     subs = emb.select("vec_id", "embedding", ms).select(
         "vec_id",
         "m",
@@ -1185,7 +1202,7 @@ def ann_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # ||sub||^2 is argmin-invariant and dropped in BOTH engines (the
     # production pq_encode does the same); ties unchanged (broken by c)
-    d2 = (dot("cw", "cw") - 2.0 * dot("sub", "cw")).alias("d2")
+    d2 = (F.col("cwsq") - 2.0 * dot("sub", "cw")).alias("d2")
     codes = (
         subs.join(F.broadcast(cb), "m")
         .select("vec_id", "m", "c", d2)
@@ -1193,9 +1210,7 @@ def ann_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min(F.struct(F.col("d2"), F.col("c").alias("c"))).alias("s"))
         .select("vec_id", "m", F.col("s.c").alias("code"))
     )
-    cbr = cb.select(
-        F.col("m").alias("cm"), F.col("c").alias("cc"), "cw"
-    )
+    cbr = cb.select(F.col("m").alias("cm"), F.col("c").alias("cc"), "cw")
     recon = (
         codes.join(
             F.broadcast(cbr),
@@ -1211,13 +1226,14 @@ def ann_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id",
             F.concat(*[f"cw{i}" for i in range(_CAL_M)]).alias("rv"),
         )
+        .withColumn("rnrm", l2_norm("rv"))
     )
     pq_pairs = (
         recon.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            cosine("qe", "rv").alias("score"),
+            (dot("qe", "rv") / (F.col("qnrm") * F.col("rnrm"))).alias("score"),
         )
         .localCheckpoint(eager=True)  # consumed by count + top-k branches
     )
@@ -1274,3 +1290,89 @@ def ann_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("hits").cast("bigint").alias("hits"),
         F.round(F.col("hits").cast("double") / _CAL_DENOM, 4).alias("recall_at_k"),
     ).drop("__drop")
+
+
+# ---------------------------------------------------------------------------
+# int8 embedding quantization (r6): the standard 4x storage cut for
+# embedding corpora at 100 TB — per-vector absmax scaling (scale =
+# max|v_i| / 127, codes = round(v_i / scale), reconstruction = code *
+# scale) plus the quality report that decides whether the codec is safe
+# for a given corpus (max abs error, MSE, cosine(v, v_hat)). Pure JVM
+# higher-order lambdas — ZERO shuffles, one narrow pass; at scale the
+# codes+scale become the stored columns and this query is the write-side
+# audit. Oracle-exact: scale/max are order-free (max over doubles), every
+# sum is the proven left-to-right fold (list_dot_product twin), and
+# round-half ties at the code boundary have measure zero on real floats.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "embedding_quantization",
+    oracle="""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+    s AS (
+      SELECT vec_id, emb,
+             list_max(list_transform(emb, x -> abs(x))) / 127.0 AS scale
+      FROM e
+    ),
+    r AS (
+      SELECT vec_id, emb, scale,
+             list_transform(emb, x -> round(x / scale) * scale) AS recon
+      FROM s
+    ),
+    d AS (
+      SELECT vec_id, scale, emb, recon,
+             list_transform(list_zip(emb, recon), p -> p[1] - p[2]) AS diff
+      FROM r
+    )
+    SELECT vec_id,
+           CAST(ROUND(scale, 8) AS DOUBLE) AS scale,
+           CAST(ROUND(list_max(list_transform(diff, x -> abs(x))), 8) AS DOUBLE)
+             AS max_abs_err,
+           CAST(ROUND(list_dot_product(diff, diff) / 64, 8) AS DOUBLE) AS mse,
+           CAST(ROUND(list_dot_product(emb, recon)
+                      / (sqrt(list_dot_product(emb, emb))
+                         * sqrt(list_dot_product(recon, recon))), 6) AS DOUBLE)
+             AS cos_recon
+    FROM d
+    """,
+)
+def embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector absmax int8 quantization quality report (see block
+    comment): vec_id, scale, max_abs_err, mse, cosine(v, reconstructed)."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embd")
+    )
+    base = emb.withColumn(
+        "scale",
+        F.aggregate(
+            F.transform("embd", lambda x: F.abs(x)),
+            F.lit(0.0),
+            lambda a, x: F.greatest(a, x),
+        )
+        / 127.0,
+    )
+    rec = base.withColumn(
+        "recon",
+        F.transform("embd", lambda x: F.round(x / F.col("scale")) * F.col("scale")),
+    ).withColumn("diff", F.zip_with("embd", "recon", lambda x, y: x - y))
+    return rec.select(
+        "vec_id",
+        F.round("scale", 8).cast("double").alias("scale"),
+        F.round(
+            F.aggregate(
+                F.transform("diff", lambda x: F.abs(x)),
+                F.lit(0.0),
+                lambda a, x: F.greatest(a, x),
+            ),
+            8,
+        )
+        .cast("double")
+        .alias("max_abs_err"),
+        F.round(dot("diff", "diff") / F.lit(64), 8).cast("double").alias("mse"),
+        F.round(
+            dot("embd", "recon") / (l2_norm("embd") * l2_norm("recon")), 6
+        )
+        .cast("double")
+        .alias("cos_recon"),
+    )

@@ -98,6 +98,7 @@ PROBES = {
     "minhash_calibration": "documents",
     "ann_calibration": "embeddings",
     "leakage_safe_split": "documents",
+    "embedding_quantization": "embeddings",
     "quality_classifier": "documents",
     "containment_pairs": "documents",
     "boilerplate_prune": "documents",
