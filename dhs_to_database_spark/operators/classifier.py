@@ -67,9 +67,14 @@ def featurize(docs: DataFrame, text_col: str = "text") -> DataFrame:
     array — the per-token Python loop is gone. Python-level work is
     only the md5 bucket of each UNSEEN distinct token (memoized across
     batches), so hot-token corpora pay ~zero interpreter cost per
-    occurrence. Tokenization stays Java-\\s+ exact via the same regex
-    class as ``_java_ws_tokens`` ('' and all-separator inputs yield
-    the single empty token, None yields none, ASCII-space trim only).
+    occurrence. Tokenization is Java-\\s+ exact via the same regex
+    class as ``_java_ws_tokens`` (ASCII-space trim only), with the
+    original kernel's ``if tx else []`` guard preserved: None AND ''
+    both yield zero tokens. Distinct tokens stay PYTHON STRINGS
+    end-to-end (object-dtype unique — no fixed-width ``astype('U')``,
+    which both truncates trailing NULs, diverging from ``_bucket``,
+    and allocates max_len x n_tokens on corpora with one long
+    unbroken token).
     """
     import numpy as np
     import pandas as pd
@@ -86,16 +91,20 @@ def featurize(docs: DataFrame, text_col: str = "text") -> DataFrame:
             txt = pdf[text_col]
             nchars = txt.str.len().fillna(0).to_numpy(dtype=np.int64)
             toks = txt.str.strip(" ").str.split("[ \t\n\x0b\f\r]+", regex=True)
-            tok_lists = [v if isinstance(v, list) else [] for v in toks]
+            # `if tx else []`: None and '' alike contribute no tokens
+            tok_lists = [
+                v if (isinstance(v, list) and tx) else []
+                for v, tx in zip(toks, txt)
+            ]
             ex = pd.Series(tok_lists, dtype=object).explode()
             valid = ex.notna().to_numpy()
             doc_idx = ex.index.to_numpy()[valid]
             flat = ex.to_numpy()[valid]
             nt = np.bincount(doc_idx, minlength=nd).astype(np.int64)
             if len(flat):
-                uniq, inv = np.unique(flat.astype("U"), return_inverse=True)
+                uniq, inv = np.unique(flat, return_inverse=True)
             else:
-                uniq = np.array([], dtype="U1")
+                uniq = np.array([], dtype=object)
                 inv = np.array([], dtype=np.int64)
             buck = np.empty(len(uniq), dtype=np.int64)
             for i, tok in enumerate(uniq.tolist()):
@@ -109,7 +118,9 @@ def featurize(docs: DataFrame, text_col: str = "text") -> DataFrame:
             ).astype(np.float64).reshape(nd, _HASH_DIM)
             denom = np.where(nt > 0, nt, 1).astype(np.float64)
             counts /= denom[:, None]
-            ulen = np.char.str_len(uniq).astype(np.float64)
+            ulen = np.fromiter(
+                (len(t) for t in uniq.tolist()), np.float64, count=len(uniq)
+            )
             ustop = np.isin(uniq, stop_arr).astype(np.float64)
             sum_len = np.bincount(doc_idx, weights=ulen[inv], minlength=nd)
             stops = np.bincount(doc_idx, weights=ustop[inv], minlength=nd)

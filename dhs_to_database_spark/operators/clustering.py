@@ -323,7 +323,8 @@ _SPLIT_FRACTION = 0.8
     "leakage_safe_split",
     oracle=f"""
     WITH RECURSIVE nn AS (
-      SELECT doc_id, md5(text) AS dg, lower(text) AS t
+      SELECT doc_id, md5(text) AS dg, lower(text) AS t,
+             length(text) AS rawlen
       FROM documents WHERE text IS NOT NULL
     ),
     dgmin AS (SELECT dg, MIN(doc_id) AS root FROM nn GROUP BY dg),
@@ -332,8 +333,10 @@ _SPLIT_FRACTION = 0.8
       FROM nn d JOIN dgmin m USING (dg) WHERE d.doc_id <> m.root
     ),
     docs AS (
+      -- RAW text length, matching ngram_jaccard_pairs' F.length("text")
+      -- (lower() can change length: 'İ' lowers to 2 codepoints)
       SELECT doc_id, t FROM nn
-      WHERE doc_id < {_JACCARD_LIMIT} AND length(t) >= 4
+      WHERE doc_id < {_JACCARD_LIMIT} AND rawlen >= 4
     ),
     idx AS (SELECT doc_id, t, unnest(range(1, length(t) - 2)) AS i FROM docs),
     sh AS (SELECT DISTINCT doc_id, substr(t, CAST(i AS INT), 4) AS sh FROM idx),

@@ -863,7 +863,7 @@ _CAL_PLANES = 5  # bits per LSH table (mirror _N_PLANES)
 _CAL_CELLS = 16  # IVF coarse cells (twin-sized; production uses 32)
 _CAL_PROBES = 4  # IVF cells probed per query
 _CAL_M = 8  # PQ subspaces (8x8 dims, 16 codes each: measured best twin recall)
-_CAL_DSUB = _DIM // _CAL_M  # dims per subspace (16)
+_CAL_DSUB = _DIM // _CAL_M  # dims per subspace (8)
 _CAL_DENOM = _N_QUERIES * _TOP_K  # recall denominator (40)
 
 
@@ -1280,16 +1280,30 @@ def ann_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("method")
         .agg(F.count(F.lit(1)).alias("hits"))
     )
-    report = n_cand.join(hits, "method")
+    # literal method spine + LEFT joins: a twin with zero candidates or
+    # zero hits at some SF must still emit its report row (the oracle's
+    # scalar subqueries always produce 4 rows with 0 counts)
+    methods = spark.createDataFrame(
+        [("exact",), ("lsh_md5",), ("ivf_stride",), ("pq_stride",)],
+        "method string",
+    )
+    report = (
+        methods.join(n_cand, "method", "left")
+        .join(hits, "method", "left")
+        .select(
+            "method",
+            F.coalesce(F.col("n_cand"), F.lit(0)).alias("n_cand"),
+            F.coalesce(F.col("hits"), F.lit(0)).alias("hits"),
+        )
+    )
     return report.select(
         "method",
         F.lit(_N_QUERIES).cast("bigint").alias("n_queries"),
         F.lit(_TOP_K).cast("int").alias("k"),
         F.round(F.col("n_cand").cast("double") / _N_QUERIES, 4).alias("mean_candidates"),
-        F.col("n_cand").alias("__drop"),
         F.col("hits").cast("bigint").alias("hits"),
         F.round(F.col("hits").cast("double") / _CAL_DENOM, 4).alias("recall_at_k"),
-    ).drop("__drop")
+    )
 
 
 # ---------------------------------------------------------------------------

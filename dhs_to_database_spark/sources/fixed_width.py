@@ -172,11 +172,15 @@ def demux_to_parquet(
     is the Spark-native version of the reference's drop-and-reload A22).
 
     Wide records (r6): a record type whose field count crosses the
-    reference's JSON-table threshold (>500 columns, lib04:140-152 via
-    ``should_pack_as_map``) is written PACKED — key columns stay
-    first-class, the payload collapses into one ``data``
-    map<string,string> column (``pack_wide_table``, the Spark-native
-    jsonb). Same narrow shuffle-free plan: the pack is a projection."""
+    reference's JSON-table threshold (>500 columns — the column-count
+    half of the lib04:140-152 decision; the country-specific-label half
+    needs a record label, which ``RecordSpec`` does not carry, so
+    ``should_pack_as_map`` is called with label=None here and that
+    predicate stays with the schema-evolution path) is written PACKED —
+    key columns stay first-class, the payload collapses into one
+    ``data`` map<string,string> column (``pack_wide_table``, the
+    Spark-native jsonb). Same narrow shuffle-free plan: the pack is a
+    projection."""
     from ..plans.schema_evolution import pack_wide_table, should_pack_as_map
 
     tagged = read_tagged_lines(spark, path, spec).cache()

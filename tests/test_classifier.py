@@ -64,22 +64,25 @@ def test_featurize_matches_python_mirror(spark):
         1: "the quick brown fox " * 30,  # long, passes the gate
         2: "tiny doc",  # fails: short
         3: "of to and " + "word " * 40,  # stopword-heavy, passes
+        4: "",  # empty: `if tx else []` guard -> zero tokens, zero vector
+        5: "abc\x00 def " * 10,  # NUL inside a token: must hash as-is,
+        # not as the fixed-width-truncated 'abc' (r6 object-dtype fix)
     }
     docs = spark.createDataFrame(list(texts.items()), "doc_id bigint, text string")
     got = {r["doc_id"]: (list(r["x"]), r["y"]) for r in featurize(docs).collect()}
 
     for did, tx in texts.items():
-        t = _java_ws_tokens(tx)
+        t = _java_ws_tokens(tx) if tx else []  # kernel's empty/None guard
         nt = len(t)
         counts = [0.0] * _HASH_DIM
         for tok in t:
             counts[int(hashlib.md5(tok.encode()).hexdigest()[:8], 16) % _HASH_DIM] += 1
-        counts = [c / nt for c in counts]
+        counts = [c / nt for c in counts] if nt else counts
         dense = [
             math.log1p(len(tx)) / 10.0,
             min(nt, 1000) / 100.0,
-            sum(len(tok) for tok in t) / nt / 10.0,
-            sum(1 for tok in t if tok in _STOPWORDS) / nt,
+            (sum(len(tok) for tok in t) / nt / 10.0) if nt else 0.0,
+            (sum(1 for tok in t if tok in _STOPWORDS) / nt) if nt else 0.0,
         ]
         y = 1.0 if (100 <= len(tx) <= 20000 and nt >= 20) else 0.0
         x_got, y_got = got[did]

@@ -94,6 +94,9 @@ def main() -> int:
     substrs = []
     while "--only" in args:
         i = args.index("--only")
+        if i + 1 >= len(args):
+            print("error: --only requires a substring argument")
+            return 2
         substrs.append(args[i + 1])
         del args[i : i + 2]
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
@@ -112,7 +115,11 @@ def main() -> int:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
     if substrs:
-        only |= {n for n in qs if any(s in n for s in substrs)}
+        matched = {n for n in qs if any(s in n for s in substrs)}
+        if not matched:
+            print(f"error: --only {substrs} matched no registered query")
+            return 2
+        only |= matched
     failures = []
     n_checked = 0
     for name, fn in qs.items():
