@@ -110,6 +110,7 @@ BENCH_QUERIES = [
     "training_shuffle_order",
     "json_props_extract",
     "source_overlap_matrix",
+    "pii_redact",
 ]
 
 

@@ -100,6 +100,7 @@ def test_redact_pii(spark):
             ("call +1 (415) 555-0199 now",),
             ("card 4111111111111111 and pin 12345",),
             ("nothing sensitive here",),
+            ("server at 192.168.100.7 responded",),
         ],
         "t string",
     ).select(
@@ -112,6 +113,9 @@ def test_redact_pii(spark):
     assert rows[2]["clean"] == "card <NUM> and pin 12345"  # 5 digits: kept
     assert rows[2]["c"]["n_digit_runs"] == 1
     assert rows[3]["clean"] == "nothing sensitive here"
+    # IP masked as <IP>, never swallowed by the loose phone pattern
+    assert rows[4]["clean"] == "server at <IP> responded"
+    assert (rows[4]["c"]["n_ips"], rows[4]["c"]["n_phones"]) == (1, 0)
 
 
 def test_cc_raises_on_non_convergence(spark):

@@ -71,6 +71,7 @@ NOTES = {
     "training_shuffle_order": "seeded md5 permutation ranked by the distributed global rank (range-partitioned sort, no single-partition window); round-robin shard/pos are pure column math off the rank",
     "json_props_extract": "get_json_object inlined in the scan projection (JVM-side, no UDF) -> ONE map-side-combined conditional agg",
     "source_overlap_matrix": "NO gram self-join: gram -> sorted source-set agg (value bounded by the source catalog) is the only corpus-scale shuffle; pairs expanded map-side by a JVM lambda; final pair agg tiny",
+    "pii_redact": "ZERO shuffles: deterministic PII injection + regex detect/mask are one narrow per-row projection fused into the scan (JVM regexp, common Java/RE2 subset); embarrassingly parallel at any scale",
     "rich_inactive_customers_sql": "SQL-text entry path: Catalyst decorrelates the NOT EXISTS to a broadcast null-aware anti join and the scalar subqueries to one-row broadcast aggregates",
     "dq_checks_orders": "six rules in two corpus passes: one multi-conditional agg (exact uniqueness adds the distinct shuffle) + one anti-join count; 1-row frames cross-joined and stacked",
     "stateful_session_paths": "runs the REAL streaming engine (availableNow foreachBatch drain): cost is micro-batch scheduling + transformWithState, not the plan; batch twin session_windows carries the plan proof",

@@ -105,6 +105,7 @@ PROBES = {
     "training_shuffle_order": "documents",
     "json_props_extract": "events",
     "source_overlap_matrix": "documents",
+    "pii_redact": "documents",
 }
 
 
