@@ -111,6 +111,8 @@ BENCH_QUERIES = [
     "json_props_extract",
     "source_overlap_matrix",
     "pii_redact",
+    "approx_distinct_calibration",
+    "approx_quantile_calibration",
 ]
 
 

@@ -1019,6 +1019,187 @@ def approx_percentile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Sketch estimator-vs-truth calibration (the minhash_calibration /
+# ann_calibration template applied to the LAST rows-only family with a
+# computable ground truth — the approximate aggregates above). The
+# production sketches (HLL in approx_distinct_customers, Greenwald-Khanna
+# in approx_percentile_orders) are engine-specific by construction, so the
+# calibration twins below re-express the SAME estimation questions with
+# engine-portable estimators whose every reported digit hash-matches
+# DuckDB:
+#
+#  * KMV (k-minimum-values) distinct-count sketch — est = (k-1)*M/h_(k)
+#    over the k smallest md5-derived 28-bit hash values (Bar-Yossef et al.
+#    2002). Pure integer math end-to-end: the estimate is an exact
+#    integer division scaled x1e4, the error an integer basis-point
+#    division — no float anywhere, so the report is bit-stable across
+#    engines AND cluster layouts.
+#  * Deterministic-sample quantiles — exact `percentile` (== DuckDB
+#    quantile_cont, the proven parity pair) over an md5-bucket 10% sample
+#    vs over the full group.
+#
+# Plan note: the calibration necessarily pays the exact side's cost
+# (count distinct / full-sort percentile) — that is the point of an
+# auditor query. Production reads stay on the O(1)-memory sketches above;
+# this report is what you run on a sample/slice to certify them.
+# ---------------------------------------------------------------------------
+
+_KMV_K = 64
+_KMV_M = 1 << 28  # 28-bit md5-prefix hash space (the repo's portable twin)
+
+
+@query(
+    "approx_distinct_calibration",
+    oracle=f"""
+    WITH h AS (
+      SELECT DISTINCT o_orderpriority AS pri,
+             CAST(('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 7)) AS BIGINT) AS hv
+      FROM orders
+    ),
+    r AS (
+      SELECT pri, hv, row_number() OVER (PARTITION BY pri ORDER BY hv) AS rn
+      FROM h
+    ),
+    kset AS (
+      SELECT pri, COUNT(*) AS v, MAX(hv) AS hk
+      FROM r WHERE rn <= {_KMV_K} GROUP BY pri
+    ),
+    ex AS (
+      SELECT o_orderpriority AS pri, COUNT(DISTINCT o_custkey) AS n_exact
+      FROM orders GROUP BY 1
+    )
+    SELECT pri AS o_orderpriority,
+           CAST(n_exact AS BIGINT) AS n_exact,
+           CAST(CASE WHEN v < {_KMV_K} THEN v * 10000
+                     ELSE ({_KMV_K - 1} * {_KMV_M}::BIGINT * 10000) // hk
+                END AS BIGINT) AS kmv_est_x1e4,
+           CAST(abs(CASE WHEN v < {_KMV_K} THEN v * 10000
+                         ELSE ({_KMV_K - 1} * {_KMV_M}::BIGINT * 10000) // hk
+                    END - n_exact * 10000) // n_exact AS BIGINT) AS err_bp
+    FROM kset JOIN ex USING (pri)
+    """,
+)
+def approx_distinct_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV distinct-count estimate vs exact COUNT(DISTINCT) per order
+    priority (see block comment): estimate and basis-point error in pure
+    integer math, hash-compared against DuckDB. When a group holds fewer
+    than k distinct hashes the sketch is exact by construction (est = V)."""
+    from pyspark.sql.window import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    hv = F.conv(
+        F.substring(F.md5(F.col("o_custkey").cast("string")), 1, 7), 16, 10
+    ).cast("bigint")
+    hashes = o.select(F.col("o_orderpriority").alias("pri"), hv.alias("hv")).distinct()
+    w = Window.partitionBy("pri").orderBy("hv")
+    kset = (
+        hashes.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _KMV_K)
+        .groupBy("pri")
+        .agg(F.count(F.lit(1)).alias("v"), F.max("hv").alias("hk"))
+    )
+    exact = o.groupBy(F.col("o_orderpriority").alias("pri")).agg(
+        F.count_distinct("o_custkey").alias("n_exact")
+    )
+    est = F.when(
+        F.col("v") < _KMV_K, F.col("v") * 10000
+    ).otherwise(F.expr(f"({_KMV_K - 1}L * {_KMV_M}L * 10000L) div hk"))
+    return (
+        kset.join(exact, "pri")
+        .select(
+            F.col("pri").alias("o_orderpriority"),
+            F.col("n_exact").cast("bigint").alias("n_exact"),
+            est.cast("bigint").alias("kmv_est_x1e4"),
+            F.expr(
+                f"abs((CASE WHEN v < {_KMV_K} THEN v * 10000 "
+                f"ELSE ({_KMV_K - 1}L * {_KMV_M}L * 10000L) div hk END)"
+                " - n_exact * 10000) div n_exact"
+            ).cast("bigint").alias("err_bp"),
+        )
+    )
+
+
+_QCAL_PCT_BUCKETS = 6554  # 10% of the 65536 md5 bucket space
+
+
+@query(
+    "approx_quantile_calibration",
+    oracle=f"""
+    WITH sampled AS (
+      SELECT o_orderpriority, o_totalprice
+      FROM orders
+      WHERE CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR) || 'qcal'), 1, 4)) AS BIGINT)
+            < {_QCAL_PCT_BUCKETS}
+    ),
+    ex AS (
+      SELECT o_orderpriority,
+             COUNT(*) AS n_orders,
+             CAST(ROUND(quantile_cont(o_totalprice, 0.5), 4) AS DOUBLE) AS median_exact,
+             CAST(ROUND(quantile_cont(o_totalprice, 0.9), 4) AS DOUBLE) AS p90_exact
+      FROM orders GROUP BY 1
+    ),
+    sm AS (
+      SELECT o_orderpriority,
+             COUNT(*) AS n_sampled,
+             CAST(ROUND(quantile_cont(o_totalprice, 0.5), 4) AS DOUBLE) AS median_sample,
+             CAST(ROUND(quantile_cont(o_totalprice, 0.9), 4) AS DOUBLE) AS p90_sample
+      FROM sampled GROUP BY 1
+    )
+    SELECT o_orderpriority, n_orders, n_sampled,
+           median_exact, median_sample, p90_exact, p90_sample,
+           CAST(ROUND(abs(median_sample - median_exact) / median_exact, 4) AS DOUBLE)
+             AS median_rel_err,
+           CAST(ROUND(abs(p90_sample - p90_exact) / p90_exact, 4) AS DOUBLE)
+             AS p90_rel_err
+    FROM ex JOIN sm USING (o_orderpriority)
+    """,
+)
+def approx_quantile_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 10%-sample quantiles vs exact per order priority (see
+    block comment). Sample membership is the repo's md5 bucket split
+    (salt 'qcal'), so both engines draw the identical sample; exact and
+    sample sides use the proven percentile == quantile_cont parity pair."""
+    from .sampling import hash_bucket
+
+    o = load_table(spark, sf_dir, "orders")
+    exact = o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 4)
+        .cast("double").alias("median_exact"),
+        F.round(F.expr("percentile(o_totalprice, 0.9)"), 4)
+        .cast("double").alias("p90_exact"),
+    )
+    sample = (
+        o.filter(hash_bucket(F.col("o_orderkey"), salt="qcal") < _QCAL_PCT_BUCKETS)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.round(F.expr("percentile(o_totalprice, 0.5)"), 4)
+            .cast("double").alias("median_sample"),
+            F.round(F.expr("percentile(o_totalprice, 0.9)"), 4)
+            .cast("double").alias("p90_sample"),
+        )
+    )
+    return exact.join(sample, "o_orderpriority").select(
+        "o_orderpriority",
+        "n_orders",
+        "n_sampled",
+        "median_exact",
+        "median_sample",
+        "p90_exact",
+        "p90_sample",
+        F.round(
+            F.abs(F.col("median_sample") - F.col("median_exact"))
+            / F.col("median_exact"),
+            4,
+        ).cast("double").alias("median_rel_err"),
+        F.round(
+            F.abs(F.col("p90_sample") - F.col("p90_exact")) / F.col("p90_exact"), 4
+        ).cast("double").alias("p90_rel_err"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Equi-width histogram: width_bucket over order values — the profiling /
 # BI primitive complementing the equi-depth deciles (ranking.py). One
 # map-side-combined shuffle on the bucket id; bucket boundaries are plan

@@ -215,6 +215,42 @@ def test_approx_distinct_within_rsd(spark):
         assert abs(est - exact[k]) / exact[k] <= 0.08, (k, est, exact[k])
 
 
+def test_approx_distinct_calibration_reports_bounded_error(spark):
+    """The KMV calibration report must tie out internally (est vs exact vs
+    err_bp in exact integer math) and the k=64 estimator must stay inside
+    ~3 sigma (sigma ~ 1/sqrt(k-2) ~ 12.7%) of the exact count."""
+    from dhs_to_database_spark.operators.relational import (
+        approx_distinct_calibration,
+    )
+
+    rows = approx_distinct_calibration(spark, SF_DIR).collect()
+    assert len(rows) == 5
+    for r in rows:
+        # internal consistency: err_bp is exactly the integer bp division
+        expect_bp = abs(r["kmv_est_x1e4"] - r["n_exact"] * 10000) // r["n_exact"]
+        assert r["err_bp"] == expect_bp, r
+        assert r["err_bp"] <= 4000, f"KMV estimate outside 3-sigma: {r}"
+
+
+def test_approx_quantile_calibration_sample_tracks_exact(spark):
+    """The deterministic 10%-sample quantiles must track the exact ones
+    (loose bound — the sample is genuinely small per group) and the
+    sample size must sit near 10% of each group."""
+    from dhs_to_database_spark.operators.relational import (
+        approx_quantile_calibration,
+    )
+
+    rows = approx_quantile_calibration(spark, SF_DIR).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert 0.04 <= r["n_sampled"] / r["n_orders"] <= 0.2, r
+        # sf0.001 groups sample ~26 orders, so the order-statistic noise is
+        # real (~28% worst median) — the bound tightens with scale (1.7%
+        # at sf0.1, measured); here we pin "tracks, not garbage".
+        assert r["median_rel_err"] <= 0.35, r
+        assert r["p90_rel_err"] <= 0.35, r
+
+
 def test_approx_percentile_within_rank_error(spark):
     """approx_percentile(accuracy=1000) guarantees rank error <= n/1000;
     check the estimate's rank sits within that band of the target rank."""

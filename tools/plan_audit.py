@@ -72,6 +72,8 @@ NOTES = {
     "json_props_extract": "get_json_object inlined in the scan projection (JVM-side, no UDF) -> ONE map-side-combined conditional agg",
     "source_overlap_matrix": "NO gram self-join: gram -> sorted source-set agg (value bounded by the source catalog) is the only corpus-scale shuffle; pairs expanded map-side by a JVM lambda; final pair agg tiny",
     "pii_redact": "ZERO shuffles: deterministic PII injection + regex detect/mask are one narrow per-row projection fused into the scan (JVM regexp, common Java/RE2 subset); embarrassingly parallel at any scale",
+    "approx_distinct_calibration": "auditor query: pays the exact COUNT(DISTINCT) cost by design; KMV side is one (pri,hash) distinct shuffle + a 5-group window; report math is pure integer division (bit-stable across layouts)",
+    "approx_quantile_calibration": "auditor query: exact + 10%-md5-sample percentile aggs (two group shuffles over 5 keys), joined on the tiny priority axis; production reads stay on the O(1)-memory GK sketch",
     "rich_inactive_customers_sql": "SQL-text entry path: Catalyst decorrelates the NOT EXISTS to a broadcast null-aware anti join and the scalar subqueries to one-row broadcast aggregates",
     "dq_checks_orders": "six rules in two corpus passes: one multi-conditional agg (exact uniqueness adds the distinct shuffle) + one anti-join count; 1-row frames cross-joined and stacked",
     "stateful_session_paths": "runs the REAL streaming engine (availableNow foreachBatch drain): cost is micro-batch scheduling + transformWithState, not the plan; batch twin session_windows carries the plan proof",

@@ -106,6 +106,8 @@ PROBES = {
     "json_props_extract": "events",
     "source_overlap_matrix": "documents",
     "pii_redact": "documents",
+    "approx_distinct_calibration": "orders",
+    "approx_quantile_calibration": "orders",
 }
 
 
