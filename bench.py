@@ -113,6 +113,7 @@ BENCH_QUERIES = [
     "pii_redact",
     "approx_distinct_calibration",
     "approx_quantile_calibration",
+    "cms_calibration",
 ]
 
 

@@ -1275,6 +1275,151 @@ def cms_term_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     return spark.createDataFrame(rows, "term string, exact_n bigint, est_n bigint")
 
+
+# ---------------------------------------------------------------------------
+# CMS estimator-vs-truth calibration — the same template as
+# minhash/ann/approx_distinct calibration, applied to the Count-Min sketch
+# above (whose built-in hashes are engine-specific, hence rows-only). The
+# twin builds a d x w CMS with md5-derived bucket hashes both engines
+# share bit-for-bit, so every cell count, every point estimate, and the
+# overestimate column hash-match DuckDB. The report exposes CMS's defining
+# one-sided guarantee as data: est >= exact always (overest_bp >= 0), with
+# the expected overestimate ~ N/w per row shrunk by the min over d rows.
+#
+# The sketch runs over the corpus BIGRAM stream, not unigrams: the
+# synthetic vocabulary holds only 31 distinct words, so a unigram CMS at
+# any useful width never collides and the report would be a degenerate
+# zero-error passthrough at every SF (the boilerplate-threshold lesson).
+# The ~31^2 distinct bigrams against w=256 give every report row a real
+# collision load (measured: 26-28 of the 30 top bigrams carry
+# overest > 0 at every shipped SF), so the min-over-d estimate path — not
+# an exact-lookup no-op — is what the oracle hash-match exercises.
+#
+# Scale: the gram stream is shuffled only as a map-side-combined
+# (row, bucket) agg whose output is bounded by d*w cells (1024 here) — at
+# 100 TB the shuffle payload stays 1024 rows per partial regardless of
+# corpus size, exactly the sketch's linear-merge promise. The exact top-K
+# side pays one gram agg (the auditor's ground-truth cost, cf. the
+# approx_distinct_calibration plan note).
+# ---------------------------------------------------------------------------
+
+_CMSC_D = 4
+_CMSC_W = 256
+
+
+@query(
+    "cms_calibration",
+    oracle=f"""
+    WITH toks AS (
+      SELECT string_split_regex(trim(text), '\\s+') AS t
+      FROM documents WHERE text IS NOT NULL
+    ),
+    tz AS (
+      SELECT t[i] || ' ' || t[i + 1] AS term
+      FROM toks, UNNEST(generate_series(1, len(t) - 1)) AS u(i)
+      WHERE t[i] <> '' AND t[i + 1] <> ''
+    ),
+    rows_ AS (SELECT unnest(generate_series(0, {_CMSC_D - 1})) AS i),
+    cells AS (
+      SELECT i,
+             CAST(('0x' || substr(md5('cms' || CAST(i AS VARCHAR) || ':' || term), 1, 7))
+                  AS BIGINT) % {_CMSC_W} AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM tz, rows_ GROUP BY 1, 2
+    ),
+    topk AS (
+      SELECT term, CAST(COUNT(*) AS BIGINT) AS exact_n
+      FROM tz GROUP BY term
+      ORDER BY exact_n DESC, term LIMIT {_TOPK_TERMS}
+    ),
+    probe AS (
+      SELECT t.term, t.exact_n, r.i,
+             CAST(('0x' || substr(md5('cms' || CAST(r.i AS VARCHAR) || ':' || t.term), 1, 7))
+                  AS BIGINT) % {_CMSC_W} AS bucket
+      FROM topk t, rows_ r
+    )
+    SELECT p.term, p.exact_n,
+           CAST(MIN(c.c) AS BIGINT) AS cms_est,
+           CAST(MIN(c.c) - p.exact_n AS BIGINT) AS overest,
+           CAST((MIN(c.c) - p.exact_n) * 10000 // p.exact_n AS BIGINT) AS overest_bp
+    FROM probe p JOIN cells c ON c.i = p.i AND c.bucket = p.bucket
+    GROUP BY p.term, p.exact_n
+    """,
+)
+def cms_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable d x w Count-Min sketch (md5 bucket hashes) over the corpus
+    bigram stream vs exact counts for the exact top-K bigrams (see block
+    comment): estimate, overestimate, and basis-point error in pure
+    integer math, hash-compared against DuckDB. CMS's one-sided error
+    guarantee (est >= exact) is visible as overest >= 0 on every row."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = (
+        d.filter(F.col("text").isNotNull())
+        .select(F.split(F.trim("text"), r"\s+").alias("t"))
+        .select(
+            F.explode(
+                F.expr(
+                    "filter(transform(sequence(1, greatest(size(t) - 1, 1)),"
+                    " i -> struct(t[i - 1] AS w1, t[i] AS w2)),"
+                    " p -> p.w1 <> '' AND p.w2 <> '')"
+                )
+            ).alias("p")
+        )
+        .select(F.concat("p.w1", F.lit(" "), "p.w2").alias("term"))
+    )
+    rows_ = F.array(*[F.lit(i) for i in range(_CMSC_D)])
+
+    def bucket(i_col, term_col):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit("cms"), i_col.cast("string"),
+                            F.lit(":"), term_col,
+                        )
+                    ),
+                    1, 7,
+                ),
+                16, 10,
+            ).cast("bigint")
+            % _CMSC_W
+        )
+
+    cells = (
+        toks.select("term", F.explode(rows_).alias("i"))
+        .groupBy("i", bucket(F.col("i"), F.col("term")).alias("bucket"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    topk = (
+        toks.groupBy("term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("exact_n"))
+        .orderBy(F.desc("exact_n"), "term")
+        .limit(_TOPK_TERMS)
+    )
+    probe = topk.crossJoin(
+        F.broadcast(
+            toks.sparkSession.range(_CMSC_D).select(F.col("id").cast("int").alias("i"))
+        )
+    ).select(
+        "term", "exact_n", "i",
+        bucket(F.col("i"), F.col("term")).alias("bucket"),
+    )
+    return (
+        F.broadcast(probe)
+        .join(cells, ["i", "bucket"])
+        .groupBy("term", "exact_n")
+        .agg(F.min("c").alias("cms_est"))
+        .select(
+            "term",
+            "exact_n",
+            F.col("cms_est").cast("bigint").alias("cms_est"),
+            (F.col("cms_est") - F.col("exact_n")).cast("bigint").alias("overest"),
+            F.expr("(cms_est - exact_n) * 10000 div exact_n")
+            .cast("bigint").alias("overest_bp"),
+        )
+    )
+
 # ---------------------------------------------------------------------------
 # CCNet-style LM perplexity scoring: per-document cross-entropy under a
 # corpus bigram language model (Wenzek et al., "CCNet", LREC 2020 filter

@@ -536,6 +536,25 @@ def test_count_min_sketch_bounds(spark):
         assert r["est_n"] <= r["exact_n"] + _CMS_EPS * n_stream, r
 
 
+def test_cms_calibration_one_sided_and_colliding(spark):
+    """The portable CMS twin must show the one-sided guarantee (overest >= 0
+    on every row, in exact integer math) AND actually exercise collisions
+    (the bigram/w=256 sizing exists so the error path bites — a zero-error
+    report would be the degenerate passthrough the sizing comment rules
+    out)."""
+    from dhs_to_database_spark.operators.text_analysis import cms_calibration
+
+    rows = cms_calibration(spark, SF_DIR).collect()
+    assert len(rows) == 30
+    n_colliding = 0
+    for r in rows:
+        assert r["overest"] == r["cms_est"] - r["exact_n"]
+        assert r["overest"] >= 0, r
+        assert r["overest_bp"] == r["overest"] * 10000 // r["exact_n"], r
+        n_colliding += r["overest"] > 0
+    assert n_colliding >= 10, f"collision path barely exercised: {n_colliding}/30"
+
+
 def test_setsim_ppjoin_lossless_on_adversarial_corpus(spark, tmp_path):
     """setsim_join_prefix's prefix + length + positional filters must be
     LOSSLESS: on a worst-case corpus (3-word vocabulary, so shingles

@@ -74,6 +74,7 @@ NOTES = {
     "pii_redact": "ZERO shuffles: deterministic PII injection + regex detect/mask are one narrow per-row projection fused into the scan (JVM regexp, common Java/RE2 subset); embarrassingly parallel at any scale",
     "approx_distinct_calibration": "auditor query: pays the exact COUNT(DISTINCT) cost by design; KMV side is one (pri,hash) distinct shuffle + a 5-group window; report math is pure integer division (bit-stable across layouts)",
     "approx_quantile_calibration": "auditor query: exact + 10%-md5-sample percentile aggs (two group shuffles over 5 keys), joined on the tiny priority axis; production reads stay on the O(1)-memory GK sketch",
+    "cms_calibration": "portable d x w CMS: gram stream shuffles only as a map-side-combined (row,bucket) agg bounded at d*w=1024 cells; exact top-K side is the auditor's ground-truth agg; probe panel broadcast onto the cells",
     "rich_inactive_customers_sql": "SQL-text entry path: Catalyst decorrelates the NOT EXISTS to a broadcast null-aware anti join and the scalar subqueries to one-row broadcast aggregates",
     "dq_checks_orders": "six rules in two corpus passes: one multi-conditional agg (exact uniqueness adds the distinct shuffle) + one anti-join count; 1-row frames cross-joined and stacked",
     "stateful_session_paths": "runs the REAL streaming engine (availableNow foreachBatch drain): cost is micro-batch scheduling + transformWithState, not the plan; batch twin session_windows carries the plan proof",

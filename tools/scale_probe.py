@@ -108,6 +108,7 @@ PROBES = {
     "pii_redact": "documents",
     "approx_distinct_calibration": "orders",
     "approx_quantile_calibration": "orders",
+    "cms_calibration": "documents",
 }
 
 
