@@ -118,6 +118,44 @@ def test_redact_pii(spark):
     assert (rows[4]["c"]["n_ips"], rows[4]["c"]["n_phones"]) == (1, 0)
 
 
+def test_redact_pii_closure_on_adversarial_strings(spark):
+    """The property a safety filter actually promises: after redaction, a
+    FRESH scan finds zero PII in any category (no partial masks leaving
+    matchable residue), and redaction is idempotent. Cases cover adjacent
+    PII, boundary-breaking suffixes (digit-dotted runs that fall to the
+    loose phone pattern), run-then-phone compositions, and placeholder
+    adjacency."""
+    cases = [
+        ("a@b.co c@d.io back-to-back emails",),
+        ("ip 1.2.3.4 at 255.255.255.255 end 10.0.0.1",),
+        ("card 4111111111111111 then phone +1 (415) 555-0199",),
+        ("email.with.dots+tag@sub.domain.example.org trailing",),
+        ("1234567890123-456-7890 mixed run-phone",),
+        ("phone 555-123-4567 beside ip 192.168.0.1",),
+        ("x 12.34.56.78y no trailing boundary",),
+        ("(555) 123-4567 and 555.123.4567 dotted phone",),
+        ("edge 9.9.9.9",),
+        ("me@you.co.",),
+        ("123456 789012 two runs",),
+    ]
+    df = spark.createDataFrame(cases, "t string")
+    rows = (
+        df.select(redact_pii(F.col("t")).alias("r"))
+        .select(
+            "r",
+            pii_counts(F.col("r")).alias("c"),
+            redact_pii(F.col("r")).alias("rr"),
+        )
+        .collect()
+    )
+    for row in rows:
+        c = row["c"]
+        assert (
+            c["n_emails"] + c["n_ips"] + c["n_digit_runs"] + c["n_phones"] == 0
+        ), f"residual PII after redaction: {row['r']!r}"
+        assert row["rr"] == row["r"], f"redaction not idempotent: {row['r']!r}"
+
+
 def test_cc_raises_on_non_convergence(spark):
     import pytest as _pytest
 
