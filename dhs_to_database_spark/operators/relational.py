@@ -1042,6 +1042,9 @@ def approx_percentile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (count distinct / full-sort percentile) — that is the point of an
 # auditor query. Production reads stay on the O(1)-memory sketches above;
 # this report is what you run on a sample/slice to certify them.
+# Ancestry in the reference: the estimate-vs-recount QA discipline of its
+# row-count reconciliation and duplicate-load checks (03 nb raw
+# :993-1140), applied to sketch estimators instead of load counts.
 # ---------------------------------------------------------------------------
 
 _KMV_K = 64

@@ -232,6 +232,42 @@ def test_approx_distinct_calibration_reports_bounded_error(spark):
         assert r["err_bp"] <= 4000, f"KMV estimate outside 3-sigma: {r}"
 
 
+def test_approx_distinct_calibration_matches_pure_python_mirror(spark):
+    """Third-engine differential: recompute the whole KMV report in pure
+    python (hashlib md5, sorted lists, integer division) from the parquet
+    bytes and require exact equality with the Spark rows — pins the
+    algorithm itself, independent of both SQL engines."""
+    import hashlib
+
+    import pandas as pd
+
+    from dhs_to_database_spark.operators.relational import (
+        _KMV_K,
+        _KMV_M,
+        approx_distinct_calibration,
+    )
+
+    o = pd.read_parquet(f"{SF_DIR}/orders.parquet", columns=["o_orderpriority", "o_custkey"])
+    expect = {}
+    for pri, grp in o.groupby("o_orderpriority"):
+        keys = set(grp["o_custkey"])
+        hs = sorted(
+            {int(hashlib.md5(str(k).encode()).hexdigest()[:7], 16) for k in keys}
+        )
+        v = min(len(hs), _KMV_K)
+        if v < _KMV_K:
+            est = v * 10000
+        else:
+            est = (_KMV_K - 1) * _KMV_M * 10000 // hs[_KMV_K - 1]
+        n = len(keys)
+        expect[pri] = (n, est, abs(est - n * 10000) // n)
+    got = {
+        r["o_orderpriority"]: (r["n_exact"], r["kmv_est_x1e4"], r["err_bp"])
+        for r in approx_distinct_calibration(spark, SF_DIR).collect()
+    }
+    assert got == expect
+
+
 def test_approx_quantile_calibration_sample_tracks_exact(spark):
     """The deterministic 10%-sample quantiles must track the exact ones
     (loose bound — the sample is genuinely small per group) and the
