@@ -174,7 +174,12 @@ def train_logistic(
     tests pin layout-independent properties (held-out AUC, loss
     decrease, rule agreement), not exact score bytes. If layout-stable
     scores are ever needed, accumulate gradients in fixed-point (the
-    minhash_calibration integer-sum pattern)."""
+    minhash_calibration integer-sum pattern: round each per-row
+    component to 9-dp and F.sum as DECIMAL(38,0)). Measured cost of
+    that variant (r6): +45% wall on this query (2.7 -> 3.9 s at sf0.1
+    steady-state, local[32]) for the dim+1 decimal aggs — kept on
+    doubles deliberately since nothing downstream consumes exact
+    bytes."""
     w = [0.0] * (dim + 1)
     for _ in range(iters):
         r = (_sigmoid_col(w) - F.col("y")).alias("__r")
