@@ -1088,9 +1088,17 @@ def ann_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "embedding", l2_norm("embedding").alias("nrm")
     )
-    n = emb.count()
+    # one job for BOTH preconditions: corpus >= cell count, and no
+    # zero-norm vector (ADVICE r6 — cosine against a zero vector is
+    # NULL/NaN and the two engines' NaN orderings diverge; assert the
+    # precondition instead of defining an arbitrary tie rule).
+    pre = emb.agg(
+        F.count(F.lit(1)).alias("n"), F.min("nrm").alias("min_nrm")
+    ).collect()[0]
+    n = pre["n"]
     stride = n // _CAL_CELLS
     assert stride >= 1, "corpus smaller than the twin cell count"
+    assert pre["min_nrm"] > 0, "zero-norm embedding: cosine undefined"
 
     q = emb.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
@@ -1331,7 +1339,8 @@ def ann_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     r AS (
       SELECT vec_id, emb, scale,
-             list_transform(emb, x -> round(x / scale) * scale) AS recon
+             list_transform(emb, x -> CASE WHEN scale = 0 THEN 0.0
+                                      ELSE round(x / scale) * scale END) AS recon
       FROM s
     ),
     d AS (
@@ -1344,9 +1353,11 @@ def ann_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(ROUND(list_max(list_transform(diff, x -> abs(x))), 8) AS DOUBLE)
              AS max_abs_err,
            CAST(ROUND(list_dot_product(diff, diff) / 64, 8) AS DOUBLE) AS mse,
-           CAST(ROUND(list_dot_product(emb, recon)
-                      / (sqrt(list_dot_product(emb, emb))
-                         * sqrt(list_dot_product(recon, recon))), 6) AS DOUBLE)
+           CAST(ROUND(CASE WHEN scale = 0 THEN 1.0
+                      ELSE list_dot_product(emb, recon)
+                           / (sqrt(list_dot_product(emb, emb))
+                              * sqrt(list_dot_product(recon, recon))) END, 6)
+                AS DOUBLE)
              AS cos_recon
     FROM d
     """,
@@ -1366,9 +1377,19 @@ def embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         / 127.0,
     )
+    # zero-vector guard (ADVICE r6): an all-zero embedding has scale = 0;
+    # x / scale would be NULL-in-Spark / inf-in-DuckDB and the engines'
+    # null-vs-NaN fold semantics then diverge. Define the degenerate case
+    # explicitly in BOTH engines: recon = zero vector (exact), cos = 1.0.
+    zero = F.col("scale") == 0
     rec = base.withColumn(
         "recon",
-        F.transform("embd", lambda x: F.round(x / F.col("scale")) * F.col("scale")),
+        F.transform(
+            "embd",
+            lambda x: F.when(zero, F.lit(0.0)).otherwise(
+                F.round(x / F.col("scale")) * F.col("scale")
+            ),
+        ),
     ).withColumn("diff", F.zip_with("embd", "recon", lambda x, y: x - y))
     return rec.select(
         "vec_id",
@@ -1385,7 +1406,10 @@ def embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("max_abs_err"),
         F.round(dot("diff", "diff") / F.lit(64), 8).cast("double").alias("mse"),
         F.round(
-            dot("embd", "recon") / (l2_norm("embd") * l2_norm("recon")), 6
+            F.when(zero, F.lit(1.0)).otherwise(
+                dot("embd", "recon") / (l2_norm("embd") * l2_norm("recon"))
+            ),
+            6,
         )
         .cast("double")
         .alias("cos_recon"),

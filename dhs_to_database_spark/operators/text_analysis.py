@@ -305,9 +305,14 @@ def vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # set fails the oracle gate.
 # ---------------------------------------------------------------------------
 
+# Whitespace spelled as an explicit class, not \s: Java's \s includes \x0b
+# (vertical tab) while RE2/DuckDB's does not, so a bare \s in an
+# oracle-gated pattern would diverge on text containing \x0b inside a
+# match window (ADVICE r6; same rule sampling._java_ws_tokens applies).
+_WS = r" \t\n\x0b\f\r"
 _EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 _IP_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
-_PHONE_RE = r"\+?\d[\d\s().-]{7,}\d"
+_PHONE_RE = rf"\+?\d[\d{_WS}().-]{{7,}}\d"
 _LONG_DIGITS_RE = r"\d{6,}"
 
 
@@ -1311,7 +1316,7 @@ _CMSC_W = 256
     "cms_calibration",
     oracle=f"""
     WITH toks AS (
-      SELECT string_split_regex(trim(text), '\\s+') AS t
+      SELECT string_split_regex(trim(text), '[{_WS}]+') AS t
       FROM documents WHERE text IS NOT NULL
     ),
     tz AS (
@@ -1355,7 +1360,7 @@ def cms_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     toks = (
         d.filter(F.col("text").isNotNull())
-        .select(F.split(F.trim("text"), r"\s+").alias("t"))
+        .select(F.split(F.trim("text"), f"[{_WS}]+").alias("t"))
         .select(
             F.explode(
                 F.expr(

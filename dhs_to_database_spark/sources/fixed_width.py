@@ -171,8 +171,9 @@ def demux_to_parquet(
     surveyid (partition-pruned downstream; idempotent per-survey overwrite
     is the Spark-native version of the reference's drop-and-reload A22).
 
-    Wide records (r6): a record type whose field count crosses the
-    reference's JSON-table threshold (>500 columns — the column-count
+    Wide records (r6): a record type whose PAYLOAD field count — keys
+    excluded, see ``packed_record_names`` — crosses the reference's
+    JSON-table threshold (>500 columns — the column-count
     half of the lib04:140-152 decision; the country-specific-label half
     needs a record label, which ``RecordSpec`` does not carry, so
     ``should_pack_as_map`` is called with label=None here and that
@@ -181,18 +182,40 @@ def demux_to_parquet(
     ``data`` map<string,string> column (``pack_wide_table``, the
     Spark-native jsonb). Same narrow shuffle-free plan: the pack is a
     projection."""
-    from ..plans.schema_evolution import pack_wide_table, should_pack_as_map
-
     tagged = read_tagged_lines(spark, path, spec).cache()
     try:
         out = {}
+        packed = packed_record_names(spec) if pack_wide else set()
         for rec in spec.records.values():
             dest = f"{out_dir}/{rec.record_name}"
             df = project_record(tagged, rec)
-            if pack_wide and should_pack_as_map(len(rec.fields), None):
+            if rec.record_name in packed:
+                from ..plans.schema_evolution import pack_wide_table
+
                 df = pack_wide_table(df)
             df.write.mode(mode).partitionBy("surveyid").parquet(dest)
             out[rec.record_name] = dest
         return out
     finally:
         tagged.unpersist()
+
+
+def packed_record_names(spec: DatSpec) -> set[str]:
+    """Record types ``demux_to_parquet`` writes map-packed.
+
+    The >500-column JSON-table threshold (lib04:140-152) is applied to the
+    PAYLOAD column count — key columns (``is_key_column``) stay first-class
+    in the packed shape and so are excluded from the count; counting them
+    would shift the pack boundary by the key count (ADVICE r6). Callers
+    that need to know which parquet shape was written (columnar vs
+    key+``data`` map) consult this instead of sniffing the parquet footer.
+    """
+    from ..plans.schema_evolution import is_key_column, should_pack_as_map
+
+    return {
+        rec.record_name
+        for rec in spec.records.values()
+        if should_pack_as_map(
+            sum(1 for f in rec.fields if not is_key_column(f.name)), None
+        )
+    }

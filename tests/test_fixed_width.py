@@ -182,3 +182,33 @@ def test_demux_packs_wide_record(spark, tmp_path):
 
     narrow = spark.read.parquet(out["NREC0"])
     assert set(narrow.columns) == {"surveyid", "CASEID", "HV1"}
+
+
+def test_pack_threshold_counts_payload_not_keys():
+    """r7 (ADVICE r6): the >500-column pack decision counts PAYLOAD columns
+    only — key columns stay first-class in the packed shape, so a record
+    with exactly 500 payload fields plus 2 keys (502 total) must NOT pack,
+    and packed_record_names exposes the decision demux_to_parquet makes."""
+    from dhs_to_database_spark.sources.fixed_width import (
+        DatSpec,
+        FieldSpec,
+        RecordSpec,
+        packed_record_names,
+    )
+
+    def rec(name, tag, n_payload):
+        fields = (
+            FieldSpec("CASEID", 1, 15),
+            FieldSpec("HHIDX", 16, 3),  # 'idx' key heuristic
+        ) + tuple(FieldSpec(f"P{i:03d}", 22 + i, 1) for i in range(n_payload))
+        return RecordSpec(name, tag, fields)
+
+    spec = DatSpec(
+        rt_start=19,
+        rt_len=3,
+        records={
+            "B00": rec("BOUND", "B00", 500),  # 502 total, 500 payload
+            "O00": rec("OVER", "O00", 501),  # crosses on payload alone
+        },
+    )
+    assert packed_record_names(spec) == {"OVER"}
