@@ -81,12 +81,18 @@ _GRADE_TAIL = [
     "winnowing_fingerprint",  # fingerprint family: doc_fingerprint tail-verified; 5-round green
     "filename_meta_extract",  # metadata A-family: schema_union/duplicate_load/rowcount/catalog graded
     "top1_per_group",  # agg family: agg_having graded; topk_per_group (generalization) tail
-    "embedding_cosine_near_dup",  # dedup/embedding families: dedup_components + embedding_topk + ann_calibration graded; displaced by leakage_safe_split (r6 addition)
-    "embedding_quantization",  # r6 addition (int8 storage codec audit); embedding family: embedding_topk + ann_calibration graded in-window — rotate in r7
-    "pii_redact",  # r6 addition (safety-filter masking, byte-identical redacted text); expression/QA family: case_coalesce_harmonize + survey_update_check graded in-window — rotate in r7
-    "approx_distinct_calibration",  # r6 addition (KMV estimator-vs-truth, closes the approx-agg rows-only family); calibration family: minhash_calibration + ann_calibration graded in-window — rotate in r7
-    "approx_quantile_calibration",  # r6 addition (deterministic-sample quantiles vs exact); calibration family sibling of the above — rotate in r7
-    "cms_calibration",  # r6 addition (portable bigram CMS vs exact counts, closes the cms_term_estimates rows-only sibling); calibration family — rotate in r7
+    "embedding_cosine_near_dup",  # dedup/embedding families: dedup_components + ann_calibration graded; displaced by leakage_safe_split (r6 addition)
+    # --- r7 rotation (VERDICT r6 ask #1): the five never-driver-graded r6
+    # additions (embedding_quantization, pii_redact,
+    # approx_distinct_calibration, approx_quantile_calibration,
+    # cms_calibration) move INTO the window; five six-round-graded
+    # (r1-r6 green) family-redundant siblings rest here. Every entry
+    # keeps an in-window sibling.
+    "train_test_split",  # split/sampling family: leakage_safe_split (the production split) + token_budget_mix graded in-window
+    "benchmark_decontaminate",  # decontamination family: decontaminate_pairs (pair attribution superset) graded in-window
+    "quality_score",  # text-quality family: tfidf_topk/bm25_search/doc_perplexity graded in-window
+    "pricing_summary",  # TPC-H-ish agg family: flagship_cross_level + cube_agg + agg_having graded in-window
+    "embedding_topk",  # similarity family: ann_calibration (SQL-verifies the exact top-k inside it) graded in-window
     # --- r5 rotation: four-round-graded queries rest in the tail so the
     # driver finally grades long-tenured tail members (VERDICT r4 ask #4);
     # every one below is r1-r4 driver-green with an in-window family sibling.

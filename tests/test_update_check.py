@@ -147,3 +147,25 @@ def test_r6_grading_window_rotation():
     }
     assert rotated_in <= window, rotated_in - window
     assert not (rotated_out & window), rotated_out & window
+
+
+def test_r7_grading_window_rotation():
+    """r7 rotation (VERDICT r6 ask #1): the five never-driver-graded r6
+    additions must now sit INSIDE the driver's 50-entry grading window,
+    and the five six-round-graded siblings they displaced must rest in
+    the tail (each with an in-window family sibling, documented at the
+    _GRADE_TAIL entries)."""
+    import __spark_entry__ as e
+
+    window = set(list(e.queries())[:50])
+    rotated_in = {
+        "embedding_quantization", "pii_redact",
+        "approx_distinct_calibration", "approx_quantile_calibration",
+        "cms_calibration",
+    }
+    rotated_out = {
+        "train_test_split", "benchmark_decontaminate", "quality_score",
+        "pricing_summary", "embedding_topk",
+    }
+    assert rotated_in <= window, rotated_in - window
+    assert not (rotated_out & window), rotated_out & window
