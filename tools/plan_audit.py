@@ -65,7 +65,7 @@ NOTES = {
     "ann_calibration": "three deterministic ANN twins vs exact top-k: queries/centroids/codebooks broadcast, corpus passes narrow (sig/assign/encode), exact panel localCheckpointed and reused by truth + reranks; per-query windows bounded at 8 partitions",
     "leakage_safe_split": "exact-dup edges from one digest shuffle (group-min root, linear); Jaccard slice reuses the CC truth path; split + leak audit are a projection + one component agg",
     "embedding_quantization": "ZERO shuffles: absmax scale, int8 codes, and all three error metrics are JVM higher-order lambdas in one narrow pass",
-    "quality_classifier": "ONE Arrow featurize pass (hashing trick, localCheckpointed) + 6 GD iterations each = one map-side-combined agg of d+1 gradient sums; driver holds only w",
+    "quality_classifier": "ONE Arrow featurize pass (hashing trick, parallelism-guarded, localCheckpointed) + 2 Newton/IRLS passes each = one mapInPandas sufficient-stats pass (numpy GEMM partials per partition, partials-sized collect); driver holds only w + the (d+1)x(d+1) solve",
     "containment_pairs": "lossless containment-prefix candidates (rarest ~(1-t)|A| shingles vs full inverted index, integer-exact bounds) + exact verify; oracle is the naive all-pairs truth",
     "boilerplate_prune": "doc-frequency via in-array array_distinct (map-side) -> ONE gram-keyed combined shuffle; capped boilerplate set broadcast-probed (no join shuffle); rewrite shares excision's cut-set tail",
     "training_shuffle_order": "seeded md5 permutation ranked by the distributed global rank (range-partitioned sort, no single-partition window); round-robin shard/pos are pure column math off the rank",
