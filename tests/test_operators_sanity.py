@@ -951,3 +951,29 @@ def test_source_overlap_matrix_fixture(spark):
     # doc1 grams: [w1..w6, w2..tail_a]; doc2: [head_b..w5, w1..w6];
     # doc3: [w1..w6, w2..other] -> shared distinct grams = {w1..w6} only
     assert got == {("srcA", "srcB"): 1}
+
+
+def test_ann_calibration_sample_fraction_knob(spark):
+    """r7 (VERDICT r6 ask #6): the production sampling knob must (a) leave
+    the registry query untouched at 1.0 — same report the oracle gates —
+    and (b) at a fraction, audit a strict sub-corpus: the query panel is
+    intact, exact recall is 1.0 by construction, and the exact panel
+    shrinks to the sampled candidate count for every query."""
+    from dhs_to_database_spark.operators.similarity import (
+        _N_QUERIES,
+        ann_calibration,
+    )
+
+    full = {r["method"]: r for r in ann_calibration(spark, SF_DIR).collect()}
+    half = {
+        r["method"]: r
+        for r in ann_calibration(spark, SF_DIR, sample_fraction=0.5).collect()
+    }
+    assert set(half) == {"exact", "lsh_md5", "ivf_stride", "pq_stride"}
+    for r in half.values():
+        assert r["n_queries"] == _N_QUERIES
+        assert 0.0 <= r["recall_at_k"] <= 1.0
+    # recall of exact-within-sample against exact-within-sample is 1.0
+    assert half["exact"]["recall_at_k"] == 1.0
+    # the exact panel really is smaller: mean candidates per query drops
+    assert half["exact"]["mean_candidates"] < full["exact"]["mean_candidates"]

@@ -267,18 +267,40 @@ def main() -> None:
         "path is supposed to be shuffle-free and skew-immune"
     )
 
-    # wide-record / packed-table tier (r6)
+    # wide-record / packed-table tiers (r6; r7 adds the 10x decade + MB/s —
+    # wide lines are ~14x the balanced tiers', so MB/s is the comparable
+    # throughput axis, VERDICT r6 ask #5)
     wide_rows = []
-    for name, total, n_surveys in [("wide1e6", 1_000_000, 4)]:
+    wide_mbps: dict[str, float] = {}
+    for name, total, n_surveys in [
+        ("wide1e6", 1_000_000, 4),
+        ("wide1e7", 10_000_000, 4),
+    ]:
         staging, n_lines = _gen_wide_tier(name, total, n_surveys)
+        mb = sum(
+            os.path.getsize(os.path.join(staging, f))
+            for f in os.listdir(staging)
+            if f.endswith(".dat")
+        ) / 1e6
         wh = os.path.join(ROOT, f"wh_{name}")
         runs = [_run_wide_tier(spark, staging, wh) for _ in range(2)]
         dt = min(runs)
+        wide_mbps[name] = mb / dt
         wide_rows.append(
-            f"| {name} | {n_lines:,} | {dt:.2f} | {n_lines / dt / 1000:,.0f} |"
+            f"| {name} | {n_lines:,} | {mb:,.0f} | {dt:.2f} |"
+            f" {n_lines / dt / 1000:,.0f} | {mb / dt:,.0f} |"
         )
         print(wide_rows[-1])
         shutil.rmtree(wh, ignore_errors=True)
+    wide_ratio = wide_mbps["wide1e7"] / wide_mbps["wide1e6"]
+    wide_verdict = (
+        f"wide1e7/wide1e6 MB/s ratio = {wide_ratio:.2f} (flat-or-rising expected)"
+    )
+    print(wide_verdict)
+    assert wide_ratio > 0.65, (
+        f"packed-path throughput fell to {wide_ratio:.2f}x across the 10x "
+        "decade — the map-pack projection is supposed to scale linearly"
+    )
 
     lines = [
         "\n## Fixed-width demux pipeline probe (`tools/demux_probe.py`)\n",
@@ -292,17 +314,18 @@ def main() -> None:
         f"\n{verdict} — the demux plan has no shuffle (input splits drive "
         "parallelism; partitionBy writes straight from scan tasks), so "
         "survey skew does not concentrate work; probe asserts ratio < 1.8.",
-        "\n### Wide-record / packed-table tier (r6)\n",
+        "\n### Wide-record / packed-table tiers (r6; 10x decade + MB/s r7)\n",
         "A second dictionary with a RECH0-like 172-char record (WREC0, 22 "
         "fields) and a 520-item record (WREC5) that crosses the reference's "
         ">500-column JSON-table threshold — demux writes WREC5 PACKED (keys "
         "first-class + one map<string,string> payload, the Spark-native "
         "jsonb; asserted on the written parquet). Same shuffle-free plan; "
-        "lines are ~14x wider than the balanced tiers', so compare MB/s, "
-        "not klines/s, across sections.\n",
-        "| tier | lines | s | klines/s |",
-        "|---|---|---|---|",
+        "lines are ~14x wider than the balanced tiers', so MB/s is the "
+        "comparable throughput axis across sections.\n",
+        "| tier | lines | MB | s | klines/s | MB/s |",
+        "|---|---|---|---|---|---|",
         *wide_rows,
+        f"\n{wide_verdict}; probe asserts ratio > 0.65.",
     ]
     with open("/root/repo/SCALING.md", "a") as f:
         f.write("\n".join(lines) + "\n")

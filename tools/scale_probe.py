@@ -151,6 +151,10 @@ SLOW_TAIL = {
     "source_overlap_matrix": "documents",
     "cdc_chunks": "documents",
     "ann_calibration": "embeddings",
+    # r7 (VERDICT r6 ask #3): the one in-window query above ~1.4s at sf0.1
+    # with no 1000x row — linear digest shuffle + bounded Jaccard slice,
+    # expected flat
+    "leakage_safe_split": "documents",
 }
 
 
