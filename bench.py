@@ -103,6 +103,7 @@ BENCH_QUERIES = [
     "minhash_calibration",
     "ann_calibration",
     "leakage_safe_split",
+    "source_pagerank",
     "embedding_quantization",
     "quality_classifier",
     "containment_pairs",

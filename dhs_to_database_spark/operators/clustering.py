@@ -429,3 +429,153 @@ def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labeled.join(leak, "component").select(
         "doc_id", "component", "split", "naive_split", "naive_leaky"
     )
+
+
+# ---------------------------------------------------------------------------
+# Source-graph PageRank (r7) — centrality-based source quality weighting,
+# the classic signal for weighting crawl domains in a pre-training mix
+# (Common Crawl pipelines weight by harmonic centrality / PageRank of the
+# host graph; cf. "Quality at a Glance" and the CC host-level ranking
+# work). Nodes are the source catalog; directed edge weight src->dst is
+# the number of distinct _EXCISE_N-grams the two sources share (the
+# source_overlap_matrix derivation — bounded per-gram source sets, never
+# a corpus-scale self-join), symmetrized. Rank then runs a FIXED number
+# of damped power-iteration steps, each one shuffle join + one grouped
+# sum over the edge list — the GraphX/Pregel shape on plain DataFrames.
+#
+# Oracle-exactness (the first ITERATIVE algorithm in the repo to be
+# hash-gated rather than rows-only): every rank value lives in 64-bit
+# FIXED-POINT (1e-12 resolution) and every update is pure integer math —
+# contribution = (w * r) div out_w, new rank = (15*SCALE) div (100*N) +
+# (85 * sum(contributions)) div 100 — so the result is bit-identical
+# across engines, partitionings, and summation orders (the KMV
+# integer-math discipline applied to a fixed-point recurrence; floor
+# division IS the defined semantic, not an approximation of float PR).
+# The DuckDB oracle unrolls the same _PR_ITERS steps as CTE levels.
+# Overflow bound: w * r < 2^63 requires per-pair shared-gram counts
+# below ~9.2e6 at full rank mass; at corpora beyond that, drop _PR_SCALE
+# a decade per decade of edge weight (production knob, same report).
+# Dangling/isolated sources hold the (1-d)/N base rank — the standard
+# no-redistribution simplification, stated identically in both engines.
+# ---------------------------------------------------------------------------
+
+_PR_ITERS = 5
+_PR_SCALE = 10**12  # fixed-point: rank 1.0 == 1e12
+
+
+def _pr_oracle() -> str:
+    from .dedup import _EXCISE_N
+
+    base = f"({15 * _PR_SCALE} // (100 * (SELECT n FROM nn)))"
+    iters = []
+    for k in range(1, _PR_ITERS + 1):
+        iters.append(f"""
+    r{k} AS (
+      SELECT n.source,
+             CAST({base}
+                  + (85 * COALESCE(SUM((p.w * pr.r) // o.ow), 0)) // 100
+                  AS BIGINT) AS r
+      FROM nodes n
+      LEFT JOIN pairs p ON p.dst = n.source
+      LEFT JOIN r{k - 1} pr ON pr.source = p.src
+      LEFT JOIN outw o ON o.src = p.src
+      GROUP BY n.source
+    )""")
+    return f"""
+    WITH toks AS (
+      SELECT source, string_split_regex(trim(text), '\\s+') AS t
+      FROM documents WHERE text IS NOT NULL
+    ),
+    occ AS (
+      SELECT DISTINCT source, array_to_string(t[i:i+{_EXCISE_N - 1}], ' ') AS gram
+      FROM toks, UNNEST(generate_series(1, len(t) - {_EXCISE_N - 1})) AS u(i)
+    ),
+    pairs AS (
+      SELECT a.source AS src, b.source AS dst, CAST(COUNT(*) AS BIGINT) AS w
+      FROM occ a JOIN occ b ON a.gram = b.gram AND a.source <> b.source
+      GROUP BY 1, 2
+    ),
+    nodes AS (SELECT DISTINCT source FROM documents),
+    nn AS (SELECT COUNT(*) AS n FROM nodes),
+    outw AS (SELECT src, SUM(w) AS ow FROM pairs GROUP BY src),
+    r0 AS (
+      SELECT source, CAST({_PR_SCALE} // (SELECT n FROM nn) AS BIGINT) AS r
+      FROM nodes
+    ),{",".join(iters)}
+    SELECT source, r AS rank_fp,
+           CAST(r AS DOUBLE) / {_PR_SCALE}.0 AS rank
+    FROM r{_PR_ITERS}
+    """
+
+
+@query("source_pagerank", oracle=_pr_oracle())
+def source_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Damped PageRank (d=0.85, _PR_ITERS fixed iterations, 1e-12 integer
+    fixed-point) over the shared-distinct-gram source graph — see block
+    comment for the scale shape and the integer-exactness argument.
+
+    Reference ancestry: generalizes the duplicate-group diagnostics the
+    reference runs across surveys (03_DHS_Update_Metadata.ipynb raw
+    :993-1140) from membership to graph centrality."""
+    from .dedup import _EXCISE_N, word_shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    n = _EXCISE_N
+    toks = docs.filter(F.col("text").isNotNull()).select(
+        "source", F.split(F.trim("text"), r"\s+").alias("__ws")
+    )
+    grams = toks.filter(F.size("__ws") >= n).select(
+        "source",
+        F.explode(F.array_distinct(word_shingles("__ws", n))).alias("gram"),
+    )
+    # bounded per-gram source sets (catalog-sized), ordered-pair expansion
+    # map-side — the source_overlap_matrix plan, directed both ways
+    per_gram = (
+        grams.groupBy("gram")
+        .agg(F.sort_array(F.collect_set("source")).alias("__ss"))
+        .filter(F.size("__ss") >= 2)
+    )
+    pairs = per_gram.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(__ss, x ->"
+                " transform(filter(__ss, y -> y <> x),"
+                " y -> struct(x AS src, y AS dst))))"
+            )
+        ).alias("p")
+    ).select("p.src", "p.dst")
+    edges = pairs.groupBy("src", "dst").agg(
+        F.count(F.lit(1)).cast("bigint").alias("w")
+    )
+    outw = edges.groupBy("src").agg(F.sum("w").cast("bigint").alias("ow"))
+    # one checkpoint each: edges feed every iteration, nodes every spine
+    edges_ow = edges.join(outw, "src").localCheckpoint(eager=True)
+    nodes = docs.select("source").distinct().localCheckpoint(eager=True)
+    n_sources = nodes.count()
+    base = (15 * _PR_SCALE) // (100 * n_sources)
+
+    ranks = nodes.select(
+        "source", F.lit(_PR_SCALE // n_sources).cast("bigint").alias("r")
+    )
+    for _ in range(_PR_ITERS):
+        inflow = (
+            edges_ow.join(ranks, edges_ow["src"] == ranks["source"])
+            .select(
+                F.col("dst").alias("source"),
+                F.expr("CAST((w * r) DIV ow AS BIGINT)").alias("c"),
+            )
+            .groupBy("source")
+            .agg(F.sum("c").alias("inflow"))
+        )
+        ranks = nodes.join(inflow, "source", "left").select(
+            "source",
+            (
+                F.lit(base)
+                + F.expr("(85 * coalesce(inflow, 0L)) div 100")
+            ).cast("bigint").alias("r"),
+        )
+    return ranks.select(
+        "source",
+        F.col("r").alias("rank_fp"),
+        (F.col("r").cast("double") / F.lit(float(_PR_SCALE))).alias("rank"),
+    )

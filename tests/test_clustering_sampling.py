@@ -608,3 +608,62 @@ def test_decontaminate_pairs_consistent_with_doc_level(spark):
     }
     assert {r["bench_doc"] for r in pairs} <= test_ids
     assert pairs  # non-vacuous on this corpus
+
+
+def test_source_pagerank_matches_integer_mirror(spark):
+    """r7: the fixed-point PageRank recurrence must equal a direct python
+    integer-math mirror on a crafted source graph — A-B and B-C share one
+    distinct 6-gram each (B has out-weight 2), D is isolated with its own
+    gram, E has no gram at all. Every value is exact bigint arithmetic,
+    so the comparison is equality, not tolerance."""
+    import dhs_to_database_spark.operators.clustering as cl
+
+    docs = spark.createDataFrame(
+        [
+            (1, "w1 w2 w3 w4 w5 w6", "srcA"),
+            (2, "w1 w2 w3 w4 w5 w6", "srcB"),  # shares gram g with srcA
+            (3, "a b c d e f", "srcB"),
+            (4, "a b c d e f", "srcC"),  # shares gram h with srcB
+            (5, "x y z p q r", "srcD"),  # own gram, no overlap
+            (6, "too short", "srcE"),  # no 6-gram: node only
+            (7, None, "srcE"),  # NULL text must not break node derivation
+        ],
+        "doc_id bigint, text string, source string",
+    )
+    orig = cl.load_table
+    try:
+        cl.load_table = lambda spark, sf_dir, name: docs
+        got = {
+            r["source"]: (r["rank_fp"], r["rank"])
+            for r in cl.source_pagerank(spark, "unused").collect()
+        }
+    finally:
+        cl.load_table = orig
+
+    scale = cl._PR_SCALE
+    nodes = ["srcA", "srcB", "srcC", "srcD", "srcE"]
+    edges = {
+        ("srcA", "srcB"): 1,
+        ("srcB", "srcA"): 1,
+        ("srcB", "srcC"): 1,
+        ("srcC", "srcB"): 1,
+    }
+    outw: dict[str, int] = {}
+    for (s, _), w in edges.items():
+        outw[s] = outw.get(s, 0) + w
+    r = {s: scale // len(nodes) for s in nodes}
+    base = 15 * scale // (100 * len(nodes))
+    for _ in range(cl._PR_ITERS):
+        inflow = {s: 0 for s in nodes}
+        for (s, d), w in edges.items():
+            inflow[d] += (w * r[s]) // outw[s]
+        r = {s: base + (85 * inflow[s]) // 100 for s in nodes}
+
+    assert set(got) == set(nodes)
+    for s in nodes:
+        assert got[s][0] == r[s], (s, got[s][0], r[s])
+        assert got[s][1] == r[s] / float(scale)
+    # structure sanity: B (two in-edges) outranks A/C (one), which outrank
+    # the isolated D/E at base rank
+    assert got["srcB"][0] > got["srcA"][0] == got["srcC"][0] > got["srcD"][0]
+    assert got["srcD"][0] == got["srcE"][0] == base

@@ -98,6 +98,7 @@ PROBES = {
     "minhash_calibration": "documents",
     "ann_calibration": "embeddings",
     "leakage_safe_split": "documents",
+    "source_pagerank": "documents",
     "embedding_quantization": "embeddings",
     "quality_classifier": "documents",
     "containment_pairs": "documents",
@@ -155,6 +156,9 @@ SLOW_TAIL = {
     # with no 1000x row — linear digest shuffle + bounded Jaccard slice,
     # expected flat
     "leakage_safe_split": "documents",
+    # r7 addition: edge derivation is the source_overlap_matrix plan (its
+    # sf1 row rises); the 5 fixed-point iterations are catalog-sized joins
+    "source_pagerank": "documents",
 }
 
 
