@@ -104,6 +104,7 @@ BENCH_QUERIES = [
     "ann_calibration",
     "leakage_safe_split",
     "source_pagerank",
+    "bpe_merge_calibration",
     "embedding_quantization",
     "quality_classifier",
     "containment_pairs",

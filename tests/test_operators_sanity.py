@@ -977,3 +977,51 @@ def test_ann_calibration_sample_fraction_knob(spark):
     assert half["exact"]["recall_at_k"] == 1.0
     # the exact panel really is smaller: mean candidates per query drops
     assert half["exact"]["mean_candidates"] < full["exact"]["mean_candidates"]
+
+
+def test_bpe_greedy_parity_rewrite_matches_merge_pair():
+    """r7: the bpe_merge_calibration oracle applies a merge with the
+    non-recursive greedy-parity list rewrite; it must equal the python
+    LTR `_merge_pair` on adversarial inputs — especially self-overlapping
+    runs like (a,a) over 'aaaaa', where naive string replace() diverges."""
+    import random
+
+    import duckdb
+
+    from dhs_to_database_spark.operators.bpe import _merge_pair
+
+    cases = [
+        (["a", "a", "a", "a", "a"], "a", "a"),
+        (["a", "a", "a", "a"], "a", "a"),
+        (["a", "b", "a", "b", "a"], "a", "b"),
+        (["x"], "a", "b"),
+        ([], "a", "b"),
+        (["b", "a", "a", "a", "b", "a", "a"], "a", "a"),
+    ]
+    rng = random.Random(7)
+    for _ in range(60):  # 2-symbol alphabet maximizes run overlaps
+        syms = [rng.choice("ab") for _ in range(rng.randint(0, 12))]
+        cases.append((syms, "a", "a"))
+        cases.append((syms, "a", "b"))
+
+    con = duckdb.connect()
+    for syms, a, b in cases:
+        lit = "[" + ",".join(f"'{s}'" for s in syms) + "]::VARCHAR[]"
+        sql = f"""
+        WITH t AS (SELECT {lit} AS syms, '{a}' AS a, '{b}' AS b),
+        s1 AS (SELECT syms, list_filter(generate_series(1, len(syms) - 1),
+                 i -> syms[i] = a AND syms[i + 1] = b) AS mt FROM t),
+        s2 AS (SELECT syms, mt,
+                 list_filter(mt, j -> NOT list_contains(mt, j - 1)) AS st FROM s1),
+        s3 AS (SELECT syms,
+                 list_filter(mt, m ->
+                   (m - list_max(list_filter(st, s -> s <= m))) % 2 = 0) AS tk
+               FROM s2)
+        SELECT flatten(list_transform(generate_series(1, len(syms)), i ->
+          CASE WHEN list_contains(tk, i) THEN [syms[i] || syms[i + 1]]
+               WHEN list_contains(tk, i - 1) THEN []
+               ELSE [syms[i]] END))
+        FROM s3
+        """
+        got = con.execute(sql).fetchone()[0]
+        assert got == _merge_pair(list(syms), a, b), (syms, a, b, got)

@@ -99,6 +99,7 @@ PROBES = {
     "ann_calibration": "embeddings",
     "leakage_safe_split": "documents",
     "source_pagerank": "documents",
+    "bpe_merge_calibration": "documents",
     "embedding_quantization": "embeddings",
     "quality_classifier": "documents",
     "containment_pairs": "documents",
