@@ -1025,3 +1025,50 @@ def test_bpe_greedy_parity_rewrite_matches_merge_pair():
         """
         got = con.execute(sql).fetchone()[0]
         assert got == _merge_pair(list(syms), a, b), (syms, a, b, got)
+
+
+def test_embedding_quantization_zero_vector_parity(spark):
+    """r7 (ADVICE r6): an all-zero embedding (scale = 0) must produce the
+    SAME well-defined row in both engines — recon = zero vector exactly,
+    errors 0, cos_recon = 1.0 by convention — instead of divergent
+    NULL/NaN fold semantics. Runs the Spark operator AND the registered
+    DuckDB oracle on the same crafted frame and compares."""
+    import duckdb
+
+    import dhs_to_database_spark.operators.similarity as sim
+    from dhs_to_database_spark.operators.registry import ORACLES
+
+    rows = [
+        (1, [0.0] * 64),  # degenerate: scale = 0
+        (2, [0.5] * 32 + [-1.0] * 32),  # ordinary vector
+    ]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    orig = sim.load_table
+    try:
+        sim.load_table = lambda spark, sf_dir, name: emb
+        got = {
+            r["vec_id"]: r.asDict()
+            for r in sim.embedding_quantization(spark, "unused").collect()
+        }
+    finally:
+        sim.load_table = orig
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE embeddings AS SELECT * FROM (VALUES "
+        + ", ".join(
+            f"({vid}, {vals}::DOUBLE[])" for vid, vals in rows
+        )
+        + ") t(vec_id, embedding)"
+    )
+    want = {
+        r[0]: dict(zip(["vec_id", "scale", "max_abs_err", "mse", "cos_recon"], r))
+        for r in con.execute(ORACLES["embedding_quantization"]).fetchall()
+    }
+    assert set(got) == {1, 2}
+    for vid in (1, 2):
+        for col in ("scale", "max_abs_err", "mse", "cos_recon"):
+            assert got[vid][col] == want[vid][col], (vid, col, got[vid], want[vid])
+    assert got[1]["scale"] == 0.0
+    assert got[1]["max_abs_err"] == 0.0 and got[1]["mse"] == 0.0
+    assert got[1]["cos_recon"] == 1.0
