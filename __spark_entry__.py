@@ -93,6 +93,7 @@ _GRADE_TAIL = [
     "quality_score",  # text-quality family: tfidf_topk/bm25_search/doc_perplexity graded in-window
     "pricing_summary",  # TPC-H-ish agg family: flagship_cross_level + cube_agg + agg_having graded in-window
     "embedding_topk",  # similarity family: ann_calibration (SQL-verifies the exact top-k inside it) graded in-window
+    "spectral_power_calibration",  # r7 addition (eigendecomposition family made oracle-exact: integer power-method-with-squaring on the embedding Gram); similarity family: ann_calibration + embedding family graded in-window — rotate in r8
     "bpe_merge_calibration",  # r7 addition (BPE training loop made oracle-exact via unrolled CTE levels); corpus-stats family: bpe_pair_counts tail, pmi/vocab siblings graded — rotate in r8
     "source_pagerank",  # r7 addition (first oracle-backed ITERATIVE algorithm: fixed-point source-graph PageRank); graph family: dedup_components + source_overlap_matrix graded in-window — rotate in r8
     # --- r5 rotation: four-round-graded queries rest in the tail so the

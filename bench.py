@@ -105,6 +105,7 @@ BENCH_QUERIES = [
     "leakage_safe_split",
     "source_pagerank",
     "bpe_merge_calibration",
+    "spectral_power_calibration",
     "embedding_quantization",
     "quality_classifier",
     "containment_pairs",

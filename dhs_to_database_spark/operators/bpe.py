@@ -59,7 +59,7 @@ def word_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
         docs.select(
             F.explode(
                 F.split(
-                    F.regexp_replace(F.lower(F.trim(text_col)), r"\s+", " "), " "
+                    F.regexp_replace(F.lower(F.trim(text_col)), r"[ \t\n\x0b\f\r]+", " "), " "
                 )
             ).alias("w")
         )
@@ -377,7 +377,7 @@ def _bpe_cal_oracle() -> str:
         )
     return f"""
     WITH words AS (
-      SELECT unnest(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS w
+      SELECT unnest(string_split(regexp_replace(lower(trim(text)), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'), ' ')) AS w
       FROM documents
     ),
     wc AS MATERIALIZED (

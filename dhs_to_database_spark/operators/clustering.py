@@ -483,7 +483,7 @@ def _pr_oracle() -> str:
     )""")
     return f"""
     WITH toks AS (
-      SELECT source, string_split_regex(trim(text), '\\s+') AS t
+      SELECT source, string_split_regex(trim(text), '[ \\t\\n\\x0b\\f\\r]+') AS t
       FROM documents WHERE text IS NOT NULL
     ),
     occ AS (
@@ -522,7 +522,7 @@ def source_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     n = _EXCISE_N
     toks = docs.filter(F.col("text").isNotNull()).select(
-        "source", F.split(F.trim("text"), r"\s+").alias("__ws")
+        "source", F.split(F.trim("text"), r"[ \t\n\x0b\f\r]+").alias("__ws")
     )
     grams = toks.filter(F.size("__ws") >= n).select(
         "source",

@@ -66,11 +66,11 @@ def _materialized_artifact(spark: SparkSession, kind: str, corpus: str, build) -
     "dedup_exact",
     oracle="""
     SELECT doc_id,
-           md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint
+           md5(regexp_replace(lower(trim(text)), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')) AS fingerprint
     FROM (
       SELECT doc_id, text,
              ROW_NUMBER() OVER (
-               PARTITION BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+               PARTITION BY md5(regexp_replace(lower(trim(text)), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'))
                ORDER BY doc_id
              ) AS rn
       FROM documents
@@ -195,7 +195,7 @@ def word_shingles(text_col: str = "text", n: int = 3) -> Column:
 def tokenize_words(col: Column | str) -> Column:
     """Whitespace tokenization with the corpus normalization rule."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.split(F.regexp_replace(F.lower(F.trim(c)), r"\s+", " "), " ")
+    return F.split(F.regexp_replace(F.lower(F.trim(c)), r"[ \t\n\x0b\f\r]+", " "), " ")
 
 
 def minhash_signatures(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -661,7 +661,7 @@ _SPAN_N = 4
     "duplicate_spans",
     oracle=f"""
     WITH toks AS (
-      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+      SELECT doc_id, string_split_regex(trim(text), '[ \\t\\n\\x0b\\f\\r]+') AS t FROM documents
     ), grams AS (
       SELECT doc_id, array_to_string(t[i:i+{_SPAN_N - 1}], ' ') AS gram
       FROM toks, UNNEST(generate_series(1, len(t) - {_SPAN_N - 1})) AS u(i)
@@ -715,7 +715,7 @@ def duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     "max_dup_span_stats",
     oracle=f"""
     WITH toks AS (
-      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+      SELECT doc_id, string_split_regex(trim(text), '[ \\t\\n\\x0b\\f\\r]+') AS t
       FROM documents WHERE text IS NOT NULL
     ),
     occ AS (
@@ -908,10 +908,10 @@ def _rebuild_without_cuts(docs: DataFrame, cut_idx: DataFrame) -> DataFrame:
     ``excise_exact_substrings`` and ``remove_boilerplate_grams``. ONE doc_id
     equi-join (cut sets are per-doc arrays, bounded by doc length, never
     corpus-scale); the rewrite is a JVM higher-order lambda over the token
-    array. ``F.split(trim, '\\s+')`` matches explode_ngrams_pos's tokenizer
+    array. ``F.split(trim, '[ \\t\\n\\x0b\\f\\r]+')`` matches explode_ngrams_pos's tokenizer
     EXACTLY (java-regex semantics, see _java_ws_tokens) — the cut indexes
     are positions into this array."""
-    toks = docs.select("doc_id", F.split(F.trim("text"), r"\s+").alias("__ws"))
+    toks = docs.select("doc_id", F.split(F.trim("text"), r"[ \t\n\x0b\f\r]+").alias("__ws"))
     return (
         toks.join(cut_idx, "doc_id", "left")
         .select(
@@ -934,7 +934,7 @@ def _rebuild_without_cuts(docs: DataFrame, cut_idx: DataFrame) -> DataFrame:
     "exact_substring_excise",
     oracle=f"""
     WITH toks AS (
-      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+      SELECT doc_id, string_split_regex(trim(text), '[ \\t\\n\\x0b\\f\\r]+') AS t FROM documents
     ),
     occ AS (
       SELECT doc_id, i - 1 AS pos, array_to_string(t[i:i+{_EXCISE_N - 1}], ' ') AS gram
@@ -1015,7 +1015,7 @@ def remove_boilerplate_grams(
     cleaned_text); NULL-text docs are dropped, docs shorter than ``n``
     tokens pass through uncut."""
     docs = docs.filter(F.col("text").isNotNull())
-    toks = docs.select("doc_id", F.split(F.trim("text"), r"\s+").alias("__ws"))
+    toks = docs.select("doc_id", F.split(F.trim("text"), r"[ \t\n\x0b\f\r]+").alias("__ws"))
     # long_enough feeds BOTH the DF count and the occurrence probe: without
     # a cut the scan+split kernel runs twice (the excise dual-consumer
     # lesson) — localCheckpoint materializes the token arrays once.
@@ -1061,7 +1061,7 @@ def remove_boilerplate_grams(
     "boilerplate_prune",
     oracle=f"""
     WITH toks AS (
-      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+      SELECT doc_id, string_split_regex(trim(text), '[ \\t\\n\\x0b\\f\\r]+') AS t
       FROM documents WHERE text IS NOT NULL
     ),
     tot AS (SELECT COUNT(*) AS nd FROM toks),
@@ -1268,7 +1268,7 @@ def _minhash_md5_scored_pairs(d: DataFrame, wide: bool = False) -> DataFrame:
     oracle=f"""
     WITH toks AS (
       SELECT doc_id,
-             string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS t
+             string_split(regexp_replace(lower(trim(text)), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'), ' ') AS t
       FROM documents
     ),
     sh AS (
@@ -1367,7 +1367,7 @@ _CONT_NUM, _CONT_DEN = 9, 10
     oracle=f"""
     WITH toks AS (
       SELECT doc_id,
-             string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS t
+             string_split(regexp_replace(lower(trim(text)), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'), ' ') AS t
       FROM documents WHERE text IS NOT NULL
     ),
     sh AS (
@@ -1490,7 +1490,7 @@ def containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH toks AS (
       SELECT doc_id,
-             string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS t
+             string_split(regexp_replace(lower(trim(text)), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'), ' ') AS t
       FROM documents WHERE text IS NOT NULL
     ),
     sh AS (
@@ -1679,7 +1679,7 @@ _SH_HAMMING = _SH_BANDS - 1  # exact pigeonhole: no recall gap
     oracle=f"""
     WITH words AS (
       SELECT doc_id,
-             unnest(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS w
+             unnest(string_split(regexp_replace(lower(trim(text)), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'), ' ')) AS w
       FROM documents
     ),
     hashes AS (
@@ -1818,7 +1818,7 @@ _SETSIM_T = 0.6
     oracle=f"""
     WITH toks AS (
       SELECT doc_id,
-             string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS t
+             string_split(regexp_replace(lower(trim(text)), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'), ' ') AS t
       FROM documents
     ),
     sh AS (
@@ -2037,7 +2037,7 @@ def bloom_probe(df: DataFrame, bloom: bytes, fp_col: str = "fingerprint",
     oracle="""
     WITH fp AS (
       SELECT doc_id,
-             md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint
+             md5(regexp_replace(lower(trim(text)), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')) AS fingerprint
       FROM documents
     ),
     thr AS (SELECT CAST(FLOOR(0.8 * COUNT(*)) AS BIGINT) AS t FROM documents),
@@ -2096,7 +2096,7 @@ def dedup_incremental_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH fp AS (
       SELECT source,
-             md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint
+             md5(regexp_replace(lower(trim(text)), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')) AS fingerprint
       FROM documents
     ), grp AS (
       SELECT fingerprint, CAST(COUNT(*) AS BIGINT) AS gsz
@@ -2162,7 +2162,7 @@ def dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     "span_dedup_report",
     oracle=f"""
     WITH toks AS (
-      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+      SELECT doc_id, string_split_regex(trim(text), '[ \\t\\n\\x0b\\f\\r]+') AS t
       FROM documents WHERE text IS NOT NULL
     ),
     occ AS (
@@ -2238,7 +2238,7 @@ def span_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     "source_overlap_matrix",
     oracle=f"""
     WITH toks AS (
-      SELECT source, string_split_regex(trim(text), '\\s+') AS t
+      SELECT source, string_split_regex(trim(text), '[ \\t\\n\\x0b\\f\\r]+') AS t
       FROM documents WHERE text IS NOT NULL
     ),
     occ AS (
@@ -2256,7 +2256,7 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     comment; the oracle states the same thing as the naive self-join)."""
     docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     n = _EXCISE_N
-    toks = docs.select("source", F.split(F.trim("text"), r"\s+").alias("__ws"))
+    toks = docs.select("source", F.split(F.trim("text"), r"[ \t\n\x0b\f\r]+").alias("__ws"))
     # size filter first: word_shingles' short-doc guard is inert, windows
     # match the oracle's generate_series exactly
     grams = toks.filter(F.size("__ws") >= n).select(

@@ -771,8 +771,8 @@ def dq_checks_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH t AS (
       SELECT lang, source,
-             len(string_split_regex(trim(text), '\\s+')) AS toks,
-             md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+             len(string_split_regex(trim(text), '[ \\t\\n\\x0b\\f\\r]+')) AS toks,
+             md5(regexp_replace(lower(trim(text)), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')) AS fp
       FROM documents
     ),
     s AS (

@@ -238,7 +238,7 @@ def decile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH m AS (
       SELECT doc_id, length(text) AS x,
-             len(string_split_regex(trim(text), '\\s+')) AS y
+             len(string_split_regex(trim(text), '[ \\t\\n\\x0b\\f\\r]+')) AS y
       FROM documents
     ),
     r AS (
@@ -261,7 +261,7 @@ def spearman_length_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = d.select(
         "doc_id",
         F.length("text").alias("x"),
-        F.size(F.split(F.trim("text"), r"\s+")).alias("y"),
+        F.size(F.split(F.trim("text"), r"[ \t\n\x0b\f\r]+")).alias("y"),
     )
     rx, total, hx = global_rank_parts(m, ["x", "doc_id"], rank_name="rx")
     ry, _, hy = global_rank_parts(rx, ["y", "doc_id"], rank_name="ry")

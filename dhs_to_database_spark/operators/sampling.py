@@ -133,7 +133,7 @@ _SEQ_TOKENS = 512
       SELECT doc_id,
              CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'shard'), 1, 4)) AS BIGINT)
                % {_PACK_SHARDS} AS shard,
-             len(string_split_regex(trim(text), '\\s+')) AS n_tokens
+             len(string_split_regex(trim(text), '[ \\t\\n\\x0b\\f\\r]+')) AS n_tokens
       FROM documents
     )
     SELECT doc_id, shard, n_tokens,
@@ -188,13 +188,13 @@ def sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, lang, text
       FROM documents
       WHERE length(text) >= 100 AND length(text) <= 20000
-        AND len(string_split_regex(trim(text), '\\s+')) >= 20
+        AND len(string_split_regex(trim(text), '[ \\t\\n\\x0b\\f\\r]+')) >= 20
     ),
     deduped AS (
       SELECT doc_id, lang FROM (
         SELECT doc_id, lang,
                ROW_NUMBER() OVER (
-                 PARTITION BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+                 PARTITION BY md5(regexp_replace(lower(trim(text)), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'))
                  ORDER BY doc_id
                ) AS rn
         FROM passed
@@ -258,7 +258,7 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH toks AS (
       SELECT doc_id, lang,
-             CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+             CAST(len(string_split_regex(trim(text), '[ \\t\\n\\x0b\\f\\r]+')) AS BIGINT) AS n_tokens
       FROM documents
     ),
     lang_tot AS (
@@ -351,7 +351,7 @@ def token_ngrams(col: Column, n: int) -> Column:
     descending-``sequence`` edge: Spark's sequence(1, 0) yields [1, 0],
     not []).
     """
-    t = F.split(F.trim(col), r"\s+")
+    t = F.split(F.trim(col), r"[ \t\n\x0b\f\r]+")
     return F.when(F.size(t) < n, F.array().cast("array<string>")).otherwise(
         F.transform(
             F.sequence(F.lit(1), F.size(t) - (n - 1)),
@@ -395,7 +395,7 @@ def explode_ngrams(
 
 
 def _java_ws_tokens(tx: str | None) -> list[str]:
-    """Exact Python replica of Spark's ``split(trim(x), '\\s+')``:
+    """Exact Python replica of Spark's ``split(trim(x), '[ \\t\\n\\x0b\\f\\r]+')``:
     trim strips ASCII spaces only; the split class is Java's ``\\s`` =
     ``[ \\t\\n\\x0b\\f\\r]`` (NOT Python's unicode-aware ``str.split``).
     '' and all-separator inputs yield [''], as Spark does."""
@@ -418,7 +418,7 @@ def explode_ngrams_pos(
     matters, not just that it exists). Same vectorized Arrow kernel; a
     narrow map, no shuffle, any partitioning.
 
-    Tokenization is ``split(trim(text), '\\s+')`` with JAVA regex
+    Tokenization is ``split(trim(text), '[ \\t\\n\\x0b\\f\\r]+')`` with JAVA regex
     semantics (`_java_ws_tokens`) — NOT Python ``str.split`` — because
     consumers index these positions back into Spark's ``F.split`` output:
     the two must agree token-for-token (leading non-space whitespace
@@ -522,7 +522,7 @@ _DECON_CAP = 64
                < {int(0.8 * _BUCKETS)} AS is_train
       FROM documents
     ), toks AS (
-      SELECT doc_id, is_train, string_split_regex(trim(text), '\\s+') AS t
+      SELECT doc_id, is_train, string_split_regex(trim(text), '[ \\t\\n\\x0b\\f\\r]+') AS t
       FROM split
     ), grams AS (
       SELECT DISTINCT doc_id, is_train,
@@ -574,7 +574,7 @@ def benchmark_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
                < {int(0.8 * _BUCKETS)} AS is_train
       FROM documents
     ), toks AS (
-      SELECT doc_id, is_train, string_split_regex(trim(text), '\\s+') AS t
+      SELECT doc_id, is_train, string_split_regex(trim(text), '[ \\t\\n\\x0b\\f\\r]+') AS t
       FROM split
     ), grams AS (
       SELECT DISTINCT doc_id, is_train,
@@ -685,7 +685,7 @@ def sample_k_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _quality_gate(text: Column) -> Column:
     """Same gate as text_analysis.quality_score's passes_quality."""
-    toks = F.size(F.split(F.trim(text), r"\s+"))
+    toks = F.size(F.split(F.trim(text), r"[ \t\n\x0b\f\r]+"))
     return (F.length(text) >= 100) & (F.length(text) <= 20000) & (toks >= 20)
 
 
@@ -694,13 +694,13 @@ def _quality_gate(text: Column) -> Column:
     oracle="""
     WITH toks AS (
       SELECT doc_id, text,
-             unnest(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS term
+             unnest(string_split(regexp_replace(lower(trim(text)), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'), ' ')) AS term
       FROM documents
     ),
     toks_nz AS (
       SELECT doc_id, term,
              (length(text) >= 100 AND length(text) <= 20000
-              AND len(string_split_regex(trim(text), '\\s+')) >= 20) AS is_target
+              AND len(string_split_regex(trim(text), '[ \\t\\n\\x0b\\f\\r]+')) >= 20) AS is_target
       FROM toks WHERE term <> ''
     ),
     raw_cnt AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS c_raw FROM toks_nz GROUP BY term),
@@ -740,7 +740,7 @@ def importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             _quality_gate(F.col("text")).alias("is_target"),
             F.split(
-                F.regexp_replace(F.lower(F.trim("text")), r"\s+", " "), " "
+                F.regexp_replace(F.lower(F.trim("text")), r"[ \t\n\x0b\f\r]+", " "), " "
             ).alias("t"),
         )
         .select("doc_id", "is_target", F.explode("t").alias("term"))
@@ -863,7 +863,7 @@ def weighted_sample_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT lang,
              CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT)
                < {int(0.8 * _BUCKETS)} AS is_train,
-             unnest(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS term
+             unnest(string_split(regexp_replace(lower(trim(text)), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'), ' ')) AS term
       FROM documents
     ),
     toks_nz AS (SELECT lang, is_train, term FROM toks WHERE term <> ''),
@@ -902,7 +902,7 @@ def term_drift_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
             "lang",
             (split_assignment(F.col("doc_id"), 0.8) == "train").alias("is_train"),
             F.split(
-                F.regexp_replace(F.lower(F.trim("text")), r"\s+", " "), " "
+                F.regexp_replace(F.lower(F.trim("text")), r"[ \t\n\x0b\f\r]+", " "), " "
             ).alias("t"),
         )
         .select("lang", "is_train", F.explode("t").alias("term"))
@@ -950,13 +950,13 @@ def term_drift_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH toks AS (
       SELECT doc_id, text,
-             unnest(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS term
+             unnest(string_split(regexp_replace(lower(trim(text)), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'), ' ')) AS term
       FROM documents
     ),
     toks_nz AS (
       SELECT doc_id, term,
              (length(text) >= 100 AND length(text) <= 20000
-              AND len(string_split_regex(trim(text), '\\s+')) >= 20) AS is_target
+              AND len(string_split_regex(trim(text), '[ \\t\\n\\x0b\\f\\r]+')) >= 20) AS is_target
       FROM toks WHERE term <> ''
     ),
     counts AS (
@@ -984,16 +984,16 @@ def term_drift_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     passed AS (
       SELECT doc_id, lang, text,
-             len(string_split_regex(trim(text), '\\s+')) AS n_tokens
+             len(string_split_regex(trim(text), '[ \\t\\n\\x0b\\f\\r]+')) AS n_tokens
       FROM documents
       WHERE length(text) >= 100 AND length(text) <= 20000
-        AND len(string_split_regex(trim(text), '\\s+')) >= 20
+        AND len(string_split_regex(trim(text), '[ \\t\\n\\x0b\\f\\r]+')) >= 20
     ),
     deduped AS (
       SELECT doc_id, lang, n_tokens FROM (
         SELECT doc_id, lang, n_tokens,
                ROW_NUMBER() OVER (
-                 PARTITION BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+                 PARTITION BY md5(regexp_replace(lower(trim(text)), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'))
                  ORDER BY doc_id
                ) AS rn
         FROM passed

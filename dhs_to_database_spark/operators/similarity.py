@@ -595,7 +595,7 @@ _RRF_DENSE_QUERY = 0  # fuse dense results for this query vector
       FROM (
         WITH toks AS (
           SELECT doc_id,
-                 unnest(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS term
+                 unnest(string_split(regexp_replace(lower(trim(text)), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'), ' ')) AS term
           FROM documents
         ),
         toks_nz AS (SELECT doc_id, term FROM toks WHERE term <> ''),
@@ -1433,4 +1433,181 @@ def embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("double")
         .alias("cos_recon"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Spectral power-method calibration (r7) — closes the eigendecomposition
+# rows-only family (pca_embedding_reduce's spectral core) with an
+# oracle-exact twin, the same unroll-and-fix-point discipline as
+# source_pagerank and bpe_merge_calibration. The estimator: the top
+# eigenvector of the embedding Gram matrix X'X and its Rayleigh-quotient
+# eigenvalue, computed by the power method with REPEATED SQUARING
+# (G^(2^s)·1 — the corpus spectrum is near-isotropic, so plain power
+# iteration would need ~300 steps; 8 squarings give effective power 256).
+#
+# Exactness: embeddings quantize to integer micro-units via the proven
+# F.round==DuckDB ROUND half-away-from-zero pair; the Gram is then an
+# EXACT integer matrix (Q'Q, PSD by construction), and every squaring /
+# normalization step is integer arithmetic at a 1e9 fixed-point scale
+# with explicit sign-carried truncating division (python floors, DuckDB
+# truncates — trunc(a/b) = sign(a)*floor(|a|/b) is spelled out on both
+# sides). The eigenvalue is reported scale-free as lambda/N (mean squared
+# projection per row — bigint-safe at any corpus size; lambda itself is
+# N * that, reported as a derived double).
+#
+# Scale: ONE corpus pass (Arrow int64 GEMM partials per batch — exact
+# integer, order-free; |q|<=~1e6 so a 10k-row batch peaks at 1e16 per
+# cell, far under int64); the driver sums partials in python ints and
+# runs the 64x64 squaring loop (SF-independent). Estimator quality
+# (cos >= 0.999 vs numpy eigh) is pinned in tests; the oracle pins the
+# cross-engine computation bit-for-bit. Precondition: a non-degenerate
+# corpus (some nonzero embedding) — asserted Spark-side.
+# ---------------------------------------------------------------------------
+
+_SPC_Q = 10**6  # input quantization: x -> round(x * 1e6) micro-units
+_SPC_SCALE = 10**9  # working fixed-point scale for G and v
+_SPC_SQUARINGS = 8  # effective power 2^8 = 256 (spectrum gap ~0.98^256 -> 0)
+_SPC_LDP = 10**4  # lambda fixed-point decimals
+
+
+def _spc_oracle() -> str:
+    sq = []
+    for k in range(_SPC_SQUARINGS):
+        sq.append(f"""
+    m{k} AS MATERIALIZED (
+      SELECT a.i AS i, b.j AS j, SUM(a.g::HUGEINT * b.g) AS h
+      FROM s{k} a JOIN s{k} b ON a.j = b.i GROUP BY 1, 2
+    ),
+    s{k + 1} AS MATERIALIZED (
+      SELECT i, j,
+             CAST(CASE WHEN h >= 0 THEN (h * {_SPC_SCALE}) // mx
+                  ELSE -(((-h) * {_SPC_SCALE}) // mx) END AS BIGINT) AS g
+      FROM m{k}, (SELECT MAX(abs(h)) AS mx FROM m{k})
+    )""")
+    return f"""
+    WITH e AS (
+      SELECT list_transform(embedding::DOUBLE[],
+                            x -> CAST(ROUND(x * {_SPC_Q}.0) AS BIGINT)) AS q
+      FROM embeddings
+    ),
+    nn AS (SELECT COUNT(*) AS n FROM e),
+    dims AS (SELECT unnest(generate_series(0, len(q) - 1)) AS d
+             FROM (SELECT q FROM e LIMIT 1)),
+    g0 AS MATERIALIZED (
+      SELECT i.d AS i, j.d AS j, SUM(q[i.d + 1] * q[j.d + 1]) AS g
+      FROM e, dims i, dims j GROUP BY 1, 2
+    ),
+    s0 AS MATERIALIZED (
+      SELECT i, j,
+             CAST(CASE WHEN g >= 0 THEN (g::HUGEINT * {_SPC_SCALE}) // mx
+                  ELSE -(((-g)::HUGEINT * {_SPC_SCALE}) // mx) END AS BIGINT) AS g
+      FROM g0, (SELECT MAX(abs(g)) AS mx FROM g0)
+    ),{",".join(sq)},
+    w AS MATERIALIZED (SELECT i, SUM(g::HUGEINT) AS w FROM s{_SPC_SQUARINGS} GROUP BY i),
+    pick AS (SELECT CASE WHEN w >= 0 THEN 1 ELSE -1 END AS sg, abs(w) AS mx
+             FROM (SELECT i, w FROM w ORDER BY abs(w) DESC, i LIMIT 1)),
+    v AS MATERIALIZED (
+      SELECT i,
+             CAST(sg * (CASE WHEN w >= 0 THEN (w * {_SPC_SCALE}) // mx
+                        ELSE -(((-w) * {_SPC_SCALE}) // mx) END) AS BIGINT) AS v_fp
+      FROM w, pick
+    ),
+    w0 AS (SELECT g.i AS i, SUM(g.g::HUGEINT * v.v_fp) AS w0
+           FROM g0 g JOIN v ON v.i = g.j GROUP BY 1),
+    ray AS (
+      SELECT CAST(num // ((den // {_SPC_LDP}) * (SELECT n FROM nn)) AS BIGINT)
+               AS lambda_mean_fp
+      FROM (SELECT SUM(w0.w0 * v.v_fp::HUGEINT) AS num,
+                   SUM(v.v_fp::HUGEINT * v.v_fp) AS den
+            FROM w0 JOIN v ON v.i = w0.i)
+    )
+    SELECT v.i AS i, v.v_fp,
+           v.v_fp / {_SPC_SCALE}.0 AS v,
+           r.lambda_mean_fp,
+           r.lambda_mean_fp / {_SPC_Q}.0 / {_SPC_Q}.0 / {_SPC_LDP}.0 AS lambda_mean,
+           CAST((SELECT n FROM nn) AS DOUBLE)
+             * (r.lambda_mean_fp / {_SPC_Q}.0 / {_SPC_Q}.0 / {_SPC_LDP}.0)
+             AS lambda_top
+    FROM v, ray r
+    """
+
+
+def _trunc_div(a: int, b: int) -> int:
+    """DuckDB `//` truncates toward zero; python floors — spell it out."""
+    return -((-a) // b) if a < 0 else a // b
+
+
+@query("spectral_power_calibration", oracle=_spc_oracle())
+def spectral_power_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top Gram eigenvector + Rayleigh eigenvalue by integer fixed-point
+    power-method-with-squaring (see block comment): per-dimension rows
+    (i, v_fp, v) plus the scale-free lambda_mean (= lambda/N) and the
+    derived lambda_top, all hash-compared against DuckDB."""
+    import numpy as np
+    import pandas as pd
+    from typing import Iterable, Iterator
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.expr(
+            f"transform(embedding, x ->"
+            f" CAST(round(CAST(x AS DOUBLE) * {_SPC_Q}.0) AS BIGINT))"
+        ).alias("q")
+    )
+
+    def gen(batches: "Iterable[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            z = np.stack(pdf["q"].to_numpy()).astype(np.int64)
+            p = z.T @ z  # exact int64: 10k-row Arrow batch peaks ~1e16/cell
+            yield pd.DataFrame({"g": [p.reshape(-1).tolist()], "n": [len(z)]})
+
+    parts = emb.mapInPandas(gen, "g array<long>, n bigint").collect()
+    assert parts, "empty embeddings table"
+    d = int(len(parts[0]["g"]) ** 0.5)
+    n = sum(r["n"] for r in parts)
+    g0 = [[0] * d for _ in range(d)]
+    for r in parts:  # python ints: no overflow across batches at any N
+        flat = r["g"]
+        for i in range(d):
+            base = i * d
+            row = g0[i]
+            for j in range(d):
+                row[j] += flat[base + j]
+
+    def rescale(mat: list) -> list:
+        mx = max(abs(x) for row in mat for x in row)
+        assert mx > 0, "degenerate corpus: all-zero Gram"
+        sc = _SPC_SCALE
+        return [
+            [(1 if x >= 0 else -1) * (abs(x) * sc // mx) for x in row]
+            for row in mat
+        ]
+
+    g = rescale(g0)
+    for _ in range(_SPC_SQUARINGS):
+        g = rescale(
+            [
+                [sum(g[i][k] * g[k][j] for k in range(d)) for j in range(d)]
+                for i in range(d)
+            ]
+        )
+    w = [sum(g[i][j] for j in range(d)) for i in range(d)]
+    mm = max(abs(x) for x in w)
+    ai = min(i for i in range(d) if abs(w[i]) == mm)
+    sg = 1 if w[ai] >= 0 else -1
+    v = [sg * _trunc_div(x * _SPC_SCALE, mm) for x in w]
+    w0 = [sum(g0[i][j] * v[j] for j in range(d)) for i in range(d)]
+    num = sum(w0[i] * v[i] for i in range(d))  # >= 0: Gram is PSD
+    den = sum(x * x for x in v)
+    lam_fp = num // ((den // _SPC_LDP) * n)
+    lam_mean = lam_fp / float(_SPC_Q) / float(_SPC_Q) / float(_SPC_LDP)
+    return spark.createDataFrame(
+        [
+            (i, v[i], v[i] / float(_SPC_SCALE), lam_fp, lam_mean, n * lam_mean)
+            for i in range(d)
+        ],
+        "i int, v_fp bigint, v double, lambda_mean_fp bigint,"
+        " lambda_mean double, lambda_top double",
     )

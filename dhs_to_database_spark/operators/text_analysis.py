@@ -24,14 +24,14 @@ from .registry import query
 
 
 def n_tokens(col: Column) -> Column:
-    return F.size(F.split(F.trim(col), r"\s+"))
+    return F.size(F.split(F.trim(col), r"[ \t\n\x0b\f\r]+"))
 
 
 @query(
     "token_count",
     oracle="""
     SELECT doc_id,
-           len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+           len(string_split_regex(trim(text), '[ \\t\\n\\x0b\\f\\r]+')) AS n_tokens,
            CAST(ceil(length(text) / 4.0) AS BIGINT) AS n_tokens_bpe_est,
            length(text) AS n_chars_actual
     FROM documents
@@ -59,12 +59,12 @@ def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT doc_id,
            length(text) AS n_chars_actual,
-           len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+           len(string_split_regex(trim(text), '[ \\t\\n\\x0b\\f\\r]+')) AS n_tokens,
            len(regexp_extract_all(text, '\\b(the|a|and|of|to)\\b')) AS n_stopwords,
            CAST(ROUND(CAST(len(regexp_extract_all(text, '\\b(the|a|and|of|to)\\b')) AS DECIMAL(18,6))
-                      / len(string_split_regex(trim(text), '\\s+')), 4) AS DOUBLE) AS stopword_ratio,
+                      / len(string_split_regex(trim(text), '[ \\t\\n\\x0b\\f\\r]+')), 4) AS DOUBLE) AS stopword_ratio,
            (length(text) >= 100 AND length(text) <= 20000
-            AND len(string_split_regex(trim(text), '\\s+')) >= 20) AS passes_quality
+            AND len(string_split_regex(trim(text), '[ \\t\\n\\x0b\\f\\r]+')) >= 20) AS passes_quality
     FROM documents
     """,
 )
@@ -145,15 +145,15 @@ def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def normalized_fingerprint(col: Column) -> Column:
-    return F.md5(F.regexp_replace(F.lower(F.trim(col)), r"\s+", " ").cast("binary"))
+    return F.md5(F.regexp_replace(F.lower(F.trim(col)), r"[ \t\n\x0b\f\r]+", " ").cast("binary"))
 
 
 @query(
     "doc_fingerprint",
     oracle="""
     SELECT doc_id,
-           md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint,
-           substr(md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')), 1, 4) AS shard_key
+           md5(regexp_replace(lower(trim(text)), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')) AS fingerprint,
+           substr(md5(regexp_replace(lower(trim(text)), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')), 1, 4) AS shard_key
     FROM documents
     """,
 )
@@ -256,7 +256,7 @@ def winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH toks AS (
       SELECT doc_id,
-             unnest(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '))
+             unnest(string_split(regexp_replace(lower(trim(text)), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'), ' '))
                AS term
       FROM documents
     )
@@ -274,7 +274,7 @@ def vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = d.select(
         "doc_id",
         F.explode(
-            F.split(F.regexp_replace(F.lower(F.trim("text")), r"\s+", " "), " ")
+            F.split(F.regexp_replace(F.lower(F.trim("text")), r"[ \t\n\x0b\f\r]+", " "), " ")
         ).alias("term"),
     ).filter(F.col("term") != "")
     return (
@@ -476,7 +476,7 @@ _REPETITION_THRESHOLD = 0.2
     oracle=f"""
     WITH t AS (
       SELECT doc_id,
-             string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS ws
+             string_split(regexp_replace(lower(trim(text)), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'), ' ') AS ws
       FROM documents
     ),
     b AS (
@@ -500,7 +500,7 @@ _REPETITION_THRESHOLD = 0.2
 )
 def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    ws = F.split(F.regexp_replace(F.lower(F.trim("text")), r"\s+", " "), " ")
+    ws = F.split(F.regexp_replace(F.lower(F.trim("text")), r"[ \t\n\x0b\f\r]+", " "), " ")
     with_bg = d.select("doc_id", ws.alias("__ws")).select(
         "doc_id",
         F.when(
@@ -545,7 +545,7 @@ _CHUNK_STRIDE = 48
     oracle=f"""
     WITH t AS (
       SELECT doc_id,
-             string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS ws
+             string_split(regexp_replace(lower(trim(text)), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'), ' ') AS ws
       FROM documents
     ),
     s AS (
@@ -563,7 +563,7 @@ _CHUNK_STRIDE = 48
 )
 def context_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    ws = F.split(F.regexp_replace(F.lower(F.trim("text")), r"\s+", " "), " ")
+    ws = F.split(F.regexp_replace(F.lower(F.trim("text")), r"[ \t\n\x0b\f\r]+", " "), " ")
     return (
         d.select("doc_id", ws.alias("__ws"))
         .select(
@@ -610,7 +610,7 @@ _CDC_MOD = 16  # boundary probability 1/16 -> expected 16-token chunks
     "cdc_chunks",
     oracle=f"""
     WITH t AS (
-      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws
+      SELECT doc_id, string_split_regex(trim(text), '[ \\t\\n\\x0b\\f\\r]+') AS ws
       FROM documents WHERE text IS NOT NULL
     ),
     e AS (
@@ -645,7 +645,7 @@ def cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 1-based boundary end positions; the doc end always closes the last
     # chunk. All pure JVM lambdas over the token array — no shuffle.
     return (
-        d.select("doc_id", F.split(F.trim("text"), r"\s+").alias("__ws"))
+        d.select("doc_id", F.split(F.trim("text"), r"[ \t\n\x0b\f\r]+").alias("__ws"))
         .select(
             "doc_id",
             F.size("__ws").alias("__n"),
@@ -705,7 +705,7 @@ def cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     "token_rarity_score",
     oracle="""
     WITH toks AS (
-      SELECT doc_id, unnest(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS term
+      SELECT doc_id, unnest(string_split(regexp_replace(lower(trim(text)), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'), ' ')) AS term
       FROM documents
     ),
     toks_nz AS (SELECT doc_id, term FROM toks WHERE term <> ''),
@@ -725,7 +725,7 @@ def token_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = d.select(
         "doc_id",
         F.explode(
-            F.split(F.regexp_replace(F.lower(F.trim("text")), r"\s+", " "), " ")
+            F.split(F.regexp_replace(F.lower(F.trim("text")), r"[ \t\n\x0b\f\r]+", " "), " ")
         ).alias("term"),
     ).filter(F.col("term") != "")
     vocab = toks.groupBy("term").agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
@@ -802,7 +802,7 @@ def misra_gries_candidates(
     oracle=f"""
     SELECT term, n FROM (
       SELECT t.term, COUNT(*) AS n
-      FROM documents, UNNEST(string_split_regex(trim(text), '\\s+')) AS t(term)
+      FROM documents, UNNEST(string_split_regex(trim(text), '[ \\t\\n\\x0b\\f\\r]+')) AS t(term)
       GROUP BY t.term
     ) c ORDER BY n DESC, term LIMIT {_TOPK_TERMS}
     """,
@@ -812,7 +812,7 @@ def frequent_terms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     cands = misra_gries_candidates(d).select("term").distinct()
     toks = d.select(
-        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("term")
+        F.explode(F.split(F.trim(F.col("text")), r"[ \t\n\x0b\f\r]+")).alias("term")
     )
     counted = (
         toks.join(F.broadcast(cands), "term")
@@ -843,7 +843,7 @@ def frequent_terms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (symbol-to-word ratio etc.).
 # ---------------------------------------------------------------------------
 
-_PRETOKEN_RE = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]+"
+_PRETOKEN_RE = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 \t\n\x0b\f\r]+"
 
 
 def regex_pretokens(col: Column) -> Column:
@@ -857,7 +857,7 @@ def regex_pretokens(col: Column) -> Column:
     SELECT doc_id,
            len(regexp_extract_all(text, '{_PRETOKEN_RE}')) AS n_pretokens,
            len(regexp_extract_all(text, '[0-9]+')) AS n_digit_runs,
-           len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]+')) AS n_symbol_runs
+           len(regexp_extract_all(text, '[^a-zA-Z0-9 \\t\\n\\x0b\\f\\r]+')) AS n_symbol_runs
     FROM documents
     """,
 )
@@ -871,7 +871,7 @@ def regex_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_digit_runs"
         ),
         F.size(
-            F.regexp_extract_all(F.col("text"), F.lit(r"[^a-zA-Z0-9\s]+"), 0)
+            F.regexp_extract_all(F.col("text"), F.lit(r"[^a-zA-Z0-9 \t\n\x0b\f\r]+"), 0)
         ).alias("n_symbol_runs"),
     )
 
@@ -899,7 +899,7 @@ _BM25_TOPK = 20
 
 def _ws_terms(col: Column) -> Column:
     """Whitespace terms, lowercased (same normalization as the rarity LM)."""
-    return F.split(F.regexp_replace(F.lower(F.trim(col)), r"\s+", " "), " ")
+    return F.split(F.regexp_replace(F.lower(F.trim(col)), r"[ \t\n\x0b\f\r]+", " "), " ")
 
 
 def _doc_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -912,7 +912,7 @@ def _doc_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 _TOKS_CTE = """
     toks AS (
       SELECT doc_id,
-             unnest(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS term
+             unnest(string_split(regexp_replace(lower(trim(text)), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'), ' ')) AS term
       FROM documents
     ),
     toks_nz AS (SELECT doc_id, term FROM toks WHERE term <> ''),
@@ -1069,7 +1069,7 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH toks AS (
       SELECT doc_id,
-             unnest(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS term
+             unnest(string_split(regexp_replace(lower(trim(text)), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'), ' ')) AS term
       FROM documents
     ),
     toks_nz AS (SELECT doc_id, term FROM toks WHERE term <> ''),
@@ -1093,7 +1093,7 @@ def word_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select(
             "doc_id",
             F.explode(
-                F.split(F.regexp_replace(F.lower(F.trim("text")), r"\s+", " "), " ")
+                F.split(F.regexp_replace(F.lower(F.trim("text")), r"[ \t\n\x0b\f\r]+", " "), " ")
             ).alias("term"),
         )
         .filter(F.col("term") != "")
@@ -1134,7 +1134,7 @@ _PMI_TOPK = 30
     oracle=f"""
     WITH toks AS (
       SELECT doc_id,
-             string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS t
+             string_split(regexp_replace(lower(trim(text)), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'), ' ') AS t
       FROM documents
     ),
     bigrams AS (
@@ -1169,7 +1169,7 @@ _PMI_TOPK = 30
 def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     toks = d.select(
-        F.split(F.regexp_replace(F.lower(F.trim("text")), r"\s+", " "), " ").alias("t")
+        F.split(F.regexp_replace(F.lower(F.trim("text")), r"[ \t\n\x0b\f\r]+", " "), " ").alias("t")
     )
     bigrams = (
         toks.select(
@@ -1247,7 +1247,7 @@ def term_cms(df: DataFrame, text_col: str = "text"):
     sketch class for point queries.
     """
     toks = df.select(
-        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("term")
+        F.explode(F.split(F.trim(F.col(text_col)), r"[ \t\n\x0b\f\r]+")).alias("term")
     )
     blob = toks.agg(
         F.expr(
@@ -1455,7 +1455,7 @@ _PPL_LAMBDA = 0.8
     oracle=f"""
     WITH toks AS (
       SELECT doc_id,
-             string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS t
+             string_split(regexp_replace(lower(trim(text)), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'), ' ') AS t
       FROM documents
     ),
     words AS (SELECT doc_id, unnest(t) AS w FROM toks),
@@ -1505,7 +1505,7 @@ def doc_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     toks = d.select(
         "doc_id",
-        F.split(F.regexp_replace(F.lower(F.trim("text")), r"\s+", " "), " ").alias("t"),
+        F.split(F.regexp_replace(F.lower(F.trim("text")), r"[ \t\n\x0b\f\r]+", " "), " ").alias("t"),
     )
     bigrams = toks.select(
         "doc_id",
@@ -1598,7 +1598,7 @@ _BPE_TOPK = 30
     "bpe_pair_counts",
     oracle=f"""
     WITH words AS (
-      SELECT unnest(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS w
+      SELECT unnest(string_split(regexp_replace(lower(trim(text)), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'), ' ')) AS w
       FROM documents
     ),
     wc AS (
@@ -1625,7 +1625,7 @@ def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     wc = (
         d.select(
             F.explode(
-                F.split(F.regexp_replace(F.lower(F.trim("text")), r"\s+", " "), " ")
+                F.split(F.regexp_replace(F.lower(F.trim("text")), r"[ \t\n\x0b\f\r]+", " "), " ")
             ).alias("w")
         )
         .filter(F.col("w") != "")

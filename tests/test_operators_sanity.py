@@ -1072,3 +1072,36 @@ def test_embedding_quantization_zero_vector_parity(spark):
     assert got[1]["scale"] == 0.0
     assert got[1]["max_abs_err"] == 0.0 and got[1]["mse"] == 0.0
     assert got[1]["cos_recon"] == 1.0
+
+
+def test_spectral_power_calibration_matches_numpy_truth(spark):
+    """r7: the integer fixed-point power-method-with-squaring estimator
+    must land on the true top Gram eigenvector (numpy eigh ground truth):
+    |cos| >= 0.999 and Rayleigh lambda within 0.1% of the true lambda_1 —
+    on a spectrum whose top gap is only ~0.93 (sf0.001), i.e. where plain
+    few-step power iteration demonstrably fails."""
+    import numpy as np
+
+    from dhs_to_database_spark.operators.similarity import (
+        spectral_power_calibration,
+    )
+    from dhs_to_database_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    rows = spectral_power_calibration(spark, sf).collect()
+    rows.sort(key=lambda r: r["i"])
+    v = np.array([r["v"] for r in rows])
+    lam_top = rows[0]["lambda_top"]
+
+    emb = [
+        r["embedding"]
+        for r in load_table(spark, sf, "embeddings").select("embedding").collect()
+    ]
+    x = np.array(emb, dtype=np.float64)
+    evals, evecs = np.linalg.eigh(x.T @ x)
+    top = evecs[:, -1]
+    cos = abs(v @ top) / (np.linalg.norm(v) * np.linalg.norm(top))
+    assert cos >= 0.999, cos
+    assert abs(lam_top - evals[-1]) / evals[-1] < 1e-3, (lam_top, evals[-1])
+    # v is max-norm-normalized in fixed point: max |v_fp| is exactly 1e9
+    assert max(abs(r["v_fp"]) for r in rows) == 10**9

@@ -66,6 +66,7 @@ NOTES = {
     "leakage_safe_split": "exact-dup edges from one digest shuffle (group-min root, linear); Jaccard slice reuses the CC truth path; split + leak audit are a projection + one component agg",
     "source_pagerank": "edge weights from the bounded per-gram source-set agg (no gram self-join); 5 power-iteration steps = 5 shuffle joins over the ONE checkpointed edge list; pure integer fixed-point, bit-stable under any partitioning",
     "bpe_merge_calibration": "ONE corpus pass (word_counts map-side agg); the 8-merge training loop runs on the bounded vocab table (driver tier asserted; DataFrame tier parity-tested in bpe_train)",
+    "spectral_power_calibration": "ONE Arrow pass of exact int64 GEMM partials (order-free integer sums); 64x64 squaring loop is SF-independent driver integer math; report is dimension-sized",
     "embedding_quantization": "ZERO shuffles: absmax scale, int8 codes, and all three error metrics are JVM higher-order lambdas in one narrow pass",
     "quality_classifier": "ONE Arrow featurize pass (hashing trick, parallelism-guarded, localCheckpointed) + 2 Newton/IRLS passes each = one mapInPandas sufficient-stats pass (numpy GEMM partials per partition, partials-sized collect); driver holds only w + the (d+1)x(d+1) solve",
     "containment_pairs": "lossless containment-prefix candidates (rarest ~(1-t)|A| shingles vs full inverted index, integer-exact bounds) + exact verify; oracle is the naive all-pairs truth",

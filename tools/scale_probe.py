@@ -100,6 +100,7 @@ PROBES = {
     "leakage_safe_split": "documents",
     "source_pagerank": "documents",
     "bpe_merge_calibration": "documents",
+    "spectral_power_calibration": "embeddings",
     "embedding_quantization": "embeddings",
     "quality_classifier": "documents",
     "containment_pairs": "documents",
