@@ -667,3 +667,29 @@ def test_source_pagerank_matches_integer_mirror(spark):
     # the isolated D/E at base rank
     assert got["srcB"][0] > got["srcA"][0] == got["srcC"][0] > got["srcD"][0]
     assert got["srcD"][0] == got["srcE"][0] == base
+
+
+def test_source_pagerank_partitioning_invariant(spark):
+    """The plan-audit claim 'pure integer fixed-point, bit-stable under
+    any partitioning' made executable: rank_fp must be IDENTICAL (not
+    close) when the corpus arrives as one partition vs scattered."""
+    import dhs_to_database_spark.operators.clustering as cl
+    from dhs_to_database_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    base = load_table(spark, sf, "documents")
+    orig = cl.load_table
+    results = []
+    try:
+        for parts in (1, 13):
+            docs = base.repartition(parts)
+            cl.load_table = lambda spark, sf_dir, name, d=docs: d
+            results.append(
+                {
+                    r["source"]: r["rank_fp"]
+                    for r in cl.source_pagerank(spark, "unused").collect()
+                }
+            )
+    finally:
+        cl.load_table = orig
+    assert results[0] == results[1]
