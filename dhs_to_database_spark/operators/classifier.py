@@ -160,17 +160,16 @@ def featurize(docs: DataFrame, text_col: str = "text") -> DataFrame:
 def _sigmoid_col(w: list[float]) -> Column:
     """P(y=1 | x) under weights w (w[0] = bias) — pure JVM arithmetic.
 
-    Codegen-stability (r7, VERDICT r6 ask #2): the whole weight vector —
-    bias included, folded into the dot product against a 1-prepended
-    feature vector — rides in ONE ArrayType literal. Non-primitive
-    literals land in the generated code's ``references`` array instead of
-    being inlined as source-text constants, so the generated Java is
-    byte-identical across GD iterations and Janino's compile cache hits
-    instead of recompiling (~0.35 s/iteration with the old per-weight
-    double literals, which inline and change the source every step). The
-    bias must NOT be a standalone ``F.lit(w[0])``: a primitive double
-    literal inlines (and constant-folds) into the source text, which is
-    exactly the recompile trigger this shape removes."""
+    Shape note (r7): the whole weight vector — bias included, folded
+    into the dot product against a 1-prepended feature vector — is ONE
+    array expression (``F.lit(list)`` expands to per-element literals
+    that the optimizer constant-folds back into a single array literal),
+    keeping the py4j expression tree compact. Measured while closing
+    VERDICT r6 ask #2: per-iteration cost in the old GD loop was JOB
+    overhead, NOT codegen recompilation (same-weights vs
+    changed-weights reruns timed identically), which is why training
+    moved to the 2-pass Newton shape below; this helper now runs only
+    in the final scoring pass and ``mean_logloss``."""
     warr = F.lit([float(v) for v in w])
     dot = F.aggregate(
         F.zip_with(

@@ -1113,11 +1113,14 @@ def ann_calibration(
     # NULL/NaN and the two engines' NaN orderings diverge; assert the
     # precondition instead of defining an arbitrary tie rule).
     pre = emb.agg(
-        F.count(F.lit(1)).alias("n"), F.min("nrm").alias("min_nrm")
+        F.count(F.lit(1)).alias("n"),
+        F.count("nrm").alias("n_nrm"),  # F.min skips NULLs: count them too
+        F.min("nrm").alias("min_nrm"),
     ).collect()[0]
     n = pre["n"]
     stride = n // _CAL_CELLS
     assert stride >= 1, "corpus smaller than the twin cell count"
+    assert pre["n_nrm"] == n, "NULL embedding: cosine undefined"
     assert pre["min_nrm"] > 0, "zero-norm embedding: cosine undefined"
 
     q = emb.filter(F.col("vec_id") < _N_QUERIES).select(
@@ -1560,6 +1563,14 @@ def spectral_power_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             if len(pdf) == 0:
                 continue
             z = np.stack(pdf["q"].to_numpy()).astype(np.int64)
+            # int64 GEMM wraps SILENTLY on overflow while the DuckDB
+            # oracle's HUGEINT stays exact — enforce the documented
+            # magnitude precondition instead of trusting it
+            mq = int(np.abs(z).max()) if z.size else 0
+            assert mq * mq * len(z) < 2**63, (
+                f"quantized magnitude {mq} x batch {len(z)} would overflow"
+                " the int64 partial GEMM; lower _SPC_Q for this corpus"
+            )
             p = z.T @ z  # exact int64: 10k-row Arrow batch peaks ~1e16/cell
             yield pd.DataFrame({"g": [p.reshape(-1).tolist()], "n": [len(z)]})
 

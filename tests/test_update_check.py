@@ -169,3 +169,28 @@ def test_r7_grading_window_rotation():
     }
     assert rotated_in <= window, rotated_in - window
     assert not (rotated_out & window), rotated_out & window
+
+
+def test_no_bare_whitespace_class_in_oracle_gated_patterns():
+    """r7 whitespace sweep, made structural: Java's \\s includes \\x0b,
+    RE2/DuckDB's does not, so every oracle-gated tokenizer pattern spells
+    the class explicitly as [ \\t\\n\\x0b\\f\\r]. This source scan fails
+    if any operator module reintroduces a bare \\s inside a
+    split/regexp pattern line — the one-engine-edit drift that would
+    silently reopen the divergence. (pipeline.py's GPS characteristic
+    split is Spark-only — no cross-engine pair — and exempt.)"""
+    import glob
+    import os
+
+    root = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "dhs_to_database_spark",
+    )
+    offenders = []
+    for path in glob.glob(os.path.join(root, "operators", "**", "*.py"), recursive=True):
+        for lineno, line in enumerate(open(path), 1):
+            if "\\s" not in line or "``" in line:  # `` = docstring prose
+                continue
+            if "split" in line or "regexp" in line or "rlike" in line:
+                offenders.append(f"{os.path.basename(path)}:{lineno}: {line.strip()}")
+    assert offenders == [], "\n".join(offenders)

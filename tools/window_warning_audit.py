@@ -65,12 +65,14 @@ def main() -> int:
             return f.read().count(_MARK.encode())
 
     per_query: dict[str, int] = {}
+    errored: list[str] = []
     before = n_warn()
     for name, fn in em.queries().items():
         try:
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         except Exception as exc:  # noqa: BLE001 - report, keep auditing
             print(f"ERROR {name}: {exc}", flush=True)
+            errored.append(name)
         after = n_warn()
         if after > before:
             per_query[name] = after - before
@@ -83,6 +85,11 @@ def main() -> int:
         print(f"documented sites that no longer warn (prune?): {missing}", flush=True)
     if bad:
         print(f"AUDIT FAIL: undocumented No-Partition warnings: {bad}", flush=True)
+        return 1
+    if errored:
+        # an erroring query was never exercised — its windows are
+        # UNAUDITED, which must not read as green
+        print(f"AUDIT FAIL: queries errored before auditing: {errored}", flush=True)
         return 1
     print("window-warning audit OK", flush=True)
     return 0
