@@ -558,8 +558,12 @@ def source_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source", F.lit(_PR_SCALE // n_sources).cast("bigint").alias("r")
     )
     for _ in range(_PR_ITERS):
+        # ranks/inflow are catalog-sized: broadcast them so each of the 5
+        # iteration joins is a BroadcastHashJoin over the checkpointed
+        # edge list, not a sort-merge shuffle pair (at 100 TB the source
+        # CATALOG still broadcasts; only the edge list is corpus-derived)
         inflow = (
-            edges_ow.join(ranks, edges_ow["src"] == ranks["source"])
+            edges_ow.join(F.broadcast(ranks), edges_ow["src"] == ranks["source"])
             .select(
                 F.col("dst").alias("source"),
                 F.expr("CAST((w * r) DIV ow AS BIGINT)").alias("c"),
@@ -567,7 +571,7 @@ def source_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("source")
             .agg(F.sum("c").alias("inflow"))
         )
-        ranks = nodes.join(inflow, "source", "left").select(
+        ranks = nodes.join(F.broadcast(inflow), "source", "left").select(
             "source",
             (
                 F.lit(base)

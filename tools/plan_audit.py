@@ -64,7 +64,7 @@ NOTES = {
     "minhash_calibration": "shares the twin's scored-pairs plan (localCheckpointed); true Jaccard via one (doc,h) equi-join over bucket-capped candidates; integer-exact cross-agg math",
     "ann_calibration": "three deterministic ANN twins vs exact top-k: queries/centroids/codebooks broadcast, corpus passes narrow (sig/assign/encode), exact panel localCheckpointed and reused by truth + reranks; per-query windows bounded at 8 partitions",
     "leakage_safe_split": "exact-dup edges from one digest shuffle (group-min root, linear); Jaccard slice reuses the CC truth path; split + leak audit are a projection + one component agg",
-    "source_pagerank": "edge weights from the bounded per-gram source-set agg (no gram self-join); 5 power-iteration steps = 5 shuffle joins over the ONE checkpointed edge list; pure integer fixed-point, bit-stable under any partitioning",
+    "source_pagerank": "edge weights from the bounded per-gram source-set agg (no gram self-join); 5 power-iteration steps = broadcast joins of the catalog-sized rank vector against the ONE checkpointed edge list; pure integer fixed-point, bit-stable under any partitioning (pinned by test)",
     "bpe_merge_calibration": "ONE corpus pass (word_counts map-side agg); the 8-merge training loop runs on the bounded vocab table (driver tier asserted; DataFrame tier parity-tested in bpe_train)",
     "spectral_power_calibration": "ONE Arrow pass of exact int64 GEMM partials (order-free integer sums); 64x64 squaring loop is SF-independent driver integer math; report is dimension-sized",
     "embedding_quantization": "ZERO shuffles: absmax scale, int8 codes, and all three error metrics are JVM higher-order lambdas in one narrow pass",
