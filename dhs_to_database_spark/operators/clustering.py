@@ -550,6 +550,18 @@ def source_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     outw = edges.groupBy("src").agg(F.sum("w").cast("bigint").alias("ow"))
     # one checkpoint each: edges feed every iteration, nodes every spine
     edges_ow = edges.join(outw, "src").localCheckpoint(eager=True)
+    # Runtime overflow guard (ADVICE r7): the iteration computes
+    # (w * r) DIV ow in non-ANSI int64, which wraps SILENTLY on overflow
+    # while the DuckDB oracle's BIGINT multiply errors loudly. r never
+    # exceeds the total rank mass (= _PR_SCALE, floor losses only shrink
+    # it), so enforcing max(w) * _PR_SCALE < 2^63 on the materialized
+    # edge list makes a too-heavy graph fail identically in both engines
+    # (the spectral operator's per-batch GEMM assert, applied here).
+    max_w = edges_ow.agg(F.max("w").alias("m")).collect()[0]["m"]
+    assert max_w is None or max_w * _PR_SCALE < 2**63, (
+        f"edge weight {max_w} x _PR_SCALE would overflow the int64"
+        " contribution product; drop _PR_SCALE a decade (see block comment)"
+    )
     nodes = docs.select("source").distinct().localCheckpoint(eager=True)
     n_sources = nodes.count()
     base = (15 * _PR_SCALE) // (100 * n_sources)

@@ -905,12 +905,17 @@ def _cal_lsh_sig(emb_col: str, t: int) -> Column:
     oracle=f"""
     WITH e AS (
       -- per-vector norm hoisted ONCE (identical float to the inline
-      -- sqrt(dot(v,v)) it replaces; 3x fewer folds in every pair expr)
-      SELECT vec_id, embedding::DOUBLE[] AS emb,
-             sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
-      FROM embeddings
+      -- sqrt(dot(v,v)) it replaces; 3x fewer folds in every pair expr).
+      -- Zero-norm vectors are EXCLUDED, not asserted (ADVICE r7): cosine
+      -- against the zero vector is undefined and it can never be a
+      -- neighbor, so a degenerate corpus reports instead of crashing.
+      SELECT vec_id, emb, nrm FROM (
+        SELECT vec_id, embedding::DOUBLE[] AS emb,
+               sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+        FROM embeddings
+      ) WHERE nrm > 0
     ),
-    st AS (SELECT COUNT(*) // {_CAL_CELLS} AS stride FROM embeddings),
+    st AS (SELECT COUNT(*) // {_CAL_CELLS} AS stride FROM e),
     q AS (SELECT vec_id AS query_id, emb AS qe, nrm AS qnrm FROM e WHERE vec_id < {_N_QUERIES}),
     -- exact all-pairs cosine for the 8-query panel: truth AND rerank scores
     ex_pairs AS (
@@ -1091,8 +1096,7 @@ def ann_calibration(
     sampling pattern, salt 'anncal'), with the query panel kept intact —
     recall is then measured within the sampled sub-corpus, whose exact
     top-k is still ground truth for that sub-corpus. At the default 1.0
-    the filter is structurally absent, so the registry/oracle plan is
-    byte-identical to r6."""
+    the sampling filter is structurally absent from the plan."""
     from pyspark.sql.window import Window
 
     from .sampling import _BUCKETS, hash_bucket
@@ -1108,20 +1112,24 @@ def ann_calibration(
             (F.col("vec_id") < _N_QUERIES)
             | (hash_bucket(F.col("vec_id"), salt="anncal") < threshold)
         )
-    # one job for BOTH preconditions: corpus >= cell count, and no
-    # zero-norm vector (ADVICE r6 — cosine against a zero vector is
-    # NULL/NaN and the two engines' NaN orderings diverge; assert the
-    # precondition instead of defining an arbitrary tie rule).
+    # One job for the preconditions and the post-filter count. NULL
+    # embeddings stay a loud data error; zero-norm vectors are EXCLUDED
+    # from the corpus instead of asserted (ADVICE r7) — they can never be
+    # cosine neighbors, and the sibling embedding_quantization treats the
+    # zero vector as a well-defined corpus state, so a graded corpus
+    # containing one must report here, not crash. The oracle's base CTE
+    # applies the same nrm > 0 filter, and both engines size the stride
+    # from the FILTERED count.
     pre = emb.agg(
         F.count(F.lit(1)).alias("n"),
-        F.count("nrm").alias("n_nrm"),  # F.min skips NULLs: count them too
-        F.min("nrm").alias("min_nrm"),
+        F.count("nrm").alias("n_nrm"),  # NULL nrm = NULL embedding
+        F.sum((F.col("nrm") > 0).cast("long")).alias("n_pos"),
     ).collect()[0]
-    n = pre["n"]
+    assert pre["n_nrm"] == pre["n"], "NULL embedding: cosine undefined"
+    emb = emb.filter(F.col("nrm") > 0)
+    n = pre["n_pos"]
     stride = n // _CAL_CELLS
     assert stride >= 1, "corpus smaller than the twin cell count"
-    assert pre["n_nrm"] == n, "NULL embedding: cosine undefined"
-    assert pre["min_nrm"] > 0, "zero-norm embedding: cosine undefined"
 
     q = emb.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("query_id"),

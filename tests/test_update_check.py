@@ -181,6 +181,7 @@ def test_no_bare_whitespace_class_in_oracle_gated_patterns():
     split is Spark-only — no cross-engine pair — and exempt.)"""
     import glob
     import os
+    import re
 
     root = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
@@ -188,9 +189,17 @@ def test_no_bare_whitespace_class_in_oracle_gated_patterns():
     )
     offenders = []
     for path in glob.glob(os.path.join(root, "operators", "**", "*.py"), recursive=True):
-        for lineno, line in enumerate(open(path), 1):
-            if "\\s" not in line or "``" in line:  # `` = docstring prose
-                continue
-            if "split" in line or "regexp" in line or "rlike" in line:
-                offenders.append(f"{os.path.basename(path)}:{lineno}: {line.strip()}")
+        with open(path) as fh:
+            for lineno, line in enumerate(fh, 1):
+                # Exempt prose, surgically (ADVICE r7): remove inline
+                # ``literal`` spans and the trailing # comment, then scan
+                # what's left — a real pattern line with a ``-styled
+                # trailing comment no longer evades the sweep.
+                code = re.sub(r"``[^`]*``", "", line).split("#", 1)[0]
+                if "\\s" not in code:
+                    continue
+                if "split" in code or "regexp" in code or "rlike" in code:
+                    offenders.append(
+                        f"{os.path.basename(path)}:{lineno}: {line.strip()}"
+                    )
     assert offenders == [], "\n".join(offenders)
