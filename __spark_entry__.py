@@ -93,9 +93,14 @@ _GRADE_TAIL = [
     "quality_score",  # text-quality family: tfidf_topk/bm25_search/doc_perplexity graded in-window
     "pricing_summary",  # TPC-H-ish agg family: flagship_cross_level + cube_agg + agg_having graded in-window
     "embedding_topk",  # similarity family: ann_calibration (SQL-verifies the exact top-k inside it) graded in-window
-    "spectral_power_calibration",  # r7 addition (eigendecomposition family made oracle-exact: integer power-method-with-squaring on the embedding Gram); similarity family: ann_calibration + embedding family graded in-window — rotate in r8
-    "bpe_merge_calibration",  # r7 addition (BPE training loop made oracle-exact via unrolled CTE levels); corpus-stats family: bpe_pair_counts tail, pmi/vocab siblings graded — rotate in r8
-    "source_pagerank",  # r7 addition (first oracle-backed ITERATIVE algorithm: fixed-point source-graph PageRank); graph family: dedup_components + source_overlap_matrix graded in-window — rotate in r8
+    # --- r8 rotation (VERDICT r7 ask #1): the three never-driver-graded r7
+    # iterative additions (source_pagerank, bpe_merge_calibration,
+    # spectral_power_calibration) move INTO the window; three
+    # multi-round-graded family-redundant siblings rest here. Every entry
+    # keeps an in-window sibling.
+    "simhash_md5",  # near-dup family: minhash_calibration + containment_pairs + dedup_components graded in-window
+    "doc_perplexity",  # text-scoring family: tfidf_topk + bm25_search graded in-window
+    "moving_average_daily",  # window family: window_functions + session_windows + interval_join_attribution graded in-window
     # --- r5 rotation: four-round-graded queries rest in the tail so the
     # driver finally grades long-tenured tail members (VERDICT r4 ask #4);
     # every one below is r1-r4 driver-green with an in-window family sibling.

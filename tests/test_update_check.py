@@ -106,14 +106,19 @@ def test_grade_window_invariant():
 def test_r5_grading_window_rotation():
     """r5 rotation (VERDICT r4 ask #4): ten long-tenured tail queries must
     now sit INSIDE the driver's 50-entry grading window, and the ten
-    four-round-graded siblings they displaced must rest in the tail."""
+    four-round-graded siblings they displaced must rest in the tail.
+
+    Superseded in part by the r8 rotation: simhash_md5, doc_perplexity
+    and moving_average_daily (r5-r7 driver-green) rotated back OUT in r8
+    to admit the three r7 iterative additions — they are asserted
+    tail-resident by test_r8_grading_window_rotation instead."""
     import __spark_entry__ as e
 
     window = set(list(e.queries())[:50])
     rotated_in = {
-        "tfidf_topk", "bm25_search", "doc_perplexity",
-        "exact_substring_excise", "scd2_history", "moving_average_daily",
-        "interval_join_attribution", "funnel_stages", "simhash_md5",
+        "tfidf_topk", "bm25_search",
+        "exact_substring_excise", "scd2_history",
+        "interval_join_attribution", "funnel_stages",
         "audio_metadata",
     }
     rotated_out = {
@@ -167,6 +172,25 @@ def test_r7_grading_window_rotation():
         "train_test_split", "benchmark_decontaminate", "quality_score",
         "pricing_summary", "embedding_topk",
     }
+    assert rotated_in <= window, rotated_in - window
+    assert not (rotated_out & window), rotated_out & window
+
+
+def test_r8_grading_window_rotation():
+    """r8 rotation (VERDICT r7 ask #1): the three never-driver-graded r7
+    iterative additions (parked "rotate in r8") must now sit INSIDE the
+    driver's 50-entry grading window, and the three multi-round-graded
+    family-redundant siblings they displaced must rest in the tail (each
+    with an in-window family sibling, documented at the _GRADE_TAIL
+    entries)."""
+    import __spark_entry__ as e
+
+    window = set(list(e.queries())[:50])
+    rotated_in = {
+        "source_pagerank", "bpe_merge_calibration",
+        "spectral_power_calibration",
+    }
+    rotated_out = {"simhash_md5", "doc_perplexity", "moving_average_daily"}
     assert rotated_in <= window, rotated_in - window
     assert not (rotated_out & window), rotated_out & window
 
