@@ -438,8 +438,10 @@ def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 # host graph; cf. "Quality at a Glance" and the CC host-level ranking
 # work). Nodes are the source catalog; directed edge weight src->dst is
 # the number of distinct _EXCISE_N-grams the two sources share (the
-# source_overlap_matrix derivation — bounded per-gram source sets, never
-# a corpus-scale self-join), symmetrized. Rank then runs a FIXED number
+# source_overlap_matrix derivation — hot-gram-df-capped per-gram source
+# sets, never a corpus-scale self-join; stop-grams shared by more than
+# _GRAM_SRC_CAP sources are dropped in BOTH engines, r8 — see the
+# dedup.py block comment), symmetrized. Rank then runs a FIXED number
 # of damped power-iteration steps, each one shuffle join + one grouped
 # sum over the edge list — the GraphX/Pregel shape on plain DataFrames.
 #
@@ -464,7 +466,7 @@ _PR_SCALE = 10**12  # fixed-point: rank 1.0 == 1e12
 
 
 def _pr_oracle() -> str:
-    from .dedup import _EXCISE_N
+    from .dedup import _EXCISE_N, _GRAM_SRC_CAP as _ss_cap
 
     base = f"({15 * _PR_SCALE} // (100 * (SELECT n FROM nn)))"
     iters = []
@@ -490,9 +492,17 @@ def _pr_oracle() -> str:
       SELECT DISTINCT source, array_to_string(t[i:i+{_EXCISE_N - 1}], ' ') AS gram
       FROM toks, UNNEST(generate_series(1, len(t) - {_EXCISE_N - 1})) AS u(i)
     ),
+    ok AS (
+      -- hot-gram df-cap (r8): stop-grams shared by more than the cap
+      -- carry no centrality signal — same derivation as
+      -- source_overlap_matrix's oracle, see dedup.py block comment
+      SELECT gram FROM occ GROUP BY gram
+      HAVING COUNT(*) BETWEEN 2 AND {_ss_cap}
+    ),
     pairs AS (
       SELECT a.source AS src, b.source AS dst, CAST(COUNT(*) AS BIGINT) AS w
-      FROM occ a JOIN occ b ON a.gram = b.gram AND a.source <> b.source
+      FROM occ a JOIN ok USING (gram)
+      JOIN occ b ON a.gram = b.gram AND a.source <> b.source
       GROUP BY 1, 2
     ),
     nodes AS (SELECT DISTINCT source FROM documents),
@@ -517,24 +527,13 @@ def source_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference ancestry: generalizes the duplicate-group diagnostics the
     reference runs across surveys (03_DHS_Update_Metadata.ipynb raw
     :993-1140) from membership to graph centrality."""
-    from .dedup import _EXCISE_N, word_shingles
+    from .dedup import shared_gram_source_sets
 
     docs = load_table(spark, sf_dir, "documents")
-    n = _EXCISE_N
-    toks = docs.filter(F.col("text").isNotNull()).select(
-        "source", F.split(F.trim("text"), r"[ \t\n\x0b\f\r]+").alias("__ws")
-    )
-    grams = toks.filter(F.size("__ws") >= n).select(
-        "source",
-        F.explode(F.array_distinct(word_shingles("__ws", n))).alias("gram"),
-    )
-    # bounded per-gram source sets (catalog-sized), ordered-pair expansion
-    # map-side — the source_overlap_matrix plan, directed both ways
-    per_gram = (
-        grams.groupBy("gram")
-        .agg(F.sort_array(F.collect_set("source")).alias("__ss"))
-        .filter(F.size("__ss") >= 2)
-    )
+    # hot-gram-capped per-gram source sets (<= _GRAM_SRC_CAP each, r8 —
+    # see the dedup.py block comment), ordered-pair expansion map-side —
+    # the source_overlap_matrix derivation, directed both ways
+    per_gram = shared_gram_source_sets(docs)
     pairs = per_gram.select(
         F.explode(
             F.expr(

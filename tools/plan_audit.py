@@ -64,7 +64,7 @@ NOTES = {
     "minhash_calibration": "shares the twin's scored-pairs plan (localCheckpointed); true Jaccard via one (doc,h) equi-join over bucket-capped candidates; integer-exact cross-agg math",
     "ann_calibration": "three deterministic ANN twins vs exact top-k: queries/centroids/codebooks broadcast, corpus passes narrow (sig/assign/encode), exact panel localCheckpointed and reused by truth + reranks; per-query windows bounded at 8 partitions",
     "leakage_safe_split": "exact-dup edges from one digest shuffle (group-min root, linear); Jaccard slice reuses the CC truth path; split + leak audit are a projection + one component agg",
-    "source_pagerank": "edge weights from the bounded per-gram source-set agg (no gram self-join); 5 power-iteration steps = broadcast joins of the catalog-sized rank vector against the ONE checkpointed edge list; pure integer fixed-point, bit-stable under any partitioning (pinned by test)",
+    "source_pagerank": "edge weights from the hot-gram-df-capped per-gram source-set agg (no gram self-join; stop-grams > _GRAM_SRC_CAP sources dropped in BOTH engines, r8); 5 power-iteration steps = broadcast joins of the catalog-sized rank vector against the ONE checkpointed edge list; pure integer fixed-point, bit-stable under any partitioning (pinned by test), runtime w*SCALE overflow guard",
     "bpe_merge_calibration": "ONE corpus pass (word_counts map-side agg); the 8-merge training loop runs on the bounded vocab table (driver tier asserted; DataFrame tier parity-tested in bpe_train)",
     "spectral_power_calibration": "ONE Arrow pass of exact int64 GEMM partials (order-free integer sums); 64x64 squaring loop is SF-independent driver integer math; report is dimension-sized",
     "embedding_quantization": "ZERO shuffles: absmax scale, int8 codes, and all three error metrics are JVM higher-order lambdas in one narrow pass",
@@ -73,7 +73,7 @@ NOTES = {
     "boilerplate_prune": "doc-frequency via in-array array_distinct (map-side) -> ONE gram-keyed combined shuffle; capped boilerplate set broadcast-probed (no join shuffle); rewrite shares excision's cut-set tail",
     "training_shuffle_order": "seeded md5 permutation ranked by the distributed global rank (range-partitioned sort, no single-partition window); round-robin shard/pos are pure column math off the rank",
     "json_props_extract": "get_json_object inlined in the scan projection (JVM-side, no UDF) -> ONE map-side-combined conditional agg",
-    "source_overlap_matrix": "NO gram self-join: gram -> sorted source-set agg (value bounded by the source catalog) is the only corpus-scale shuffle; pairs expanded map-side by a JVM lambda; final pair agg tiny",
+    "source_overlap_matrix": "NO gram self-join: gram -> sorted source-set agg is the only corpus-scale shuffle; hot-gram df-cap (r8) drops stop-grams shared by > _GRAM_SRC_CAP sources in BOTH engines, bounding the map-side pair expansion at cap^2 per gram; final pair agg tiny",
     "pii_redact": "ZERO shuffles: deterministic PII injection + regex detect/mask are one narrow per-row projection fused into the scan (JVM regexp, common Java/RE2 subset); embarrassingly parallel at any scale",
     "approx_distinct_calibration": "auditor query: pays the exact COUNT(DISTINCT) cost by design; KMV side is one (pri,hash) distinct shuffle + a 5-group window; report math is pure integer division (bit-stable across layouts)",
     "approx_quantile_calibration": "auditor query: exact + 10%-md5-sample percentile aggs (two group shuffles over 5 keys), joined on the tiny priority axis; production reads stay on the O(1)-memory GK sketch",
