@@ -106,6 +106,8 @@ BENCH_QUERIES = [
     "source_pagerank",
     "bpe_merge_calibration",
     "spectral_power_calibration",
+    "kmeans_calibration",
+    "featurize_calibration",
     "embedding_quantization",
     "quality_classifier",
     "containment_pairs",

@@ -264,6 +264,109 @@ def mean_logloss(feats: DataFrame, w: list[float]) -> float:
     return float(feats.select(F.avg(ll).alias("l")).first()["l"])
 
 
+# ---------------------------------------------------------------------------
+# Featurize calibration (r8, VERDICT r7 ask #7) — the classifier's INPUT
+# path put under the oracle. Training stays rows-only (float Newton),
+# but everything ``featurize`` computes before it — md5 hashing-trick
+# bucket weights, token counts, dense ratios, the rule label — is
+# integer/exact-ratio arithmetic both engines can state: bucket =
+# int(md5(token)[:8], 16) % _HASH_DIM is the repo's proven md5->int pair
+# (sampling.hash_bucket), and every reported value is an int/int double
+# division rounded through the proven ROUND pair. The one feature NOT
+# hash-compared is x[16] (log1p(nchars)/10): ln is transcendental and
+# libm-vs-JVM last-ulp differences are exactly the divergence this repo
+# keeps out of oracles — nchars itself is pinned via the label instead.
+# The Spark side runs the REAL Arrow kernel (featurize), so a kernel
+# regression (tokenization drift, memo bug, normalization change) fails
+# the hash gate, not just the statistical tests.
+# ---------------------------------------------------------------------------
+
+_FEAT_STOP_SQL = ", ".join(f"'{s}'" for s in _STOPWORDS)
+
+
+@query(
+    "featurize_calibration",
+    oracle=f"""
+    WITH docs AS (
+      SELECT doc_id,
+             CASE WHEN text IS NULL THEN 0 ELSE length(text) END AS nchars,
+             CASE WHEN text IS NULL OR text = '' THEN []::VARCHAR[]
+                  ELSE string_split_regex(trim(text, ' '),
+                                          '[ \\t\\n\\x0b\\f\\r]+') END AS t
+      FROM documents
+    ),
+    per_tok AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(u.tok), 1, 8)) AS BIGINT)
+               % {_HASH_DIM} AS bucket,
+             length(u.tok) AS tlen,
+             CASE WHEN u.tok IN ({_FEAT_STOP_SQL}) THEN 1 ELSE 0 END AS is_stop
+      FROM docs, UNNEST(t) AS u(tok)
+    ),
+    counts AS (
+      SELECT doc_id, bucket, CAST(COUNT(*) AS BIGINT) AS c
+      FROM per_tok GROUP BY doc_id, bucket
+    ),
+    dense AS (
+      SELECT d.doc_id, d.nchars, len(d.t) AS nt,
+             COALESCE(s.sum_len, 0) AS sum_len,
+             COALESCE(s.stops, 0) AS stops
+      FROM docs d LEFT JOIN (
+        SELECT doc_id, CAST(SUM(tlen) AS BIGINT) AS sum_len,
+               CAST(SUM(is_stop) AS BIGINT) AS stops
+        FROM per_tok GROUP BY doc_id) s USING (doc_id)
+    )
+    SELECT d.doc_id, CAST(b.bucket AS INT) AS bucket,
+           CAST(ROUND(CAST(COALESCE(c.c, 0) AS DOUBLE)
+                      / GREATEST(d.nt, 1), 6) AS DOUBLE) AS w,
+           CAST(ROUND(CAST(LEAST(d.nt, 1000) AS DOUBLE) / 100.0, 6)
+             AS DOUBLE) AS tok_density,
+           CAST(ROUND(CASE WHEN d.nt > 0
+                           THEN (CAST(d.sum_len AS DOUBLE) / d.nt) / 10.0
+                           ELSE 0.0 END, 6) AS DOUBLE) AS mean_tok_len,
+           CAST(ROUND(CASE WHEN d.nt > 0
+                           THEN CAST(d.stops AS DOUBLE) / d.nt
+                           ELSE 0.0 END, 6) AS DOUBLE) AS stop_ratio,
+           CAST(CASE WHEN d.nchars >= 100 AND d.nchars <= 20000
+                      AND d.nt >= 20 THEN 1 ELSE 0 END AS INT) AS label
+    FROM dense d
+    CROSS JOIN (SELECT unnest(generate_series(0, {_HASH_DIM - 1})) AS bucket) b
+    LEFT JOIN counts c ON c.doc_id = d.doc_id AND c.bucket = b.bucket
+    """,
+)
+def featurize_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(doc, bucket) report of the REAL featurize kernel's output
+    (see block comment): the L1-normalized hashed-BoW weight ``w`` for
+    every bucket (zeros included — the histogram is dense by design),
+    the three exact-ratio dense features, and the rule label — all
+    hash-compared against a DuckDB recomputation from raw text."""
+    d = load_table(spark, sf_dir, "documents")
+    feats = featurize(d)
+    ex = feats.select(
+        "doc_id",
+        "x",
+        F.col("y").cast("int").alias("label"),
+        F.posexplode(F.expr(f"slice(x, 1, {_HASH_DIM})")).alias(
+            "bucket", "w_raw"
+        ),
+    )
+    return ex.select(
+        "doc_id",
+        "bucket",
+        F.round("w_raw", 6).cast("double").alias("w"),
+        F.round(F.col("x")[_HASH_DIM + 1], 6)
+        .cast("double")
+        .alias("tok_density"),
+        F.round(F.col("x")[_HASH_DIM + 2], 6)
+        .cast("double")
+        .alias("mean_tok_len"),
+        F.round(F.col("x")[_HASH_DIM + 3], 6)
+        .cast("double")
+        .alias("stop_ratio"),
+        "label",
+    )
+
+
 @query("quality_classifier")  # iterative training: not SQL-expressible -> rows-only
 def quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train the distilled quality scorer on the corpus and score every

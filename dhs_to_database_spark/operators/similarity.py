@@ -197,21 +197,37 @@ _IVF_CELLS = 32
 _IVF_PROBES = 10
 
 
-def ivf_assign(emb: DataFrame, centroids: "list[tuple[int, list[float]]]") -> DataFrame:
+def ivf_assign(
+    emb: DataFrame,
+    centroids: "list[tuple[int, list[float]]]",
+    metric: str = "cosine",
+) -> DataFrame:
     """Add the nearest-centroid ``cell`` id to every vector (vectorized
-    numpy over Arrow batches; at scale this runs once and is stored)."""
+    numpy over Arrow batches; at scale this runs once and is stored).
+
+    ``metric``: "cosine" (the IVF production default — normalized argmax
+    dot) or "l2" (canonical Lloyd's squared-distance argmin, the
+    semantics ``kmeans_calibration`` pins; GEMM form |c|^2 - 2ab, the
+    |a|^2 term is argmin-invariant). Ties break to the FIRST centroid in
+    list order (numpy argmax/argmin) = the lowest cell id."""
     import pandas as pd
 
     def assign(batches):
         import numpy as np
 
         cm = np.stack([np.asarray(c, dtype=np.float64) for _, c in centroids])
-        cm /= np.linalg.norm(cm, axis=1, keepdims=True)
+        if metric == "cosine":
+            cm /= np.linalg.norm(cm, axis=1, keepdims=True)
         cell_ids = np.asarray([cid for cid, _ in centroids])
         for pdf in batches:
             m = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-            m /= np.linalg.norm(m, axis=1, keepdims=True)
-            best = (m @ cm.T).argmax(axis=1)
+            if metric == "cosine":
+                m /= np.linalg.norm(m, axis=1, keepdims=True)
+                best = (m @ cm.T).argmax(axis=1)
+            else:
+                best = (
+                    (cm * cm).sum(axis=1)[None, :] - 2.0 * (m @ cm.T)
+                ).argmin(axis=1)
             yield pd.DataFrame(
                 {
                     "vec_id": pdf["vec_id"],
@@ -235,6 +251,11 @@ def stride_centroids(emb: DataFrame, k: int) -> list[tuple[int, list[float]]]:
         .select("vec_id", "embedding")
         .collect()
     )
+    # sort by vec_id before numbering: collect() order is partition order,
+    # which would make cell ids layout-dependent (r8 — cell j is now
+    # always the vector at vec_id j * stride, the rule the
+    # kmeans_calibration oracle states as vec_id // stride)
+    rows.sort(key=lambda r: r["vec_id"])
     return [(i, list(r["embedding"])) for i, r in enumerate(rows)]
 
 
@@ -295,6 +316,7 @@ def kmeans_fit(
     k: int = _IVF_CELLS,
     max_iter: int = 10,
     tol: float = 1e-4,
+    metric: str = "cosine",
 ) -> tuple[list[tuple[int, list[float]]], int]:
     """Lloyd's k-means as pure DataFrame iterations — the IVF training step.
 
@@ -313,7 +335,7 @@ def kmeans_fit(
     centroids = stride_centroids(emb, k)
     it = 0
     for it in range(1, max_iter + 1):
-        assigned = ivf_assign(emb, centroids)
+        assigned = ivf_assign(emb, centroids, metric=metric)
         means = (
             assigned.select("cell", F.posexplode("embedding").alias("pos", "v"))
             .groupBy("cell", "pos")
@@ -336,6 +358,223 @@ def kmeans_fit(
         if moved < tol:
             break
     return centroids, it
+
+
+# ---------------------------------------------------------------------------
+# k-means calibration (r8) — closes the LAST rows-only family with
+# computable ground truth (VERDICT r7 ask #3): Lloyd's iterations made
+# oracle-exact with the same integer fixed-point + unrolled-CTE-levels
+# discipline that closed PageRank, BPE, and the eigendecomposition.
+#
+# The twin: embeddings quantize to integer micro-units via the proven
+# F.round == DuckDB ROUND half-away-from-zero pair; distances are then
+# EXACT int64 squared-L2 (canonical Lloyd's — unit-norm corpus values
+# |x| <= ~0.6 keep per-dim squares < 2e12, x 64 dims < 2^63 by a wide
+# margin); assignment is argmin with cell-id tie-break in both engines;
+# the centroid update is a sign-explicit TRUNCATING integer division
+# (python floors, DuckDB truncates — spelled out on both sides); empty
+# cells keep their previous centroid. Init is the stride rule
+# (cell j = vector at vec_id j * stride), _KMC_ITERS updates unrolled as
+# MATERIALIZED CTE levels, then ONE final assignment pass for the
+# report. Per-cell inertia is summed as dist DIV _KMC_IDIV so the bigint
+# sum holds to ~1e11 rows (bound documented, not load-bearing here).
+#
+# Scale shape: assignment is a NARROW map (centroid literals inlined as
+# one SQL expression — no broadcast, no shuffle); the update is one
+# map-side-combined groupBy collapsing N x d rows to k x d partials per
+# partition; the driver holds only the k x d centroid matrix. Passes
+# over the corpus = _KMC_ITERS + 1, the MLlib treeAggregate shape.
+# Float-production parity (kmeans_fit, metric="l2") is pinned in tests.
+# ---------------------------------------------------------------------------
+
+_KMC_Q = 10**6  # input quantization: x -> round(x * 1e6) micro-units
+_KMC_K = 8  # twin cell count (production trains _IVF_CELLS)
+_KMC_ITERS = 3  # fixed update count (unrolled in the oracle)
+_KMC_IDIV = 10**6  # inertia pre-division: bigint-safe per-cell sums
+
+
+def _kmc_oracle() -> str:
+    upd = []
+    for t in range(1, _KMC_ITERS + 1):
+        upd.append(f"""
+    a{t} AS MATERIALIZED (
+      SELECT vec_id, q, cell, dist FROM (
+        SELECT vec_id, q, cell, dist,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY dist, cell) AS rn
+        FROM (
+          SELECT e.vec_id, e.q, c.cell,
+                 CAST(list_sum(list_transform(list_zip(e.q, c.cv),
+                      p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT) AS dist
+          FROM e, ct{t - 1} c))
+      WHERE rn = 1
+    ),
+    ct{t} AS MATERIALIZED (
+      SELECT p.cell, COALESCE(u.cv, p.cv) AS cv
+      FROM ct{t - 1} p LEFT JOIN (
+        SELECT cell, list(m ORDER BY d) AS cv FROM (
+          SELECT cell, d,
+                 CASE WHEN s >= 0 THEN s // cnt
+                      ELSE -((-s) // cnt) END AS m
+          FROM (
+            SELECT cell, dd.d AS d,
+                   CAST(SUM(q[dd.d + 1]) AS BIGINT) AS s,
+                   COUNT(*) AS cnt
+            FROM a{t}, dims dd GROUP BY cell, dd.d))
+        GROUP BY cell
+      ) u ON u.cell = p.cell
+    )""")
+    final = _KMC_ITERS + 1
+    return f"""
+    WITH e AS MATERIALIZED (
+      SELECT vec_id,
+             list_transform(embedding::DOUBLE[],
+                            x -> CAST(ROUND(x * {_KMC_Q}.0) AS BIGINT)) AS q
+      FROM embeddings
+    ),
+    dims AS (SELECT unnest(generate_series(0, {_DIM - 1})) AS d),
+    st AS (SELECT COUNT(*) // {_KMC_K} AS stride FROM e),
+    ct0 AS MATERIALIZED (
+      SELECT CAST(e.vec_id // st.stride AS INT) AS cell, e.q AS cv
+      FROM e, st
+      WHERE e.vec_id % st.stride = 0 AND e.vec_id < st.stride * {_KMC_K}
+    ),{",".join(upd)},
+    a{final} AS MATERIALIZED (
+      SELECT vec_id, cell, dist FROM (
+        SELECT vec_id, cell, dist,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY dist, cell) AS rn
+        FROM (
+          SELECT e.vec_id, c.cell,
+                 CAST(list_sum(list_transform(list_zip(e.q, c.cv),
+                      p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT) AS dist
+          FROM e, ct{_KMC_ITERS} c))
+      WHERE rn = 1
+    ),
+    rep AS (
+      SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_assigned,
+             CAST(SUM(dist // {_KMC_IDIV}) AS BIGINT) AS inertia_fp
+      FROM a{final} GROUP BY cell
+    )
+    SELECT c.cell, dd.d AS pos,
+           c.cv[dd.d + 1] AS c_fp,
+           c.cv[dd.d + 1] / {_KMC_Q}.0 AS c,
+           CAST(COALESCE(r.n_assigned, 0) AS BIGINT) AS n_assigned,
+           CAST(COALESCE(r.inertia_fp, 0) AS BIGINT) AS inertia_fp,
+           COALESCE(r.inertia_fp, 0) / {_KMC_Q * _KMC_Q // _KMC_IDIV}.0
+             AS inertia
+    FROM ct{_KMC_ITERS} c
+    CROSS JOIN dims dd
+    LEFT JOIN rep r ON r.cell = c.cell
+    """
+
+
+def _kmc_assign_expr(
+    centroids: "list[tuple[int, list[int]]]",
+) -> "Column":
+    """(dist, cell) struct of the argmin centroid — ONE F.expr SQL string
+    (nested py4j Column ops cost ~1ms/call; see the r6 ann_calibration
+    note), pure int64 whole-stage-codegen arithmetic, array_min's struct
+    ordering = (dist ASC, cell ASC) — the oracle's exact tie-break."""
+    structs = []
+    for cid, cv in centroids:
+        arr = ", ".join(f"{v}L" for v in cv)
+        dist = (
+            f"aggregate(zip_with(q, array({arr}),"
+            f" (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)"
+        )
+        structs.append(f"struct({dist} AS dist, {cid} AS cell)")
+    return F.expr(f"array_min(array({', '.join(structs)}))")
+
+
+@query("kmeans_calibration", oracle=_kmc_oracle())
+def kmeans_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer fixed-point Lloyd's over the quantized embedding corpus
+    (see block comment): per (cell, pos) rows of the final centroids
+    (c_fp, c) plus each cell's n_assigned and inertia under those
+    centroids — all hash-compared against the unrolled DuckDB twin."""
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .select(
+            "vec_id",
+            F.expr(
+                f"transform(embedding, x ->"
+                f" CAST(round(CAST(x AS DOUBLE) * {_KMC_Q}.0) AS BIGINT))"
+            ).alias("q"),
+        )
+        # scanned _KMC_ITERS + 2 times (count/init + updates + report):
+        # quantize once, not per pass
+        .localCheckpoint(eager=True)
+    )
+    n = emb.count()
+    stride = n // _KMC_K
+    assert stride >= 1, "corpus smaller than the twin cell count"
+    init = (
+        emb.filter(
+            (F.col("vec_id") % stride == 0)
+            & (F.col("vec_id") < stride * _KMC_K)
+        )
+        .select(
+            F.expr(f"CAST(vec_id DIV {stride} AS INT)").alias("cell"), "q"
+        )
+        .collect()
+    )
+    cents = sorted((r["cell"], list(r["q"])) for r in init)
+    d = len(cents[0][1])
+
+    def _trunc(a: int, b: int) -> int:
+        # DuckDB // truncates toward zero; python // floors
+        return -((-a) // b) if a < 0 else a // b
+
+    for _ in range(_KMC_ITERS):
+        sums = (
+            emb.select(_kmc_assign_expr(cents).alias("s"), "q")
+            .groupBy(F.col("s.cell").alias("cell"))
+            .agg(
+                F.count(F.lit(1)).alias("cnt"),
+                *[F.sum(F.col("q")[i]).alias(f"s{i}") for i in range(d)],
+            )
+            .collect()
+        )
+        by_cell = {r["cell"]: r for r in sums}
+        cents = [
+            (
+                cid,
+                [
+                    _trunc(by_cell[cid][f"s{i}"], by_cell[cid]["cnt"])
+                    for i in range(d)
+                ]
+                if cid in by_cell
+                else old,  # empty cell keeps its previous centroid
+            )
+            for cid, old in cents
+        ]
+    rep = (
+        emb.select(_kmc_assign_expr(cents).alias("s"))
+        .groupBy(F.col("s.cell").alias("cell"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_assigned"),
+            F.sum(F.expr(f"s.dist DIV {_KMC_IDIV}"))
+            .cast("bigint")
+            .alias("inertia_fp"),
+        )
+    )
+    cdf = spark.createDataFrame(
+        [(cid, pos, cv[pos]) for cid, cv in cents for pos in range(d)],
+        "cell int, pos int, c_fp bigint",
+    )
+    return cdf.join(F.broadcast(rep), "cell", "left").select(
+        "cell",
+        "pos",
+        "c_fp",
+        (F.col("c_fp") / F.lit(float(_KMC_Q))).alias("c"),
+        F.coalesce("n_assigned", F.lit(0)).cast("bigint").alias("n_assigned"),
+        F.coalesce("inertia_fp", F.lit(0)).cast("bigint").alias("inertia_fp"),
+        (
+            F.coalesce("inertia_fp", F.lit(0))
+            / F.lit(float(_KMC_Q * _KMC_Q // _KMC_IDIV))
+        ).alias("inertia"),
+    )
 
 
 @query("ann_ivf_topk")  # approximate: rows-only check; recall pinned in tests

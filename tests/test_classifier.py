@@ -88,3 +88,58 @@ def test_featurize_matches_python_mirror(spark):
         x_got, y_got = got[did]
         assert y_got == y
         assert np.allclose(x_got, counts + dense, atol=1e-12)
+
+
+def test_featurize_calibration_oracle_parity_on_planted_edges(spark, tmp_path):
+    """r8: the calibration query and its DuckDB oracle must agree on
+    kernel edge cases the shipped corpus lacks — NULL text, empty text,
+    stopword-heavy docs, and a doc at the label boundary (exactly 100
+    chars / 20 tokens). This pins the cross-engine tokenization + md5
+    bucket + ratio-round recipe beyond what check_oracle exercises."""
+    import os
+    import sys
+
+    import duckdb
+
+    from dhs_to_database_spark.operators.classifier import featurize_calibration
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    if root not in sys.path:
+        sys.path.insert(0, root)
+    import __spark_entry__ as em
+
+    boundary = " ".join(f"w{i:03d}" for i in range(20))  # 20 tokens
+    boundary += "x" * (100 - len(boundary))  # pad the last token to 100 chars
+    assert len(boundary) == 100
+    rows = [
+        (1, "the quick brown fox " * 30),
+        (2, "tiny doc"),
+        (3, "of to and " + "word " * 40),
+        (4, ""),  # empty: zero tokens, zero histogram, label 0
+        (5, None),  # NULL: same
+        (6, boundary),  # exactly at the gate: label 1
+    ]
+    spark.createDataFrame(rows, "doc_id bigint, text string").write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "documents.parquet"))
+
+    got = sorted(
+        tuple(r) for r in featurize_calibration(spark, str(tmp_path)).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM"
+        f" '{tmp_path}/documents.parquet/*.parquet'"
+    )
+    ora = sorted(
+        tuple(r)
+        for r in con.execute(em.oracle_sql()["featurize_calibration"]).fetchall()
+    )
+    assert got == ora
+    by_doc = {}
+    for doc_id, bucket, w, td, mtl, sr, label in got:
+        by_doc.setdefault(doc_id, []).append((bucket, w, td, mtl, sr, label))
+    assert by_doc[4][0][5] == 0 and by_doc[5][0][5] == 0
+    assert all(w == 0.0 for _, w, *_ in by_doc[4] + by_doc[5])
+    assert by_doc[6][0][5] == 1  # boundary doc passes the gate
+    assert by_doc[2][0][5] == 0

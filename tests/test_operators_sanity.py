@@ -1105,3 +1105,56 @@ def test_spectral_power_calibration_matches_numpy_truth(spark):
     assert abs(lam_top - evals[-1]) / evals[-1] < 1e-3, (lam_top, evals[-1])
     # v is max-norm-normalized in fixed point: max |v_fp| is exactly 1e9
     assert max(abs(r["v_fp"]) for r in rows) == 10**9
+
+
+def test_kmeans_calibration_parity_with_float_fit(spark):
+    """r8: the fixed-point Lloyd's calibration twin must track the float
+    production fit (kmeans_fit metric='l2', same stride init rule, same
+    iteration budget, no early stop): dequantized centroids within
+    quantization-scale tolerance and a full partition of the corpus."""
+    import numpy as np
+
+    from dhs_to_database_spark.operators.similarity import (
+        _KMC_ITERS,
+        _KMC_K,
+        kmeans_calibration,
+        kmeans_fit,
+    )
+    from dhs_to_database_spark.sources.tables import load_table
+
+    rows = kmeans_calibration(spark, SF_DIR).collect()
+    cal: dict[int, dict[int, float]] = {}
+    n_asg: dict[int, int] = {}
+    inertia: dict[int, float] = {}
+    for r in rows:
+        cal.setdefault(r["cell"], {})[r["pos"]] = r["c"]
+        n_asg[r["cell"]] = r["n_assigned"]
+        inertia[r["cell"]] = r["inertia"]
+    assert set(cal) == set(range(_KMC_K))
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    fitted, n_iter = kmeans_fit(
+        emb, k=_KMC_K, max_iter=_KMC_ITERS, tol=0.0, metric="l2"
+    )
+    assert n_iter == _KMC_ITERS
+    d = len(fitted[0][1])
+    a = np.stack(
+        [np.asarray([cal[c][p] for p in range(d)]) for c in sorted(cal)]
+    )
+    b = np.stack([np.asarray(v) for _, v in sorted(fitted)])
+    # quantization error is 5e-7/component; divergence beyond ~1e-4 after
+    # 3 iterations would mean an assignment flipped between the twins
+    assert np.abs(a - b).max() < 1e-4, np.abs(a - b).max()
+
+    # the report partitions the corpus and inertia is the per-cell sum of
+    # squared distances under the FINAL centroids (checked vs numpy)
+    assert sum(n_asg.values()) == emb.count()
+    rows = emb.select("vec_id", "embedding").collect()
+    m = np.stack(
+        [np.asarray(r["embedding"], dtype=np.float64) for r in rows]
+    )
+    d2 = ((m[:, None, :] - a[None, :, :]) ** 2).sum(axis=2)
+    cells = d2.argmin(axis=1)
+    for c in sorted(cal):
+        got = float(d2[cells == c, c].sum())
+        assert abs(inertia[c] - got) < max(1e-3 * got, 1e-3), (c, inertia[c], got)

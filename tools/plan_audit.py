@@ -67,6 +67,8 @@ NOTES = {
     "source_pagerank": "edge weights from the hot-gram-df-capped per-gram source-set agg (no gram self-join; stop-grams > _GRAM_SRC_CAP sources dropped in BOTH engines, r8); 5 power-iteration steps = broadcast joins of the catalog-sized rank vector against the ONE checkpointed edge list; pure integer fixed-point, bit-stable under any partitioning (pinned by test), runtime w*SCALE overflow guard",
     "bpe_merge_calibration": "ONE corpus pass (word_counts map-side agg); the 8-merge training loop runs on the bounded vocab table (driver tier asserted; DataFrame tier parity-tested in bpe_train)",
     "spectral_power_calibration": "ONE Arrow pass of exact int64 GEMM partials (order-free integer sums); 64x64 squaring loop is SF-independent driver integer math; report is dimension-sized",
+    "kmeans_calibration": "quantize once (localCheckpoint) then _KMC_ITERS+1 linear passes: assignment is a NARROW codegen map (centroid literals inlined, no broadcast/shuffle), update is ONE map-side-combined groupBy collapsing N x d to k x d partials; driver holds only the k x d centroid matrix — the MLlib treeAggregate shape, pure int64 (bit-stable)",
+    "featurize_calibration": "the quality classifier's ONE Arrow featurize pass (hashing trick, no vocabulary, no shuffle) + a bucket posexplode projection; report ratios are exact int/int doubles via the round-pair",
     "embedding_quantization": "ZERO shuffles: absmax scale, int8 codes, and all three error metrics are JVM higher-order lambdas in one narrow pass",
     "quality_classifier": "ONE Arrow featurize pass (hashing trick, parallelism-guarded, localCheckpointed) + 2 Newton/IRLS passes each = one mapInPandas sufficient-stats pass (numpy GEMM partials per partition, partials-sized collect); driver holds only w + the (d+1)x(d+1) solve",
     "containment_pairs": "lossless containment-prefix candidates (rarest ~(1-t)|A| shingles vs full inverted index, integer-exact bounds) + exact verify; oracle is the naive all-pairs truth",

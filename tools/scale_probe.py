@@ -101,6 +101,8 @@ PROBES = {
     "source_pagerank": "documents",
     "bpe_merge_calibration": "documents",
     "spectral_power_calibration": "embeddings",
+    "kmeans_calibration": "embeddings",
+    "featurize_calibration": "documents",
     "embedding_quantization": "embeddings",
     "quality_classifier": "documents",
     "containment_pairs": "documents",
