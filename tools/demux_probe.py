@@ -246,13 +246,23 @@ def main() -> None:
     spark = get_spark("demux-probe")
     rows = []
     timings: dict[str, tuple[int, float]] = {}
+    bal_mbps: dict[str, float] = {}
     for name, total, n_surveys in TIERS + [SKEW]:
         staging, n_lines = _gen_tier(name, total, n_surveys)
+        mb = sum(
+            os.path.getsize(os.path.join(staging, f))
+            for f in os.listdir(staging)
+            if f.endswith(".dat")
+        ) / 1e6
         wh = os.path.join(ROOT, f"wh_{name}")
         runs = [_run_tier(spark, staging, wh) for _ in range(2)]
         dt = min(runs)
         timings[name] = (n_lines, dt)
-        rows.append(f"| {name} | {n_lines:,} | {dt:.2f} | {n_lines / dt / 1000:,.0f} |")
+        bal_mbps[name] = mb / dt
+        rows.append(
+            f"| {name} | {n_lines:,} | {mb:,.0f} | {dt:.2f} |"
+            f" {n_lines / dt / 1000:,.0f} | {mb / dt:,.0f} |"
+        )
         print(rows[-1])
         shutil.rmtree(wh, ignore_errors=True)
 
@@ -265,6 +275,20 @@ def main() -> None:
     assert ratio < 1.8, (
         f"100:1 survey skew cost {ratio:.2f}x balanced — the demux write "
         "path is supposed to be shuffle-free and skew-immune"
+    )
+
+    # balanced-decade claim on the MB/s axis (r8, VERDICT r7 ask #6): the
+    # t1e8 klines/s dip vs t1e7 needed a data-volume axis to be
+    # attributable; assert flat-or-rising the way the wide tiers do
+    bal_ratio = bal_mbps["t1e8"] / bal_mbps["t1e7"]
+    bal_verdict = (
+        f"t1e8/t1e7 MB/s ratio = {bal_ratio:.2f} (flat-or-rising expected)"
+    )
+    print(bal_verdict)
+    assert bal_ratio > 0.65, (
+        f"balanced demux throughput fell to {bal_ratio:.2f}x across the "
+        "final 10x decade — the scan + demux + partitioned write pipeline "
+        "is supposed to scale linearly"
     )
 
     # wide-record / packed-table tiers (r6; r7 adds the 10x decade + MB/s —
@@ -308,12 +332,15 @@ def main() -> None:
         "surveyid-partitioned parquet write) over synthesized multi-survey "
         "CSPro corpora (H00/H01/H4A records, 8 surveys; `skew1e6` = 2 "
         "surveys at 100:1 with the same total as `t1e6`).\n",
-        "| tier | lines | s | klines/s |",
-        "|---|---|---|---|",
+        "| tier | lines | MB | s | klines/s | MB/s |",
+        "|---|---|---|---|---|---|",
         *rows,
         f"\n{verdict} — the demux plan has no shuffle (input splits drive "
         "parallelism; partitionBy writes straight from scan tasks), so "
         "survey skew does not concentrate work; probe asserts ratio < 1.8.",
+        f"\n{bal_verdict}; probe asserts ratio > 0.65 (r8: the MB/s axis "
+        "makes line-count vs data-volume effects separable, as for the "
+        "wide tiers).",
         "\n### Wide-record / packed-table tiers (r6; 10x decade + MB/s r7)\n",
         "A second dictionary with a RECH0-like 172-char record (WREC0, 22 "
         "fields) and a 520-item record (WREC5) that crosses the reference's "

@@ -163,6 +163,15 @@ SLOW_TAIL = {
     # r7 addition: edge derivation is the source_overlap_matrix plan (its
     # sf1 row rises); the 5 fixed-point iterations are catalog-sized joins
     "source_pagerank": "documents",
+    # r8 (VERDICT r7 ask #4): the two r7 calibrations without a 1000x row.
+    # Both should be near-flat — bounded vocab / SF-independent squaring
+    # loop over one linear GEMM pass — prove it rather than assert it.
+    "bpe_merge_calibration": "documents",
+    "spectral_power_calibration": "embeddings",
+    # r8 additions: Lloyd's twin = _KMC_ITERS+1 linear passes (expect
+    # linear throughput); featurize twin = one Arrow pass + explode
+    "kmeans_calibration": "embeddings",
+    "featurize_calibration": "documents",
 }
 
 
