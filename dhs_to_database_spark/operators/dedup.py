@@ -2248,14 +2248,18 @@ def span_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 _GRAM_SRC_CAP = 3
 
 
-def shared_gram_source_sets(docs: DataFrame) -> DataFrame:
+def shared_gram_source_sets(
+    docs: DataFrame, cap: int = _GRAM_SRC_CAP
+) -> DataFrame:
     """(gram, __ss) rows: the sorted set of sources containing each
-    distinct _EXCISE_N-gram, with 2 <= |__ss| <= _GRAM_SRC_CAP (singleton
+    distinct _EXCISE_N-gram, with 2 <= |__ss| <= ``cap`` (singleton
     grams carry no overlap; over-cap grams are stop-gram boilerplate —
-    see block comment). Shared by ``source_overlap_matrix`` and
-    ``clustering.source_pagerank``; the matching oracle derivation is the
-    ``ok`` CTE (HAVING COUNT(*) BETWEEN 2 AND cap over the distinct
-    (source, gram) occurrences)."""
+    see block comment). ``cap`` is the production knob: raise it with
+    the catalog (a small fraction of the host count); the registry
+    queries run the _GRAM_SRC_CAP default their oracles encode. Shared
+    by ``source_overlap_matrix`` and ``clustering.source_pagerank``; the
+    matching oracle derivation is the ``ok`` CTE (HAVING COUNT(*)
+    BETWEEN 2 AND cap over the distinct (source, gram) occurrences)."""
     n = _EXCISE_N
     toks = docs.filter(F.col("text").isNotNull()).select(
         "source", F.split(F.trim("text"), r"[ \t\n\x0b\f\r]+").alias("__ws")
@@ -2269,9 +2273,7 @@ def shared_gram_source_sets(docs: DataFrame) -> DataFrame:
     return (
         grams.groupBy("gram")
         .agg(F.sort_array(F.collect_set("source")).alias("__ss"))
-        .filter(
-            (F.size("__ss") >= 2) & (F.size("__ss") <= _GRAM_SRC_CAP)
-        )
+        .filter((F.size("__ss") >= 2) & (F.size("__ss") <= cap))
     )
 
 

@@ -522,10 +522,6 @@ def kmeans_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = sorted((r["cell"], list(r["q"])) for r in init)
     d = len(cents[0][1])
 
-    def _trunc(a: int, b: int) -> int:
-        # DuckDB // truncates toward zero; python // floors
-        return -((-a) // b) if a < 0 else a // b
-
     for _ in range(_KMC_ITERS):
         sums = (
             emb.select(_kmc_assign_expr(cents).alias("s"), "q")
@@ -541,7 +537,9 @@ def kmeans_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             (
                 cid,
                 [
-                    _trunc(by_cell[cid][f"s{i}"], by_cell[cid]["cnt"])
+                    # _trunc_div (module-level, shared with the spectral
+                    # twin): DuckDB // truncates, python // floors
+                    _trunc_div(by_cell[cid][f"s{i}"], by_cell[cid]["cnt"])
                     for i in range(d)
                 ]
                 if cid in by_cell
@@ -1366,7 +1364,7 @@ def ann_calibration(
     ).collect()[0]
     assert pre["n_nrm"] == pre["n"], "NULL embedding: cosine undefined"
     emb = emb.filter(F.col("nrm") > 0)
-    n = pre["n_pos"]
+    n = pre["n_pos"] or 0  # SUM over zero rows is NULL: empty corpus -> 0
     stride = n // _CAL_CELLS
     assert stride >= 1, "corpus smaller than the twin cell count"
 

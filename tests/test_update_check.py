@@ -218,8 +218,18 @@ def test_no_bare_whitespace_class_in_oracle_gated_patterns():
                 # Exempt prose, surgically (ADVICE r7): remove inline
                 # ``literal`` spans and the trailing # comment, then scan
                 # what's left — a real pattern line with a ``-styled
-                # trailing comment no longer evades the sweep.
-                code = re.sub(r"``[^`]*``", "", line).split("#", 1)[0]
+                # trailing comment no longer evades the sweep. The
+                # comment starts at the first '#' with BALANCED quotes
+                # before it: a '#' inside a pattern string (e.g.
+                # split on "#\\s+") is not a comment and must not hide
+                # the rest of the line from the sweep.
+                code = re.sub(r"``[^`]*``", "", line)
+                parts = code.split("#")
+                for i in range(1, len(parts)):
+                    prefix = "#".join(parts[:i])
+                    if prefix.count('"') % 2 == 0 and prefix.count("'") % 2 == 0:
+                        code = prefix
+                        break
                 if "\\s" not in code:
                     continue
                 if "split" in code or "regexp" in code or "rlike" in code:
