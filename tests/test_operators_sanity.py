@@ -1158,3 +1158,96 @@ def test_kmeans_calibration_parity_with_float_fit(spark):
     for c in sorted(cal):
         got = float(d2[cells == c, c].sum())
         assert abs(inertia[c] - got) < max(1e-3 * got, 1e-3), (c, inertia[c], got)
+
+
+def test_kmeans_calibration_integer_mirror_and_layout_invariance(spark, tmp_path):
+    """r8: (a) the fixed-point Lloyd's result is BIT-IDENTICAL to a pure
+    python integer mirror of the algorithm (the source_pagerank
+    integer-mirror pattern — pins the Spark computation independently of
+    the DuckDB oracle); (b) re-writing the corpus shuffled across 7
+    files changes nothing (every step is an order-free integer sum or a
+    deterministic argmin, so layout cannot leak in)."""
+    import numpy as np
+
+    from dhs_to_database_spark.operators.similarity import (
+        _KMC_IDIV,
+        _KMC_ITERS,
+        _KMC_K,
+        _KMC_Q,
+        _trunc_div,
+        kmeans_calibration,
+    )
+    from dhs_to_database_spark.sources.tables import load_table
+
+    got = sorted(
+        tuple(r)
+        for r in kmeans_calibration(spark, SF_DIR)
+        .select("cell", "pos", "c_fp", "n_assigned", "inertia_fp")
+        .collect()
+    )
+
+    # --- (a) pure-python mirror (half-away rounding, exact ints) ---
+    rows = load_table(spark, SF_DIR, "embeddings").select(
+        "vec_id", "embedding"
+    ).collect()
+    rows.sort(key=lambda r: r["vec_id"])
+    ids = [r["vec_id"] for r in rows]
+    q = [
+        [
+            int(np.copysign(np.floor(abs(float(x)) * _KMC_Q + 0.5), x))
+            for x in r["embedding"]
+        ]
+        for r in rows
+    ]
+    n, d = len(q), len(q[0])
+    stride = n // _KMC_K
+    by_id = dict(zip(ids, q))
+    cents = [list(by_id[j * stride]) for j in range(_KMC_K)]
+
+    def assign(v):
+        best, bc = None, None
+        for cid, c in enumerate(cents):
+            dist = sum((a - b) * (a - b) for a, b in zip(v, c))
+            if best is None or dist < best:
+                best, bc = dist, cid
+        return bc, best
+
+    for _ in range(_KMC_ITERS):
+        sums = [[0] * d for _ in range(_KMC_K)]
+        cnt = [0] * _KMC_K
+        for v in q:
+            c, _dist = assign(v)
+            cnt[c] += 1
+            for i in range(d):
+                sums[c][i] += v[i]
+        cents = [
+            [_trunc_div(sums[c][i], cnt[c]) for i in range(d)]
+            if cnt[c]
+            else cents[c]
+            for c in range(_KMC_K)
+        ]
+    n_asg = [0] * _KMC_K
+    inertia = [0] * _KMC_K
+    for v in q:
+        c, dist = assign(v)
+        n_asg[c] += 1
+        inertia[c] += dist // _KMC_IDIV
+    mirror = sorted(
+        (c, p, cents[c][p], n_asg[c], inertia[c])
+        for c in range(_KMC_K)
+        for p in range(d)
+    )
+    assert got == mirror
+
+    # --- (b) layout invariance: 7 shuffled files, identical bits ---
+    emb = load_table(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    emb.orderBy(F.md5(F.col("vec_id").cast("string"))).repartition(7).write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "embeddings.parquet"))
+    got2 = sorted(
+        tuple(r)
+        for r in kmeans_calibration(spark, str(tmp_path))
+        .select("cell", "pos", "c_fp", "n_assigned", "inertia_fp")
+        .collect()
+    )
+    assert got2 == got
