@@ -33,6 +33,13 @@ corpus, so this derives one from sf0.1 deterministically:
 
 Output: /root/repo/.scale_sf1/{documents,embeddings,events}.parquet (gitignored).
 Idempotent: skips work if outputs exist. Stdlib + duckdb only.
+
+``--sf10`` (r8): same derivation at 100 replicas -> /root/repo/.scale_sf10
+(10,000x sf0.001) for the decade probe. The per-replica word map stays
+injective/prefix-free at two-digit k because corpus words contain no
+digits ('r1' || w can never equal 'r11' || w2 — w2 would need a leading
+digit), and any _EXCISE_N >= 3 window still contains a tagged word, so
+replicas share zero grams at every gram width the operators use.
 """
 
 from __future__ import annotations
@@ -47,10 +54,10 @@ REPLICAS = 10
 SHIFT = 10_000_000
 
 
-def main() -> None:
-    os.makedirs(OUT, exist_ok=True)
+def main(out: str = OUT, replicas: int = REPLICAS) -> None:
+    os.makedirs(out, exist_ok=True)
     con = duckdb.connect()
-    docs_out = os.path.join(OUT, "documents.parquet")
+    docs_out = os.path.join(out, "documents.parquet")
     if not os.path.exists(docs_out):
         con.execute(
             f"""
@@ -67,11 +74,11 @@ def main() -> None:
                      source,
                      n_chars
               FROM read_parquet('{SRC}/documents.parquet')
-              CROSS JOIN (SELECT unnest(range({REPLICAS})) AS k)
+              CROSS JOIN (SELECT unnest(range({replicas})) AS k)
             ) TO '{docs_out}' (FORMAT PARQUET)
             """
         )
-    emb_out = os.path.join(OUT, "embeddings.parquet")
+    emb_out = os.path.join(out, "embeddings.parquet")
     if not os.path.exists(emb_out):
         con.execute(
             f"""
@@ -85,11 +92,11 @@ def main() -> None:
                      ) AS embedding,
                      label
               FROM read_parquet('{SRC}/embeddings.parquet')
-              CROSS JOIN (SELECT unnest(range({REPLICAS})) AS k)
+              CROSS JOIN (SELECT unnest(range({replicas})) AS k)
             ) TO '{emb_out}' (FORMAT PARQUET)
             """
         )
-    ev_out = os.path.join(OUT, "events.parquet")
+    ev_out = os.path.join(out, "events.parquet")
     if not os.path.exists(ev_out):
         con.execute(
             f"""
@@ -101,16 +108,21 @@ def main() -> None:
                      value,
                      props
               FROM read_parquet('{SRC}/events.parquet')
-              CROSS JOIN (SELECT unnest(range({REPLICAS})) AS k)
+              CROSS JOIN (SELECT unnest(range({replicas})) AS k)
             ) TO '{ev_out}' (FORMAT PARQUET)
             """
         )
     for t in ("documents", "embeddings", "events"):
         n = con.execute(
-            f"SELECT COUNT(*) FROM read_parquet('{OUT}/{t}.parquet')"
+            f"SELECT COUNT(*) FROM read_parquet('{out}/{t}.parquet')"
         ).fetchone()[0]
         print(f"{t}: {n} rows")
 
 
 if __name__ == "__main__":
-    main()
+    import sys
+
+    if "--sf10" in sys.argv:
+        main(out="/root/repo/.scale_sf10", replicas=100)
+    else:
+        main()

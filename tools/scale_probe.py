@@ -8,6 +8,7 @@ whose per-row cost grows is hiding quadratic work.
 
 Usage: python tools/scale_probe.py          # full table, sf0.001-0.1
        python tools/scale_probe.py --sf1    # slow-tail subset incl. sf1
+       python tools/scale_probe.py --sf10   # decade probe: core dedup path to 10,000x
                                             # (runs tools/gen_sf1.py first)
 """
 
@@ -215,6 +216,79 @@ def probe_sf1() -> None:
         f.write("\n".join(lines) + "\n")
 
 
+# The decade probe (r8): the core dedup/curation scale claims measured
+# over FOUR decades — sf0.001 -> sf10 (10,000x; sf10 = 100 isomorphic
+# replicas of sf0.1, tools/gen_sf1.py --sf10). ONE run per (query, sf):
+# at these corpus sizes the measurement is minutes-long and steady-state,
+# so min-of-2 would double the wall for no signal; the claim is the
+# TREND, and the soft guard below only trips on a collapse.
+SF10_DIR = "/root/repo/.scale_sf10"
+DECADE_TAIL = {
+    "dedup_exact": "documents",
+    "minhash_lsh_md5": "documents",
+    "minhash_calibration": "documents",
+    "exact_substring_excise": "documents",
+    "dedup_components": "documents",
+    "source_pagerank": "documents",
+    "leakage_safe_split": "documents",
+}
+
+
+def probe_sf10() -> None:
+    import subprocess
+
+    import __spark_entry__ as em
+    from dhs_to_database_spark.session import get_spark
+    from dhs_to_database_spark.sources.tables import load_table
+
+    subprocess.run([sys.executable, "/root/repo/tools/gen_sf1.py"], check=True)
+    subprocess.run(
+        [sys.executable, "/root/repo/tools/gen_sf1.py", "--sf10"], check=True
+    )
+    spark = get_spark("scale-probe-sf10")
+    qs = em.queries()
+    sfs = [SFS[-1], SF1_DIR, SF10_DIR]
+    counts = {
+        (sf, t): load_table(spark, sf, t).count()
+        for sf in sfs
+        for t in set(DECADE_TAIL.values())
+    }
+    lines = [
+        "\n## Decade probe to sf10 (10,000x; sf10 = 100 isomorphic sf0.1"
+        " replicas via `tools/gen_sf1.py --sf10`; ONE run per cell —"
+        " minutes-long steady-state measurements)\n",
+        "| query | "
+        + " | ".join(
+            f"{sf.rsplit('/', 1)[-1].replace('.scale_', '')} (s / krows/s)"
+            for sf in sfs
+        )
+        + " | sf10/sf1 krows/s |",
+        "|---|" + "---|" * (len(sfs) + 1),
+    ]
+    for name, table in DECADE_TAIL.items():
+        cells, rates = [], []
+        for sf in sfs:
+            t0 = time.time()
+            qs[name](spark, sf).write.format("noop").mode("overwrite").save()
+            dt = time.time() - t0
+            rate = counts[(sf, table)] / dt / 1000
+            rates.append(rate)
+            cells.append(f"{dt:.2f} / {rate:,.0f}")
+        ratio = rates[-1] / rates[-2]
+        lines.append(
+            f"| {name} | " + " | ".join(cells) + f" | {ratio:.2f} |"
+        )
+        print(lines[-1])
+        # soft linearity guard: across the final decade, per-row cost must
+        # not blow up (>2x would mean super-linear work, not noise)
+        assert ratio > 0.5, (
+            f"{name}: sf10 throughput fell to {ratio:.2f}x of sf1 — "
+            "super-linear work across the final decade"
+        )
+    with open("/root/repo/SCALING.md", "a") as f:
+        f.write("\n".join(lines) + "\n")
+
+
 def main() -> None:
     import __spark_entry__ as em
     from dhs_to_database_spark.session import get_spark
@@ -257,7 +331,9 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    if "--sf1" in sys.argv:
+    if "--sf10" in sys.argv:
+        probe_sf10()
+    elif "--sf1" in sys.argv:
         probe_sf1()
     else:
         main()
