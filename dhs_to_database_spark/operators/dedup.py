@@ -2249,7 +2249,7 @@ _GRAM_SRC_CAP = 3
 
 
 def shared_gram_source_sets(
-    docs: DataFrame, cap: int = _GRAM_SRC_CAP
+    docs: DataFrame, cap: int = _GRAM_SRC_CAP, observation=None
 ) -> DataFrame:
     """(gram, __ss) rows: the sorted set of sources containing each
     distinct _EXCISE_N-gram, with 2 <= |__ss| <= ``cap`` (singleton
@@ -2259,7 +2259,12 @@ def shared_gram_source_sets(
     queries run the _GRAM_SRC_CAP default their oracles encode. Shared
     by ``source_overlap_matrix`` and ``clustering.source_pagerank``; the
     matching oracle derivation is the ``ok`` CTE (HAVING COUNT(*)
-    BETWEEN 2 AND cap over the distinct (source, gram) occurrences)."""
+    BETWEEN 2 AND cap over the distinct (source, gram) occurrences).
+
+    No silent caps: pass a ``pyspark.sql.Observation`` to record
+    ``dropped_hot_grams`` (grams excluded for exceeding the cap) from
+    the same pass, no extra job — the ``bucket_pairs`` /
+    ``dropped_bucket_rows`` discipline."""
     n = _EXCISE_N
     toks = docs.filter(F.col("text").isNotNull()).select(
         "source", F.split(F.trim("text"), r"[ \t\n\x0b\f\r]+").alias("__ws")
@@ -2270,11 +2275,17 @@ def shared_gram_source_sets(
         "source",
         F.explode(F.array_distinct(word_shingles("__ws", n))).alias("gram"),
     )
-    return (
-        grams.groupBy("gram")
-        .agg(F.sort_array(F.collect_set("source")).alias("__ss"))
-        .filter((F.size("__ss") >= 2) & (F.size("__ss") <= cap))
+    sets = grams.groupBy("gram").agg(
+        F.sort_array(F.collect_set("source")).alias("__ss")
     )
+    if observation is not None:
+        sets = sets.observe(
+            observation,
+            F.sum(
+                F.when(F.size("__ss") > cap, 1).otherwise(0)
+            ).alias("dropped_hot_grams"),
+        )
+    return sets.filter((F.size("__ss") >= 2) & (F.size("__ss") <= cap))
 
 
 @query(

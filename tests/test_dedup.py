@@ -426,3 +426,24 @@ def test_hot_gram_cap_drops_planted_stop_gram(spark, tmp_path):
     assert {(r[0], r[1]) for r in ora_pr} == {
         (s, r["rank_fp"]) for s, r in pr.items()
     }
+
+
+def test_hot_gram_cap_observation_reports_dropped_grams(spark, tmp_path):
+    """No silent caps: shared_gram_source_sets reports the count of
+    over-cap grams through an Observation from the same pass (the
+    bucket_pairs discipline)."""
+    from pyspark.sql import Observation
+
+    from dhs_to_database_spark.operators.dedup import shared_gram_source_sets
+
+    stop = "s1 s2 s3 s4 s5 s6"
+    good = "g1 g2 g3 g4 g5 g6"
+    rows = [(i, f"src{i}", stop) for i in range(5)]
+    rows += [(10 + i, f"src{i}", good) for i in range(3)]
+    docs = spark.createDataFrame(
+        rows, "doc_id bigint, source string, text string"
+    )
+    obs = Observation("hotgrams")
+    out = shared_gram_source_sets(docs, observation=obs).collect()
+    assert {r["gram"] for r in out} == {good}
+    assert obs.get["dropped_hot_grams"] == 1
