@@ -1251,3 +1251,57 @@ def test_kmeans_calibration_integer_mirror_and_layout_invariance(spark, tmp_path
         .collect()
     )
     assert got2 == got
+
+
+def test_ann_calibration_zero_norm_vector_excluded_both_engines(spark, tmp_path):
+    """r8 (ADVICE r7): a corpus containing a zero-norm embedding must
+    REPORT, not crash — the zero vector is excluded from the candidate
+    corpus in BOTH engines (it can never be a cosine neighbor), the
+    stride is sized from the filtered count on both sides, and the full
+    report still hash-agrees with the DuckDB oracle."""
+    import os
+    import sys
+
+    import duckdb
+    import numpy as np
+
+    from dhs_to_database_spark.operators.similarity import (
+        _CAL_CELLS,
+        ann_calibration,
+    )
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    if root not in sys.path:
+        sys.path.insert(0, root)
+    import __spark_entry__ as em
+
+    rng = np.random.RandomState(7)
+    n = 3 * _CAL_CELLS + 1  # 49: odd size so the stride math is exercised
+    rows = []
+    for i in range(n):
+        v = rng.randn(64)
+        v /= np.linalg.norm(v)
+        rows.append((i, [float(x) for x in v.astype(np.float32)], 0))
+    rows[25] = (25, [0.0] * 64, 0)  # the planted zero-norm vector
+    spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int"
+    ).write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+
+    got = sorted(
+        tuple(r) for r in ann_calibration(spark, str(tmp_path)).collect()
+    )
+    assert len(got) == 4  # exact + 3 twins, no crash
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM"
+        f" '{tmp_path}/embeddings.parquet/*.parquet'"
+    )
+    ora = sorted(
+        tuple(r)
+        for r in con.execute(em.oracle_sql()["ann_calibration"]).fetchall()
+    )
+    assert got == ora
+    # exact recall row is self-consistent: hits == n_queries * k
+    exact = [r for r in got if r[0] == "exact"][0]
+    assert exact[4] == exact[1] * exact[2]
