@@ -101,8 +101,16 @@ _GRADE_TAIL = [
     "simhash_md5",  # near-dup family: minhash_calibration + containment_pairs + dedup_components graded in-window
     "doc_perplexity",  # text-scoring family: tfidf_topk + bm25_search graded in-window
     "moving_average_daily",  # window family: window_functions + session_windows + interval_join_attribution graded in-window
-    "kmeans_calibration",  # r8 addition (Lloyd's made oracle-exact: integer fixed-point + unrolled CTE levels — the last rows-only family with computable ground truth); clustering family: dedup_components + ann_calibration graded in-window — rotate in r9
-    "featurize_calibration",  # r8 addition (the quality classifier's featurize kernel put under the oracle: hashed bucket histogram + dense ratios via the round-pair); classifier family: quality_classifier rows-only, tfidf/bm25 text siblings graded in-window — rotate in r9
+    # --- r9 rotation (VERDICT r8 ask #1): the two never-driver-graded r8
+    # calibration additions (kmeans_calibration, featurize_calibration)
+    # move INTO the window; two multi-round-graded family-redundant
+    # siblings rest here. Every entry keeps an in-window sibling.
+    "span_dedup_report",  # dup-span family (r6-r8 driver-green): max_dup_span_stats + exact_substring_excise + duplicate_spans siblings, the first two graded in-window
+    "funnel_stages",  # event-window family (r5-r8 driver-green): session_windows + window_functions + interval_join_attribution graded in-window
+    # --- r9 additions parked for the r10 rotation (never driver-graded;
+    # both check_oracle-verified at sf0.001/0.01/0.1).
+    "irls_stats_calibration",  # r9 addition (the quality classifier's IRLS sufficient stats X^T.W.X / X^T.z hash-gated per pass via the round-pair + int64-sum recipe); classifier family: featurize_calibration graded in-window — rotate in r10
+    "pca_calibration",  # r9 addition (top-PC direction + per-vector projection of the CENTERED Gram via the spectral repeated-squaring recipe); similarity family: spectral_power_calibration + ann_calibration graded in-window — rotate in r10
     # --- r5 rotation: four-round-graded queries rest in the tail so the
     # driver finally grades long-tenured tail members (VERDICT r4 ask #4);
     # every one below is r1-r4 driver-green with an in-window family sibling.

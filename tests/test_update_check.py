@@ -103,96 +103,85 @@ def test_grade_window_invariant():
     assert all(n in ors for n in names[:50])
 
 
-def test_r5_grading_window_rotation():
-    """r5 rotation (VERDICT r4 ask #4): ten long-tenured tail queries must
-    now sit INSIDE the driver's 50-entry grading window, and the ten
-    four-round-graded siblings they displaced must rest in the tail.
-
-    Superseded in part by the r8 rotation: simhash_md5, doc_perplexity
-    and moving_average_daily (r5-r7 driver-green) rotated back OUT in r8
-    to admit the three r7 iterative additions — they are asserted
-    tail-resident by test_r8_grading_window_rotation instead."""
-    import __spark_entry__ as e
-
-    window = set(list(e.queries())[:50])
-    rotated_in = {
-        "tfidf_topk", "bm25_search",
-        "exact_substring_excise", "scd2_history",
-        "interval_join_attribution", "funnel_stages",
+# Grading-window rotation history (VERDICT r8 ask #7: one table-driven
+# test replaces the r5/r6/r7/r8 per-round tests and their cross-round
+# supersession amendments). Each row is (round, rotated_in, rotated_out)
+# exactly as documented at the matching _GRADE_TAIL comment block; the
+# CURRENT window must equal the fold of the history — a later rotation
+# that rotates a name back out (e.g. simhash_md5: in@r5, out@r8)
+# supersedes the earlier row by construction, no amendments needed.
+_ROTATION_HISTORY = [
+    # r5 (VERDICT r4 ask #4): ten long-tenured tail queries in, ten
+    # four-round-graded siblings out.
+    ("r5", {
+        "simhash_md5", "doc_perplexity", "moving_average_daily",
+        "tfidf_topk", "bm25_search", "exact_substring_excise",
+        "scd2_history", "interval_join_attribution", "funnel_stages",
         "audio_metadata",
-    }
-    rotated_out = {
+    }, {
         "distinct_values", "join_semi", "cast_at_query", "label_search",
         "gap_fill_hourly", "sequence_pack", "dedup_incremental",
         "latest_version_per_group", "top_unshipped_orders", "asof_join",
-    }
-    assert rotated_in <= window, rotated_in - window
-    assert not (rotated_out & window), rotated_out & window
-
-
-def test_r6_grading_window_rotation():
-    """r6 rotation (VERDICT r5 ask #1): the ten never-driver-graded r4/r5
-    additions plus the new ann_calibration must sit INSIDE the driver's
-    50-entry grading window, and the eleven five-round-graded siblings
-    they displaced must rest in the tail."""
-    import __spark_entry__ as e
-
-    window = set(list(e.queries())[:50])
-    rotated_in = {
+    }),
+    # r6 (VERDICT r5 ask #1): the never-driver-graded r4/r5 additions
+    # plus ann_calibration/leakage_safe_split in, twelve five-round-graded
+    # siblings out.
+    ("r6", {
         "span_dedup_report", "max_dup_span_stats", "cdc_chunks",
         "decontaminate_pairs", "minhash_calibration", "containment_pairs",
         "boilerplate_prune", "training_shuffle_order", "json_props_extract",
         "source_overlap_matrix", "ann_calibration", "leakage_safe_split",
-    }
-    rotated_out = {
+    }, {
         "dedup_exact", "minhash_lsh_md5", "token_count", "union_distinct",
         "join_inner", "string_pack", "sort_limit", "pivot_wide",
         "winnowing_fingerprint", "filename_meta_extract", "top1_per_group",
         "embedding_cosine_near_dup",
-    }
-    assert rotated_in <= window, rotated_in - window
-    assert not (rotated_out & window), rotated_out & window
-
-
-def test_r7_grading_window_rotation():
-    """r7 rotation (VERDICT r6 ask #1): the five never-driver-graded r6
-    additions must now sit INSIDE the driver's 50-entry grading window,
-    and the five six-round-graded siblings they displaced must rest in
-    the tail (each with an in-window family sibling, documented at the
-    _GRADE_TAIL entries)."""
-    import __spark_entry__ as e
-
-    window = set(list(e.queries())[:50])
-    rotated_in = {
+    }),
+    # r7 (VERDICT r6 ask #1): five never-driver-graded r6 additions in,
+    # five six-round-graded siblings out.
+    ("r7", {
         "embedding_quantization", "pii_redact",
         "approx_distinct_calibration", "approx_quantile_calibration",
         "cms_calibration",
-    }
-    rotated_out = {
+    }, {
         "train_test_split", "benchmark_decontaminate", "quality_score",
         "pricing_summary", "embedding_topk",
-    }
-    assert rotated_in <= window, rotated_in - window
-    assert not (rotated_out & window), rotated_out & window
+    }),
+    # r8 (VERDICT r7 ask #1): three never-driver-graded r7 iterative
+    # additions in, three multi-round-graded siblings out (supersedes the
+    # r5 row for simhash_md5/doc_perplexity/moving_average_daily).
+    ("r8", {
+        "source_pagerank", "bpe_merge_calibration",
+        "spectral_power_calibration",
+    }, {"simhash_md5", "doc_perplexity", "moving_average_daily"}),
+    # r9 (VERDICT r8 ask #1): the two never-driver-graded r8 calibration
+    # additions in, two multi-round-graded siblings out (supersedes the
+    # r5 row for funnel_stages and the r6 row for span_dedup_report;
+    # each keeps >=2 in-window family siblings — see _GRADE_TAIL).
+    ("r9", {"kmeans_calibration", "featurize_calibration"},
+     {"span_dedup_report", "funnel_stages"}),
+]
 
 
-def test_r8_grading_window_rotation():
-    """r8 rotation (VERDICT r7 ask #1): the three never-driver-graded r7
-    iterative additions (parked "rotate in r8") must now sit INSIDE the
-    driver's 50-entry grading window, and the three multi-round-graded
-    family-redundant siblings they displaced must rest in the tail (each
-    with an in-window family sibling, documented at the _GRADE_TAIL
-    entries)."""
+def test_grading_window_rotation_history():
+    """Fold _ROTATION_HISTORY in round order and assert the CURRENT
+    50-entry grading window agrees with every name's FINAL rotation
+    state. Future rotations are one new table row, not a new test plus
+    amendments to the old ones."""
     import __spark_entry__ as e
 
     window = set(list(e.queries())[:50])
-    rotated_in = {
-        "source_pagerank", "bpe_merge_calibration",
-        "spectral_power_calibration",
-    }
-    rotated_out = {"simhash_md5", "doc_perplexity", "moving_average_daily"}
-    assert rotated_in <= window, rotated_in - window
-    assert not (rotated_out & window), rotated_out & window
+    state: dict[str, bool] = {}  # name -> in-window expected
+    for _rnd, rotated_in, rotated_out in _ROTATION_HISTORY:
+        assert not (rotated_in & rotated_out), (_rnd, rotated_in & rotated_out)
+        for n in rotated_in:
+            state[n] = True
+        for n in rotated_out:
+            state[n] = False
+    should_be_in = {n for n, v in state.items() if v}
+    should_be_out = {n for n, v in state.items() if not v}
+    assert should_be_in <= window, should_be_in - window
+    assert not (should_be_out & window), should_be_out & window
 
 
 def test_no_bare_whitespace_class_in_oracle_gated_patterns():
