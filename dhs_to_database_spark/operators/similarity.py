@@ -506,7 +506,26 @@ def kmeans_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         # quantize once, not per pass
         .localCheckpoint(eager=True)
     )
-    n = emb.count()
+    # Runtime overflow guard (ADVICE r8): every squared-L2 term is
+    # (q_d - c_d)^2 with |c_d| <= max|q| (centroids are truncated means of
+    # the quantized inputs, so they never leave the input range), so the
+    # per-vector distance sum is bounded by 4 * max|q|^2 * dim. Spark's
+    # non-ANSI int64 aggregate wraps SILENTLY past 2^63 while the DuckDB
+    # oracle's BIGINT multiply errors loudly — enforce the bound with one
+    # cheap agg on the checkpointed frame (folded into the count job) so
+    # a too-heavy corpus fails identically in both engines, the same
+    # recipe as source_pagerank's max(w) * _PR_SCALE guard
+    # (clustering.py) and the spectral twin's per-batch GEMM assert.
+    stats = emb.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max(F.expr("array_max(transform(q, x -> abs(x)))")).alias("maxq"),
+        F.max(F.size("q")).alias("dim"),
+    ).collect()[0]
+    n, maxq, dim = stats["n"], stats["maxq"] or 0, stats["dim"] or 0
+    assert 4 * maxq * maxq * dim < 2**63, (
+        f"max|q|={maxq} at dim={dim} would overflow the int64 squared-L2"
+        f" sum (4*maxq^2*dim >= 2^63); drop _KMC_Q a decade"
+    )
     stride = n // _KMC_K
     assert stride >= 1, "corpus smaller than the twin cell count"
     init = (

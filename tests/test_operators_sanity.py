@@ -1305,3 +1305,28 @@ def test_ann_calibration_zero_norm_vector_excluded_both_engines(spark, tmp_path)
     # exact recall row is self-consistent: hits == n_queries * k
     exact = [r for r in got if r[0] == "exact"][0]
     assert exact[4] == exact[1] * exact[2]
+
+
+def test_kmeans_calibration_overflow_guard_trips_on_heavy_corpus(spark, tmp_path):
+    """r9 (ADVICE r8): the int64 squared-L2 bound (4*max|q|^2*dim < 2^63)
+    is a RUNTIME guard, not a comment — on a corpus whose quantized
+    magnitudes would silently wrap Spark's non-ANSI aggregate (while the
+    DuckDB oracle's BIGINT multiply errors loudly), the operator must
+    fail fast and identically, before the Lloyd's loop runs."""
+    import pytest
+
+    from dhs_to_database_spark.operators.similarity import (
+        _KMC_K,
+        kmeans_calibration,
+    )
+
+    # |x| = 1000 -> q = 1e9 -> 4 * (1e9)^2 * 4 = 1.6e19 > 2^63 (~9.2e18)
+    rows = [
+        (i, [1000.0 * (1 if (i + j) % 2 else -1) for j in range(4)], 0)
+        for i in range(2 * _KMC_K)
+    ]
+    spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int"
+    ).write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+    with pytest.raises(AssertionError, match="overflow the int64"):
+        kmeans_calibration(spark, str(tmp_path))
