@@ -108,6 +108,8 @@ BENCH_QUERIES = [
     "spectral_power_calibration",
     "kmeans_calibration",
     "featurize_calibration",
+    "irls_stats_calibration",
+    "pca_calibration",
     "embedding_quantization",
     "quality_classifier",
     "containment_pairs",

@@ -367,6 +367,203 @@ def featurize_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# IRLS sufficient-statistics calibration (r9, VERDICT r8 ask #4) — the
+# classifier's TRAINING accumulation path put under the oracle. The
+# Newton solve itself stays rows-only (driver-side float linear algebra),
+# but what each IRLS pass ACCUMULATES — X^T.W.X and X^T.r, sums of
+# products of already-oracle-gated featurize quantities — is exact
+# integer math once (a) the gated feature dims (log1p excluded, as in
+# featurize_calibration) are quantized through the proven round-pair,
+# and (b) the sigmoid probability is replaced by a deterministic
+# rational surrogate p = (doc_id % 5 + 1)/10 injected identically in
+# both engines (the pii_redact injection pattern): then W = p(1-p) and
+# r = p - y are exact tenths, and G_j = sum(qz_j * (p10 - 10 y)),
+# H_jk = sum(qz_j * qz_k * p10 * (10 - p10)) are order-free int64 sums.
+# The Spark side runs the REAL featurize kernel and the REAL partials
+# shape (one Arrow-batched integer-GEMM row per partition, summed
+# exactly, i.e. _newton_stats with the floats swapped for int64), so a
+# drift in EITHER the featurize math or the accumulation plumbing fails
+# the hash gate. A runtime guard enforces the int64 bound
+# 25 * max|qz|^2 * N < 2^63 (Spark's non-ANSI sum wraps silently where
+# DuckDB's HUGEINT doesn't — the kmeans/source_pagerank guard recipe).
+# ---------------------------------------------------------------------------
+
+_IRLS_Q = 10**4  # feature quantization: x -> round(x * 1e4) int64 units
+_IRLS_D1 = _CLF_DIM  # bias + 16 buckets + 3 dense ratios (log1p dim dropped)
+_IRLS_GSCALE = 10 * _IRLS_Q  # gradient fixed-point scale (p,r in tenths)
+_IRLS_HSCALE = 100 * _IRLS_Q * _IRLS_Q  # Hessian scale (W in hundredths)
+
+
+def _irls_oracle() -> str:
+    return f"""
+    WITH docs AS (
+      SELECT doc_id,
+             CASE WHEN text IS NULL THEN 0 ELSE length(text) END AS nchars,
+             CASE WHEN text IS NULL OR text = '' THEN []::VARCHAR[]
+                  ELSE string_split_regex(trim(text, ' '),
+                                          '[ \\t\\n\\x0b\\f\\r]+') END AS t
+      FROM documents
+    ),
+    per_tok AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(u.tok), 1, 8)) AS BIGINT)
+               % {_HASH_DIM} AS bucket,
+             length(u.tok) AS tlen,
+             CASE WHEN u.tok IN ({_FEAT_STOP_SQL}) THEN 1 ELSE 0 END AS is_stop
+      FROM docs, UNNEST(t) AS u(tok)
+    ),
+    counts AS (
+      SELECT doc_id, bucket, CAST(COUNT(*) AS BIGINT) AS c
+      FROM per_tok GROUP BY doc_id, bucket
+    ),
+    dense AS (
+      SELECT d.doc_id, d.nchars, len(d.t) AS nt,
+             COALESCE(s.sum_len, 0) AS sum_len,
+             COALESCE(s.stops, 0) AS stops
+      FROM docs d LEFT JOIN (
+        SELECT doc_id, CAST(SUM(tlen) AS BIGINT) AS sum_len,
+               CAST(SUM(is_stop) AS BIGINT) AS stops
+        FROM per_tok GROUP BY doc_id) s USING (doc_id)
+    ),
+    bw AS (
+      SELECT d.doc_id,
+             list(CAST(ROUND((CAST(COALESCE(c.c, 0) AS DOUBLE)
+                              / GREATEST(d.nt, 1)) * {_IRLS_Q}.0) AS BIGINT)
+                  ORDER BY b.bucket) AS qw
+      FROM dense d
+      CROSS JOIN (SELECT unnest(generate_series(0, {_HASH_DIM - 1}))
+                    AS bucket) b
+      LEFT JOIN counts c ON c.doc_id = d.doc_id AND c.bucket = b.bucket
+      GROUP BY d.doc_id
+    ),
+    vec AS MATERIALIZED (
+      SELECT d.doc_id,
+             list_concat(list_concat(
+               [CAST({_IRLS_Q} AS BIGINT)],
+               bw.qw),
+               [CAST(ROUND((CAST(LEAST(d.nt, 1000) AS DOUBLE) / 100.0)
+                           * {_IRLS_Q}.0) AS BIGINT),
+                CAST(ROUND((CASE WHEN d.nt > 0
+                            THEN (CAST(d.sum_len AS DOUBLE) / d.nt) / 10.0
+                            ELSE 0.0 END) * {_IRLS_Q}.0) AS BIGINT),
+                CAST(ROUND((CASE WHEN d.nt > 0
+                            THEN CAST(d.stops AS DOUBLE) / d.nt
+                            ELSE 0.0 END) * {_IRLS_Q}.0) AS BIGINT)]
+             ) AS qz,
+             CAST(d.doc_id % 5 + 1 AS BIGINT) AS p10,
+             CAST(CASE WHEN d.nchars >= 100 AND d.nchars <= 20000
+                        AND d.nt >= 20 THEN 1 ELSE 0 END AS BIGINT) AS y
+      FROM dense d JOIN bw USING (doc_id)
+    ),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM vec),
+    dims AS (SELECT unnest(generate_series(0, {_IRLS_D1 - 1})) AS j),
+    g AS (
+      SELECT j.j AS j,
+             CAST(SUM(v.qz[j.j + 1] * (v.p10 - 10 * v.y)) AS BIGINT) AS v_fp
+      FROM vec v, dims j GROUP BY j.j
+    ),
+    h AS (
+      SELECT j.j AS j, k.j AS k,
+             CAST(SUM(v.qz[j.j + 1] * v.qz[k.j + 1]
+                      * v.p10 * (10 - v.p10)) AS BIGINT) AS v_fp
+      FROM vec v, dims j, dims k GROUP BY j.j, k.j
+    )
+    SELECT 'n' AS term, -1 AS j, -1 AS k, nn.n AS v_fp,
+           CAST(nn.n AS DOUBLE) AS v
+    FROM nn
+    UNION ALL
+    SELECT 'grad' AS term, CAST(g.j AS INT) AS j, -1 AS k, g.v_fp,
+           (CAST(g.v_fp AS DOUBLE) / nn.n) / {_IRLS_GSCALE}.0 AS v
+    FROM g, nn
+    UNION ALL
+    SELECT 'hess' AS term, CAST(h.j AS INT) AS j, CAST(h.k AS INT) AS k,
+           h.v_fp,
+           (CAST(h.v_fp AS DOUBLE) / nn.n) / {_IRLS_HSCALE}.0 AS v
+    FROM h, nn
+    """
+
+
+@query("irls_stats_calibration", oracle=_irls_oracle())
+def irls_stats_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One IRLS pass's sufficient statistics in exact fixed point (see
+    block comment): per-(j, k) Hessian cells, per-j gradient entries
+    (k = -1), and the corpus count — v_fp is the raw int64 sum, v the
+    descaled mean both engines derive with the identical double-division
+    order ((v_fp / n) / scale)."""
+    import numpy as np
+    import pandas as pd
+
+    d = load_table(spark, sf_dir, "documents")
+    feats = featurize(d)  # the REAL Arrow kernel — drift fails the gate
+    q = feats.select(
+        F.expr(
+            f"transform(concat(array(CAST(1.0 AS DOUBLE)),"
+            f" slice(x, 1, {_HASH_DIM}), slice(x, {_HASH_DIM + 2}, 3)),"
+            f" v -> CAST(round(v * {_IRLS_Q}.0) AS BIGINT))"
+        ).alias("qz"),
+        (F.col("doc_id") % 5 + 1).cast("bigint").alias("p10"),
+        F.col("y").cast("bigint").alias("y"),
+    ).localCheckpoint(eager=True)  # one kernel run feeds guard + partials
+
+    # Runtime overflow guard (the kmeans/source_pagerank recipe): every
+    # Hessian term is qz_j * qz_k * p10 * (10 - p10) <= 25 * max|qz|^2,
+    # summed over N rows in Spark's silently-wrapping int64.
+    stats = q.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max(F.expr("array_max(transform(qz, v -> abs(v)))")).alias("maxq"),
+    ).collect()[0]
+    n, maxq = stats["n"], stats["maxq"] or 0
+    assert 25 * maxq * maxq * max(n, 1) < 2**63, (
+        f"max|qz|={maxq} over n={n} rows would overflow the int64 Hessian"
+        f" sum (25*maxq^2*n >= 2^63); drop _IRLS_Q a decade"
+    )
+
+    d1 = _IRLS_D1
+
+    def gen(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # _newton_stats' partials shape with the float GEMMs swapped for
+        # exact int64 GEMMs: one (g, h) row per partition, rows never
+        # leave the executors.
+        g = np.zeros(d1, dtype=np.int64)
+        h = np.zeros((d1, d1), dtype=np.int64)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            z = np.stack(pdf["qz"].to_numpy()).astype(np.int64)
+            p10 = pdf["p10"].to_numpy(dtype=np.int64)
+            y = pdf["y"].to_numpy(dtype=np.int64)
+            g += z.T @ (p10 - 10 * y)
+            h += (z * (p10 * (10 - p10))[:, None]).T @ z
+        yield pd.DataFrame({"g": [g.tolist()], "h": [h.reshape(-1).tolist()]})
+
+    partials = q.mapInPandas(
+        gen, "g array<bigint>, h array<bigint>"
+    ).collect()  # partials-sized: one row per partition
+    gsum = [sum(int(r["g"][j]) for r in partials) for j in range(d1)]
+    hsum = [
+        sum(int(r["h"][i]) for r in partials) for i in range(d1 * d1)
+    ]  # python ints: the driver-side sum cannot wrap
+    rows = [("n", -1, -1, n, float(n))]
+    rows += [
+        ("grad", j, -1, gsum[j], (float(gsum[j]) / n) / float(_IRLS_GSCALE))
+        for j in range(d1)
+    ]
+    rows += [
+        (
+            "hess",
+            i // d1,
+            i % d1,
+            hsum[i],
+            (float(hsum[i]) / n) / float(_IRLS_HSCALE),
+        )
+        for i in range(d1 * d1)
+    ]
+    return spark.createDataFrame(
+        rows, "term string, j int, k int, v_fp bigint, v double"
+    )
+
+
 @query("quality_classifier")  # iterative training: not SQL-expressible -> rows-only
 def quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train the distilled quality scorer on the corpus and score every

@@ -143,3 +143,136 @@ def test_featurize_calibration_oracle_parity_on_planted_edges(spark, tmp_path):
     assert all(w == 0.0 for _, w, *_ in by_doc[4] + by_doc[5])
     assert by_doc[6][0][5] == 1  # boundary doc passes the gate
     assert by_doc[2][0][5] == 0
+
+
+def test_irls_stats_calibration_integer_mirror(spark):
+    """r9 (VERDICT r8 ask #4): the fixed-point IRLS sufficient stats are
+    BIT-IDENTICAL to a pure-python integer mirror built from the real
+    featurize output (the source_pagerank/kmeans mirror pattern — pins
+    the Spark accumulation independently of the DuckDB oracle), and the
+    descaled v column follows the exact double-division order."""
+    from dhs_to_database_spark.operators.classifier import (
+        _IRLS_D1,
+        _IRLS_GSCALE,
+        _IRLS_HSCALE,
+        _IRLS_Q,
+        featurize,
+        irls_stats_calibration,
+    )
+    from dhs_to_database_spark.sources.tables import load_table
+
+    sf_dir = "/root/testdata/sf0.001"
+    got = {
+        (r["term"], r["j"], r["k"]): (r["v_fp"], r["v"])
+        for r in irls_stats_calibration(spark, sf_dir).collect()
+    }
+
+    feats = featurize(load_table(spark, sf_dir, "documents")).collect()
+    d1 = _IRLS_D1
+
+    def quant(v):
+        # half-away-from-zero, matching Spark round / DuckDB ROUND
+        scaled = v * _IRLS_Q
+        return int(np.copysign(np.floor(abs(scaled) + 0.5), scaled))
+
+    n = len(feats)
+    g = [0] * d1
+    h = [[0] * d1 for _ in range(d1)]
+    for r in feats:
+        x = list(r["x"])
+        qz = [quant(1.0)] + [quant(v) for v in x[:16]] + [
+            quant(v) for v in x[17:20]
+        ]
+        p10 = r["doc_id"] % 5 + 1
+        y = int(r["y"])
+        rr, ww = p10 - 10 * y, p10 * (10 - p10)
+        for j in range(d1):
+            g[j] += qz[j] * rr
+            for k in range(d1):
+                h[j][k] += qz[j] * qz[k] * ww
+    assert got[("n", -1, -1)] == (n, float(n))
+    for j in range(d1):
+        assert got[("grad", j, -1)] == (
+            g[j],
+            (float(g[j]) / n) / float(_IRLS_GSCALE),
+        )
+        for k in range(d1):
+            assert got[("hess", j, k)] == (
+                h[j][k],
+                (float(h[j][k]) / n) / float(_IRLS_HSCALE),
+            )
+
+
+def test_irls_stats_calibration_oracle_parity_on_planted_edges(spark, tmp_path):
+    """r9: the IRLS twin and its DuckDB oracle agree on the featurize
+    edge cases (NULL text, empty text, stopword-heavy, exact label
+    boundary) — pins the vec/grad/hess CTE path on inputs the shipped
+    corpus lacks, beyond what check_oracle exercises."""
+    import os
+    import sys
+
+    import duckdb
+
+    from dhs_to_database_spark.operators.classifier import (
+        irls_stats_calibration,
+    )
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    if root not in sys.path:
+        sys.path.insert(0, root)
+    import __spark_entry__ as em
+
+    boundary = " ".join(f"w{i:03d}" for i in range(20))
+    boundary += "x" * (100 - len(boundary))
+    rows = [
+        (1, "the quick brown fox " * 30),
+        (2, "tiny doc"),
+        (3, "of to and " + "word " * 40),
+        (4, ""),
+        (5, None),
+        (6, boundary),
+    ]
+    spark.createDataFrame(rows, "doc_id bigint, text string").write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "documents.parquet"))
+
+    got = sorted(
+        tuple(r)
+        for r in irls_stats_calibration(spark, str(tmp_path)).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM"
+        f" '{tmp_path}/documents.parquet/*.parquet'"
+    )
+    ora = sorted(
+        tuple(r)
+        for r in con.execute(
+            em.oracle_sql()["irls_stats_calibration"]
+        ).fetchall()
+    )
+    assert got == ora
+    # the bias-column Hessian diagonal is sum(Q^2 * p10(10-p10)) — a
+    # nonzero even on this tiny planted corpus
+    assert next(v for t, j, k, v, _ in got if (t, j, k) == ("hess", 0, 0)) > 0
+
+
+def test_irls_stats_calibration_overflow_guard_trips(spark, tmp_path):
+    """r9: a corpus whose quantized feature magnitude would silently wrap
+    Spark's non-ANSI int64 Hessian sum (while DuckDB's HUGEINT errors
+    loudly) must fail fast at the runtime guard."""
+    import pytest
+
+    from dhs_to_database_spark.operators.classifier import (
+        irls_stats_calibration,
+    )
+
+    # one 3e5-char token -> mean_tok_len = 3e4 -> qz = 3e8 ->
+    # 25 * (3e8)^2 * 20 rows ~ 4.5e19 > 2^63
+    giant = "x" * 300_000
+    rows = [(i, giant) for i in range(20)]
+    spark.createDataFrame(rows, "doc_id bigint, text string").write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "documents.parquet"))
+    with pytest.raises(AssertionError, match="overflow the int64"):
+        irls_stats_calibration(spark, str(tmp_path))

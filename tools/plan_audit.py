@@ -69,6 +69,8 @@ NOTES = {
     "spectral_power_calibration": "ONE Arrow pass of exact int64 GEMM partials (order-free integer sums); 64x64 squaring loop is SF-independent driver integer math; report is dimension-sized",
     "kmeans_calibration": "quantize once (localCheckpoint) then _KMC_ITERS+1 linear passes: assignment is a NARROW codegen map (centroid literals inlined, no broadcast/shuffle), update is ONE map-side-combined groupBy collapsing N x d to k x d partials; driver holds only the k x d centroid matrix — the MLlib treeAggregate shape, pure int64 (bit-stable)",
     "featurize_calibration": "the quality classifier's ONE Arrow featurize pass (hashing trick, no vocabulary, no shuffle) + a bucket posexplode projection; report ratios are exact int/int doubles via the round-pair",
+    "irls_stats_calibration": "one featurize pass (localCheckpoint: guard + partials share it) then ONE Arrow int64-GEMM pass emitting per-partition sufficient-stat partials (the _newton_stats/treeAggregate shape); collect is partials-sized (1 row/partition), driver sum is exact python int; report built driver-side from 421 values",
+    "pca_calibration": "one linear pass quantizes + accumulates the d x d centered-Gram partials (map-side combine), then driver-side integer repeated squaring of a d x d matrix (corpus-size-free) and one broadcast projection pass; collect is d^2-sized",
     "embedding_quantization": "ZERO shuffles: absmax scale, int8 codes, and all three error metrics are JVM higher-order lambdas in one narrow pass",
     "quality_classifier": "ONE Arrow featurize pass (hashing trick, parallelism-guarded, localCheckpointed) + 2 Newton/IRLS passes each = one mapInPandas sufficient-stats pass (numpy GEMM partials per partition, partials-sized collect); driver holds only w + the (d+1)x(d+1) solve",
     "containment_pairs": "lossless containment-prefix candidates (rarest ~(1-t)|A| shingles vs full inverted index, integer-exact bounds) + exact verify; oracle is the naive all-pairs truth",

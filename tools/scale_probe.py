@@ -104,6 +104,8 @@ PROBES = {
     "spectral_power_calibration": "embeddings",
     "kmeans_calibration": "embeddings",
     "featurize_calibration": "documents",
+    "irls_stats_calibration": "documents",
+    "pca_calibration": "embeddings",
     "embedding_quantization": "embeddings",
     "quality_classifier": "documents",
     "containment_pairs": "documents",
@@ -173,6 +175,11 @@ SLOW_TAIL = {
     # linear throughput); featurize twin = one Arrow pass + explode
     "kmeans_calibration": "embeddings",
     "featurize_calibration": "documents",
+    # r9 additions: IRLS stats twin = one Arrow integer-GEMM pass over
+    # the featurize output (expect linear); PCA twin = centered-Gram
+    # spectral squaring over one panel pass (expect near-flat)
+    "irls_stats_calibration": "documents",
+    "pca_calibration": "embeddings",
 }
 
 
