@@ -1805,6 +1805,20 @@ def _trunc_div(a: int, b: int) -> int:
     return -((-a) // b) if a < 0 else a // b
 
 
+def _fp_rescale(mat: list) -> list:
+    """Rescale an integer matrix so max|entry| == _SPC_SCALE, truncating
+    toward zero — the squaring-loop normalization both twins share
+    (spectral_power_calibration / pca_calibration) and both DuckDB
+    oracles unroll as the sN CTEs."""
+    mx = max(abs(x) for row in mat for x in row)
+    assert mx > 0, "degenerate corpus: all-zero Gram"
+    sc = _SPC_SCALE
+    return [
+        [(1 if x >= 0 else -1) * (abs(x) * sc // mx) for x in row]
+        for row in mat
+    ]
+
+
 @query("spectral_power_calibration", oracle=_spc_oracle())
 def spectral_power_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top Gram eigenvector + Rayleigh eigenvalue by integer fixed-point
@@ -1851,18 +1865,9 @@ def spectral_power_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             for j in range(d):
                 row[j] += flat[base + j]
 
-    def rescale(mat: list) -> list:
-        mx = max(abs(x) for row in mat for x in row)
-        assert mx > 0, "degenerate corpus: all-zero Gram"
-        sc = _SPC_SCALE
-        return [
-            [(1 if x >= 0 else -1) * (abs(x) * sc // mx) for x in row]
-            for row in mat
-        ]
-
-    g = rescale(g0)
+    g = _fp_rescale(g0)
     for _ in range(_SPC_SQUARINGS):
-        g = rescale(
+        g = _fp_rescale(
             [
                 [sum(g[i][k] * g[k][j] for k in range(d)) for j in range(d)]
                 for i in range(d)
@@ -1886,3 +1891,266 @@ def spectral_power_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         "i int, v_fp bigint, v double, lambda_mean_fp bigint,"
         " lambda_mean double, lambda_top double",
     )
+
+
+# ---------------------------------------------------------------------------
+# PCA calibration (r9, VERDICT r8 ask #5) — pca_embedding_reduce's
+# centered-Gram projection put under the oracle, closing the second of
+# the two remaining rows-only float cores. Reuses the spectral twin's
+# machinery verbatim (quantize -> integer Gram -> _SPC_SQUARINGS
+# repeated squarings at _SPC_SCALE fixed point -> sign-fixed top vector
+# -> Rayleigh eigenvalue), with ONE new ingredient: CENTERING as an
+# exact integer rank-1 update. With S = sum(q) and the truncated
+# integer mean m = trunc(S/N) (trunc spelled sign-explicitly in both
+# engines), sum((q-m)(q-m)^T) expands EXACTLY to
+# G0 - S m^T - m S^T + N m m^T — so the centered Gram needs no second
+# corpus pass and stays integer-exact. The report adds the per-vector
+# principal projection proj = (q - m) . v_proj, where v_proj is the
+# top vector downshifted to _PCA_VPROJ units so the per-row int64 dot
+# is N-independent and bounded by (max|q|+max|m|) * _PCA_VPROJ * d
+# (runtime-guarded — Spark's non-ANSI sum wraps silently where the
+# DuckDB oracle errors loudly).
+#
+# Scale: ONE Arrow pass collects (d x d, d, 1) integer partials per
+# partition; the driver folds them in python ints (no wrap at any N)
+# and runs the SF-independent d x d squaring loop; the projection is
+# one narrow whole-stage-codegen map with the centering and projection
+# vectors inlined as literal arrays (the r6 ONE-F.expr lesson). The
+# eigenvalue is reported scale-free as lambda/N. HUGEINT headroom on
+# the oracle side caps at ~1.7e38: c0 entries are <= maxq^2 * N * 4,
+# and the Rayleigh numerator adds x1e9 x1e9 x d — fine through sf1;
+# the Spark side is python-int exact at any N (same framing as the
+# spectral twin).
+# ---------------------------------------------------------------------------
+
+_PCA_VPROJ = 10**6  # projection-vector fixed-point scale (v >> 1e9 -> 1e6)
+
+
+def _pca_oracle() -> str:
+    sq = []
+    for k in range(_SPC_SQUARINGS):
+        sq.append(f"""
+    m{k} AS MATERIALIZED (
+      SELECT a.i AS i, b.j AS j, SUM(a.g::HUGEINT * b.g) AS h
+      FROM s{k} a JOIN s{k} b ON a.j = b.i GROUP BY 1, 2
+    ),
+    s{k + 1} AS MATERIALIZED (
+      SELECT i, j,
+             CAST(CASE WHEN h >= 0 THEN (h * {_SPC_SCALE}) // mx
+                  ELSE -(((-h) * {_SPC_SCALE}) // mx) END AS BIGINT) AS g
+      FROM m{k}, (SELECT MAX(abs(h)) AS mx FROM m{k})
+    )""")
+    return f"""
+    WITH e AS MATERIALIZED (
+      SELECT vec_id, list_transform(embedding::DOUBLE[],
+                            x -> CAST(ROUND(x * {_SPC_Q}.0) AS BIGINT)) AS q
+      FROM embeddings
+    ),
+    nn AS (SELECT COUNT(*) AS n FROM e),
+    dims AS (SELECT unnest(generate_series(0, len(q) - 1)) AS d
+             FROM (SELECT q FROM e LIMIT 1)),
+    g0 AS MATERIALIZED (
+      SELECT i.d AS i, j.d AS j, SUM(q[i.d + 1] * q[j.d + 1]) AS g
+      FROM e, dims i, dims j GROUP BY 1, 2
+    ),
+    sv AS MATERIALIZED (
+      SELECT i.d AS i, CAST(SUM(q[i.d + 1]) AS HUGEINT) AS s
+      FROM e, dims i GROUP BY 1
+    ),
+    mb AS (
+      SELECT sv.i,
+             CAST(CASE WHEN sv.s >= 0 THEN sv.s // nn.n
+                  ELSE -((-sv.s) // nn.n) END AS BIGINT) AS m
+      FROM sv, nn
+    ),
+    c0 AS MATERIALIZED (
+      SELECT g0.i, g0.j,
+             g0.g::HUGEINT - si.s * mj.m - mi.m * sj.s
+               + (SELECT n FROM nn) * (mi.m::HUGEINT * mj.m) AS g
+      FROM g0
+      JOIN sv si ON si.i = g0.i JOIN sv sj ON sj.i = g0.j
+      JOIN mb mi ON mi.i = g0.i JOIN mb mj ON mj.i = g0.j
+    ),
+    s0 AS MATERIALIZED (
+      SELECT i, j,
+             CAST(CASE WHEN g >= 0 THEN (g * {_SPC_SCALE}) // mx
+                  ELSE -(((-g) * {_SPC_SCALE}) // mx) END AS BIGINT) AS g
+      FROM c0, (SELECT MAX(abs(g)) AS mx FROM c0)
+    ),{",".join(sq)},
+    w AS MATERIALIZED (SELECT i, SUM(g::HUGEINT) AS w FROM s{_SPC_SQUARINGS} GROUP BY i),
+    pick AS (SELECT CASE WHEN w >= 0 THEN 1 ELSE -1 END AS sg, abs(w) AS mx
+             FROM (SELECT i, w FROM w ORDER BY abs(w) DESC, i LIMIT 1)),
+    v AS MATERIALIZED (
+      SELECT i,
+             CAST(sg * (CASE WHEN w >= 0 THEN (w * {_SPC_SCALE}) // mx
+                        ELSE -(((-w) * {_SPC_SCALE}) // mx) END) AS BIGINT) AS v_fp
+      FROM w, pick
+    ),
+    w0 AS (SELECT c.i AS i, SUM(c.g * v.v_fp) AS w0
+           FROM c0 c JOIN v ON v.i = c.j GROUP BY 1),
+    ray AS (
+      SELECT CAST(num // ((den // {_SPC_LDP}) * (SELECT n FROM nn)) AS BIGINT)
+               AS lam_fp
+      FROM (SELECT SUM(w0.w0 * v.v_fp::HUGEINT) AS num,
+                   SUM(v.v_fp::HUGEINT * v.v_fp) AS den
+            FROM w0 JOIN v ON v.i = w0.i)
+    ),
+    vp AS (
+      SELECT i,
+             CAST(CASE WHEN v_fp >= 0 THEN v_fp // {_SPC_SCALE // _PCA_VPROJ}
+                  ELSE -((-v_fp) // {_SPC_SCALE // _PCA_VPROJ}) END
+                  AS BIGINT) AS p
+      FROM v
+    ),
+    mbl AS (SELECT list(m ORDER BY i) AS ml FROM mb),
+    vpl AS (SELECT list(p ORDER BY i) AS pl FROM vp),
+    proj AS (
+      SELECT e.vec_id,
+             CAST(list_sum(list_transform(list_zip(e.q, mbl.ml, vpl.pl),
+                  p -> (p[1] - p[2]) * p[3])) AS BIGINT) AS fp
+      FROM e, mbl, vpl
+    )
+    SELECT 'component' AS kind, CAST(v.i AS BIGINT) AS id, v.v_fp AS fp,
+           v.v_fp / {_SPC_SCALE}.0 AS val
+    FROM v
+    UNION ALL
+    SELECT 'lambda_mean' AS kind, CAST(-1 AS BIGINT) AS id, r.lam_fp AS fp,
+           r.lam_fp / {_SPC_Q}.0 / {_SPC_Q}.0 / {_SPC_LDP}.0 AS val
+    FROM ray r
+    UNION ALL
+    SELECT 'proj' AS kind, p.vec_id AS id, p.fp AS fp,
+           p.fp / {_SPC_Q * _PCA_VPROJ}.0 AS val
+    FROM proj p
+    """
+
+
+@query("pca_calibration", oracle=_pca_oracle())
+def pca_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal direction of the CENTERED embedding Gram, its
+    scale-free eigenvalue (lambda/N), and every vector's projection onto
+    it — all in exact fixed point (see block comment), hash-compared
+    against the unrolled DuckDB twin. Rows: kind='component' (per dim),
+    kind='lambda_mean' (one), kind='proj' (per vector)."""
+    import numpy as np
+    import pandas as pd
+    from typing import Iterable, Iterator
+
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .select(
+            "vec_id",
+            F.expr(
+                f"transform(embedding, x ->"
+                f" CAST(round(CAST(x AS DOUBLE) * {_SPC_Q}.0) AS BIGINT))"
+            ).alias("q"),
+        )
+        # the partials pass and the projection pass share one quantize
+        .localCheckpoint(eager=True)
+    )
+
+    def gen(batches: "Iterable[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            z = np.stack(pdf["q"].to_numpy()).astype(np.int64)
+            mq = int(np.abs(z).max()) if z.size else 0
+            assert mq * mq * len(z) < 2**63, (
+                f"quantized magnitude {mq} x batch {len(z)} would overflow"
+                " the int64 partial GEMM; lower _SPC_Q for this corpus"
+            )
+            p = z.T @ z
+            yield pd.DataFrame(
+                {
+                    "g": [p.reshape(-1).tolist()],
+                    "s": [z.sum(axis=0).tolist()],
+                    "n": [len(z)],
+                    "mq": [mq],
+                }
+            )
+
+    parts = emb.mapInPandas(
+        gen, "g array<long>, s array<long>, n bigint, mq bigint"
+    ).collect()
+    assert parts, "empty embeddings table"
+    d = len(parts[0]["s"])
+    n = sum(r["n"] for r in parts)
+    maxq = max(r["mq"] for r in parts)
+    g0 = [[0] * d for _ in range(d)]
+    s = [0] * d
+    for r in parts:  # python ints: no overflow across batches at any N
+        flat = r["g"]
+        for i in range(d):
+            base = i * d
+            row = g0[i]
+            for j in range(d):
+                row[j] += flat[base + j]
+            s[i] += r["s"][i]
+    mb = [_trunc_div(x, n) for x in s]
+    # exact integer centering: sum((q-m)(q-m)^T) == G0 - Sm^T - mS^T + Nmm^T
+    c0 = [
+        [
+            g0[i][j] - s[i] * mb[j] - mb[i] * s[j] + n * mb[i] * mb[j]
+            for j in range(d)
+        ]
+        for i in range(d)
+    ]
+    g = _fp_rescale(c0)
+    for _ in range(_SPC_SQUARINGS):
+        g = _fp_rescale(
+            [
+                [sum(g[i][k] * g[k][j] for k in range(d)) for j in range(d)]
+                for i in range(d)
+            ]
+        )
+    w = [sum(g[i][j] for j in range(d)) for i in range(d)]
+    mm = max(abs(x) for x in w)
+    ai = min(i for i in range(d) if abs(w[i]) == mm)
+    sg = 1 if w[ai] >= 0 else -1
+    v = [sg * _trunc_div(x * _SPC_SCALE, mm) for x in w]
+    w0 = [sum(c0[i][j] * v[j] for j in range(d)) for i in range(d)]
+    num = sum(w0[i] * v[i] for i in range(d))  # >= 0: centered Gram is PSD
+    den = sum(x * x for x in v)
+    lam_fp = num // ((den // _SPC_LDP) * n)
+    vp = [_trunc_div(x, _SPC_SCALE // _PCA_VPROJ) for x in v]
+
+    # Projection overflow guard (the kmeans/irls recipe): the per-row dot
+    # sums d terms of (q - m) * vp in Spark's silently-wrapping int64.
+    maxm = max(abs(x) for x in mb)
+    assert (maxq + maxm) * _PCA_VPROJ * d < 2**63, (
+        f"centered magnitude {maxq + maxm} x {_PCA_VPROJ} x {d} dims would"
+        " overflow the int64 projection dot; lower _PCA_VPROJ"
+    )
+
+    mb_lits = ", ".join(f"{m}L" for m in mb)
+    vp_lits = ", ".join(f"{x}L" for x in vp)
+    proj = emb.select(
+        F.col("vec_id").cast("bigint").alias("id"),
+        F.expr(
+            f"aggregate(zip_with(zip_with(q, array({mb_lits}),"
+            f" (a, m) -> a - m), array({vp_lits}), (c, vv) -> c * vv),"
+            f" 0L, (acc, x) -> acc + x)"
+        )
+        .cast("bigint")
+        .alias("fp"),
+    ).select(
+        F.lit("proj").alias("kind"),
+        "id",
+        "fp",
+        (F.col("fp") / F.lit(float(_SPC_Q * _PCA_VPROJ))).alias("val"),
+    )
+    head = spark.createDataFrame(
+        [
+            ("component", i, v[i], v[i] / float(_SPC_SCALE))
+            for i in range(d)
+        ]
+        + [
+            (
+                "lambda_mean",
+                -1,
+                lam_fp,
+                lam_fp / float(_SPC_Q) / float(_SPC_Q) / float(_SPC_LDP),
+            )
+        ],
+        "kind string, id bigint, fp bigint, val double",
+    )
+    return head.unionByName(proj)

@@ -1330,3 +1330,51 @@ def test_kmeans_calibration_overflow_guard_trips_on_heavy_corpus(spark, tmp_path
     ).write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
     with pytest.raises(AssertionError, match="overflow the int64"):
         kmeans_calibration(spark, str(tmp_path))
+
+
+def test_pca_calibration_matches_numpy_truth_and_production_fit(spark):
+    """r9 (VERDICT r8 ask #5): the integer fixed-point CENTERED-Gram twin
+    must land on the true top principal axis (numpy eigh on the centered
+    covariance): |cos| >= 0.999, lambda/N within 0.1%, and every
+    reported projection within quantization tolerance of the float
+    (x - mu) . v — plus parity with the production pca_fit's first
+    component (the rows-only core this twin hash-gates)."""
+    import numpy as np
+
+    from dhs_to_database_spark.operators.similarity import (
+        pca_calibration,
+        pca_fit,
+    )
+    from dhs_to_database_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    rows = pca_calibration(spark, sf).collect()
+    comp = sorted(
+        (r["id"], r["val"], r["fp"]) for r in rows if r["kind"] == "component"
+    )
+    v = np.array([c for _, c, _ in comp])
+    lam_mean = next(r["val"] for r in rows if r["kind"] == "lambda_mean")
+    proj = {r["id"]: r["val"] for r in rows if r["kind"] == "proj"}
+
+    emb = load_table(spark, sf, "embeddings")
+    recs = emb.select("vec_id", "embedding").collect()
+    x = np.array([r["embedding"] for r in recs], dtype=np.float64)
+    ids = [r["vec_id"] for r in recs]
+    n = len(x)
+    c = x - x.mean(0)
+    evals, evecs = np.linalg.eigh(c.T @ c)
+    top = evecs[:, -1]
+    cos = abs(v @ top) / (np.linalg.norm(v) * np.linalg.norm(top))
+    assert cos >= 0.999, cos
+    assert abs(lam_mean - evals[-1] / n) / (evals[-1] / n) < 1e-3
+    # v is max-norm-normalized in fixed point: max |fp| is exactly 1e9
+    assert max(abs(fp) for _, _, fp in comp) == 10**9
+    # every projection matches the float centered dot with the reported
+    # direction, up to quantization (q, m, vp each carry ~1e-6 units)
+    want = c @ v
+    got = np.array([proj[i] for i in ids])
+    assert np.allclose(got, want, atol=1e-3), np.abs(got - want).max()
+    # production parity: pca_fit's top component is the same axis
+    _mean, comps, _ev = pca_fit(emb)
+    pcos = abs(v @ comps[0]) / (np.linalg.norm(v) * np.linalg.norm(comps[0]))
+    assert pcos >= 0.999, pcos
