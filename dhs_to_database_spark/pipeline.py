@@ -87,6 +87,7 @@ def run_pipeline(
     manifest_path: str | None = None,
     spec_dir: str | None = None,
     expand_ranges: str = "All",
+    sink_format: str = "parquet",
 ) -> PipelineResult:
     """Run stages 1-4; see module docstring. ``staging_folder`` is scanned
     recursively for ``<filecode>.dcf`` / ``<filecode>.dat`` pairs (the
@@ -138,7 +139,11 @@ def run_pipeline(
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     unknown_frames = []
     for spec, dats in groups.values():
-        result.tables.update(demux_to_parquet(spark, dats, spec, warehouse_dir))
+        result.tables.update(
+            demux_to_parquet(
+                spark, dats, spec, warehouse_dir, sink_format=sink_format
+            )
+        )
         unknown_frames.append(unknown_tags(spark, dats, spec))
     if unknown_frames:
         acc = unknown_frames[0]

@@ -166,6 +166,7 @@ def demux_to_parquet(
     out_dir: str,
     mode: str = "overwrite",
     pack_wide: bool = True,
+    sink_format: str = "parquet",
 ) -> dict[str, str]:
     """Demux + write one parquet dataset per record type, partitioned by
     surveyid (partition-pruned downstream; idempotent per-survey overwrite
@@ -193,7 +194,13 @@ def demux_to_parquet(
                 from ..plans.schema_evolution import pack_wide_table
 
                 df = pack_wide_table(df)
-            df.write.mode(mode).partitionBy("surveyid").parquet(dest)
+            if sink_format == "parquet":
+                df.write.mode(mode).partitionBy("surveyid").parquet(dest)
+            else:
+                # compute-only sink (e.g. "noop"): runs the full scan +
+                # demux projection + pack without the partitioned write —
+                # dry-run validation and the probe's compute axis
+                df.write.format(sink_format).mode(mode).save()
             out[rec.record_name] = dest
         return out
     finally:

@@ -239,6 +239,21 @@ def _run_tier(spark, staging: str, warehouse: str) -> float:
     return time.time() - t0
 
 
+def _run_tier_compute(spark, staging: str) -> float:
+    """The tier's COMPUTE axis (r9, VERDICT r8 ask #2): the identical
+    pipeline — DCF parse, spec group, cached scan, every record's demux
+    projection — driven through the noop sink, so the multi-GB
+    partitioned parquet write (the one disk-weather-dominated stage)
+    is excluded and the linearity assert can stay tight."""
+    from dhs_to_database_spark.pipeline import run_pipeline
+
+    t0 = time.time()
+    res = run_pipeline(spark, staging, "/unused-noop-wh", sink_format="noop")
+    assert set(res.tables) == {"RECH0", "RECH1", "RECH4A"}, res.tables
+    res.unknown_tag_counts.write.format("noop").mode("overwrite").save()
+    return time.time() - t0
+
+
 def main() -> None:
     from dhs_to_database_spark.session import get_spark
 
@@ -246,7 +261,7 @@ def main() -> None:
     spark = get_spark("demux-probe")
     rows = []
     timings: dict[str, tuple[int, float]] = {}
-    bal_mbps: dict[str, float] = {}
+    comp_mbps: dict[str, float] = {}
     for name, total, n_surveys in TIERS + [SKEW]:
         staging, n_lines = _gen_tier(name, total, n_surveys)
         mb = sum(
@@ -255,13 +270,20 @@ def main() -> None:
             if f.endswith(".dat")
         ) / 1e6
         wh = os.path.join(ROOT, f"wh_{name}")
+        # compute axis first (noop sink), then the full write runs — the
+        # write axis is reported as the DERIVED full - compute seconds,
+        # unasserted (multi-GB write wall showed 2.7x same-code disk
+        # weather in r8; see VERDICT r8 "what's wrong" #1)
+        comp = min(_run_tier_compute(spark, staging) for _ in range(2))
         runs = [_run_tier(spark, staging, wh) for _ in range(2)]
         dt = min(runs)
         timings[name] = (n_lines, dt)
-        bal_mbps[name] = mb / dt
+        comp_mbps[name] = mb / comp
+        wr = max(dt - comp, 0.01)
         rows.append(
-            f"| {name} | {n_lines:,} | {mb:,.0f} | {dt:.2f} |"
-            f" {n_lines / dt / 1000:,.0f} | {mb / dt:,.0f} |"
+            f"| {name} | {n_lines:,} | {mb:,.0f} | {comp:.2f} |"
+            f" {mb / comp:,.0f} | {wr:.2f} | {mb / wr:,.0f} | {dt:.2f} |"
+            f" {n_lines / dt / 1000:,.0f} |"
         )
         print(rows[-1])
         shutil.rmtree(wh, ignore_errors=True)
@@ -277,24 +299,25 @@ def main() -> None:
         "path is supposed to be shuffle-free and skew-immune"
     )
 
-    # balanced-decade claim on the MB/s axis (r8, VERDICT r7 ask #6): the
-    # t1e8 klines/s dip vs t1e7 needed a data-volume axis to be
-    # attributable; assert flat-or-rising the way the wide tiers do.
-    # Threshold 0.4, NOT the wide tiers' 0.65: t1e8 is the one tier whose
-    # wall time is dominated by a multi-GB partitioned parquet WRITE, and
-    # same-code idle-machine runs measured 30.7 s / 48.9 s / 82.2 s (r8)
-    # — 2.7x write-side disk weather the compute-bound wide tiers don't
-    # see. A real super-linear demux would land near 0.1 at 10x; 0.4
-    # catches that while not failing on device variance.
-    bal_ratio = bal_mbps["t1e8"] / bal_mbps["t1e7"]
+    # balanced-decade claim, COMPUTE axis (r9, VERDICT r8 ask #2 /
+    # ADVICE r8): r8 asserted the full-pipeline MB/s at a 0.4 threshold
+    # to absorb measured 2.7x write-side disk weather on the multi-GB
+    # t1e8 parquet write — loose enough to shield a genuine ~2x
+    # super-linear compute regression. Splitting the axes restores the
+    # wide tiers' tight 0.65 flat-or-rising bar on the scan + demux
+    # projection (noop sink — no disk write in the measured path); the
+    # write axis is reported in the table, unasserted.
+    bal_ratio = comp_mbps["t1e8"] / comp_mbps["t1e7"]
     bal_verdict = (
-        f"t1e8/t1e7 MB/s ratio = {bal_ratio:.2f} (flat-or-rising expected)"
+        f"t1e8/t1e7 COMPUTE MB/s ratio = {bal_ratio:.2f}"
+        " (flat-or-rising expected)"
     )
     print(bal_verdict)
-    assert bal_ratio > 0.4, (
-        f"balanced demux throughput fell to {bal_ratio:.2f}x across the "
-        "final 10x decade — the scan + demux + partitioned write pipeline "
-        "is supposed to scale linearly"
+    assert bal_ratio > 0.65, (
+        f"balanced demux COMPUTE throughput fell to {bal_ratio:.2f}x across "
+        "the final 10x decade — the scan + demux projection pipeline is "
+        "supposed to scale linearly (the write axis is excluded here, so "
+        "disk weather cannot explain this)"
     )
 
     # wide-record / packed-table tiers (r6; r7 adds the 10x decade + MB/s —
@@ -337,18 +360,23 @@ def main() -> None:
         "run_pipeline end-to-end (DCF parse -> spec group -> demux -> "
         "surveyid-partitioned parquet write) over synthesized multi-survey "
         "CSPro corpora (H00/H01/H4A records, 8 surveys; `skew1e6` = 2 "
-        "surveys at 100:1 with the same total as `t1e6`).\n",
-        "| tier | lines | MB | s | klines/s | MB/s |",
-        "|---|---|---|---|---|---|",
+        "surveys at 100:1 with the same total as `t1e6`). r9 splits each "
+        "tier into a COMPUTE axis (identical pipeline through the noop "
+        "sink: scan + demux projections, no disk write) and a derived "
+        "WRITE axis (total - compute), so write-side disk weather no "
+        "longer dilutes the linearity evidence.\n",
+        "| tier | lines | MB | compute s | compute MB/s | write s |"
+        " write MB/s | total s | klines/s |",
+        "|---|---|---|---|---|---|---|---|---|",
         *rows,
         f"\n{verdict} — the demux plan has no shuffle (input splits drive "
         "parallelism; partitionBy writes straight from scan tasks), so "
         "survey skew does not concentrate work; probe asserts ratio < 1.8.",
-        f"\n{bal_verdict}; probe asserts ratio > 0.4 (r8: the MB/s axis "
-        "makes line-count vs data-volume effects separable; the looser "
-        "threshold vs the wide tiers' 0.65 reflects measured 2.7x "
-        "write-side disk variance on this multi-GB-write tier — see "
-        "tools/demux_probe.py).",
+        f"\n{bal_verdict}; probe asserts COMPUTE ratio > 0.65 (r9: the "
+        "r8 full-pipeline assert was calibrated to 0.4 to absorb 2.7x "
+        "write-side disk variance, which could shield a ~2x compute "
+        "regression — the split restores the tight bar on the axis that "
+        "can regress; write MB/s is reported unasserted).",
         "\n### Wide-record / packed-table tiers (r6; 10x decade + MB/s r7)\n",
         "A second dictionary with a RECH0-like 172-char record (WREC0, 22 "
         "fields) and a 520-item record (WREC5) that crosses the reference's "
