@@ -276,3 +276,31 @@ def test_irls_stats_calibration_overflow_guard_trips(spark, tmp_path):
     ).parquet(str(tmp_path / "documents.parquet"))
     with pytest.raises(AssertionError, match="overflow the int64"):
         irls_stats_calibration(spark, str(tmp_path))
+
+
+def test_irls_stats_calibration_layout_invariance(spark, tmp_path):
+    """r9: re-writing the corpus shuffled across 7 files changes nothing —
+    every accumulation is an order-free integer sum and the driver fold
+    is exact python int, so partition layout cannot leak in (the kmeans
+    layout-invariance discipline)."""
+    from pyspark.sql import functions as F
+
+    from dhs_to_database_spark.operators.classifier import (
+        irls_stats_calibration,
+    )
+    from dhs_to_database_spark.sources.tables import load_table
+
+    sf_dir = "/root/testdata/sf0.001"
+    got = sorted(
+        tuple(r) for r in irls_stats_calibration(spark, sf_dir).collect()
+    )
+    load_table(spark, sf_dir, "documents").orderBy(
+        F.md5(F.col("doc_id").cast("string"))
+    ).repartition(7).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    got2 = sorted(
+        tuple(r)
+        for r in irls_stats_calibration(spark, str(tmp_path)).collect()
+    )
+    assert got2 == got

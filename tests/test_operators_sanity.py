@@ -1378,3 +1378,24 @@ def test_pca_calibration_matches_numpy_truth_and_production_fit(spark):
     _mean, comps, _ev = pca_fit(emb)
     pcos = abs(v @ comps[0]) / (np.linalg.norm(v) * np.linalg.norm(comps[0]))
     assert pcos >= 0.999, pcos
+
+
+def test_pca_calibration_layout_invariance(spark, tmp_path):
+    """r9: 7 shuffled files, identical bits — the Gram/sum partials are
+    order-free integer sums folded in python ints, the squaring loop is
+    driver-side, and the projection map is per-row (the kmeans
+    layout-invariance discipline)."""
+    from dhs_to_database_spark.operators.similarity import pca_calibration
+    from dhs_to_database_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    got = sorted(tuple(r) for r in pca_calibration(spark, sf).collect())
+    load_table(spark, sf, "embeddings").select(
+        "vec_id", "embedding"
+    ).orderBy(F.md5(F.col("vec_id").cast("string"))).repartition(
+        7
+    ).write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+    got2 = sorted(
+        tuple(r) for r in pca_calibration(spark, str(tmp_path)).collect()
+    )
+    assert got2 == got
