@@ -540,6 +540,7 @@ def irls_stats_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     partials = q.mapInPandas(
         gen, "g array<bigint>, h array<bigint>"
     ).collect()  # partials-sized: one row per partition
+    assert n > 0, "empty documents table"  # fail loudly, like the siblings
     gsum = [sum(int(r["g"][j]) for r in partials) for j in range(d1)]
     hsum = [
         sum(int(r["h"][i]) for r in partials) for i in range(d1 * d1)

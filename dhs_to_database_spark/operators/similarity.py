@@ -1738,7 +1738,11 @@ _SPC_SQUARINGS = 8  # effective power 2^8 = 256 (spectrum gap ~0.98^256 -> 0)
 _SPC_LDP = 10**4  # lambda fixed-point decimals
 
 
-def _spc_oracle() -> str:
+def _sq_cte_chain() -> str:
+    """The m{{k}}/s{{k+1}} repeated-squaring CTE chain BOTH eigen oracles
+    share (spectral_power_calibration squares the raw Gram, pca_calibration
+    the centered one): each level squares s{{k}} and rescales to
+    _SPC_SCALE with sign-explicit truncating division."""
     sq = []
     for k in range(_SPC_SQUARINGS):
         sq.append(f"""
@@ -1752,6 +1756,10 @@ def _spc_oracle() -> str:
                   ELSE -(((-h) * {_SPC_SCALE}) // mx) END AS BIGINT) AS g
       FROM m{k}, (SELECT MAX(abs(h)) AS mx FROM m{k})
     )""")
+    return ",".join(sq)
+
+
+def _spc_oracle() -> str:
     return f"""
     WITH e AS (
       SELECT list_transform(embedding::DOUBLE[],
@@ -1770,7 +1778,7 @@ def _spc_oracle() -> str:
              CAST(CASE WHEN g >= 0 THEN (g::HUGEINT * {_SPC_SCALE}) // mx
                   ELSE -(((-g)::HUGEINT * {_SPC_SCALE}) // mx) END AS BIGINT) AS g
       FROM g0, (SELECT MAX(abs(g)) AS mx FROM g0)
-    ),{",".join(sq)},
+    ),{_sq_cte_chain()},
     w AS MATERIALIZED (SELECT i, SUM(g::HUGEINT) AS w FROM s{_SPC_SQUARINGS} GROUP BY i),
     pick AS (SELECT CASE WHEN w >= 0 THEN 1 ELSE -1 END AS sg, abs(w) AS mx
              FROM (SELECT i, w FROM w ORDER BY abs(w) DESC, i LIMIT 1)),
@@ -1819,6 +1827,36 @@ def _fp_rescale(mat: list) -> list:
     ]
 
 
+def _power_top_vec(mat: list, d: int) -> list:
+    """Sign-fixed top eigenvector of an integer PSD d x d matrix at
+    _SPC_SCALE fixed point via _SPC_SQUARINGS repeated squarings — the
+    driver-side mirror of the shared ``_sq_cte_chain`` oracle levels
+    (python ints: exact at any magnitude; SF-independent cost)."""
+    g = _fp_rescale(mat)
+    for _ in range(_SPC_SQUARINGS):
+        g = _fp_rescale(
+            [
+                [sum(g[i][k] * g[k][j] for k in range(d)) for j in range(d)]
+                for i in range(d)
+            ]
+        )
+    w = [sum(g[i][j] for j in range(d)) for i in range(d)]
+    mm = max(abs(x) for x in w)
+    ai = min(i for i in range(d) if abs(w[i]) == mm)
+    sg = 1 if w[ai] >= 0 else -1
+    return [sg * _trunc_div(x * _SPC_SCALE, mm) for x in w]
+
+
+def _rayleigh_mean_fp(mat: list, v: list, n: int, d: int) -> int:
+    """Scale-free Rayleigh eigenvalue (lambda/N) in _SPC_LDP fixed point
+    for an integer PSD matrix (num >= 0, so // == truncation) — shared by
+    both eigen twins and unrolled identically in both oracles' ray CTE."""
+    w0 = [sum(mat[i][j] * v[j] for j in range(d)) for i in range(d)]
+    num = sum(w0[i] * v[i] for i in range(d))
+    den = sum(x * x for x in v)
+    return num // ((den // _SPC_LDP) * n)
+
+
 @query("spectral_power_calibration", oracle=_spc_oracle())
 def spectral_power_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top Gram eigenvector + Rayleigh eigenvalue by integer fixed-point
@@ -1837,27 +1875,42 @@ def spectral_power_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def gen(batches: "Iterable[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        # ONE partial per partition (the treeAggregate shape), flushed
+        # early only if the RUNNING int64 Gram sum could overflow
+        # (|sum| <= mq^2 * rows; the int64 GEMM wraps SILENTLY while the
+        # DuckDB oracle's HUGEINT stays exact — enforce, don't trust).
+        # At production magnitudes (mq ~ 6e5) a flush fires only past
+        # ~2.5e7 rows per partition, so the collect stays
+        # partitions-sized, not batches-sized.
+        acc, n_rows, mq_run = None, 0, 0
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             z = np.stack(pdf["q"].to_numpy()).astype(np.int64)
-            # int64 GEMM wraps SILENTLY on overflow while the DuckDB
-            # oracle's HUGEINT stays exact — enforce the documented
-            # magnitude precondition instead of trusting it
             mq = int(np.abs(z).max()) if z.size else 0
             assert mq * mq * len(z) < 2**63, (
                 f"quantized magnitude {mq} x batch {len(z)} would overflow"
                 " the int64 partial GEMM; lower _SPC_Q for this corpus"
             )
-            p = z.T @ z  # exact int64: 10k-row Arrow batch peaks ~1e16/cell
-            yield pd.DataFrame({"g": [p.reshape(-1).tolist()], "n": [len(z)]})
+            mq_new = max(mq_run, mq)
+            if acc is not None and mq_new * mq_new * (n_rows + len(z)) >= 2**63:
+                yield pd.DataFrame(
+                    {"g": [acc.reshape(-1).tolist()], "n": [n_rows]}
+                )
+                acc, n_rows = None, 0
+            mq_run = mq_new if acc is not None else mq
+            p = z.T @ z  # exact int64 under the running bound above
+            acc = p if acc is None else acc + p
+            n_rows += len(z)
+        if n_rows:
+            yield pd.DataFrame({"g": [acc.reshape(-1).tolist()], "n": [n_rows]})
 
     parts = emb.mapInPandas(gen, "g array<long>, n bigint").collect()
     assert parts, "empty embeddings table"
     d = int(len(parts[0]["g"]) ** 0.5)
     n = sum(r["n"] for r in parts)
     g0 = [[0] * d for _ in range(d)]
-    for r in parts:  # python ints: no overflow across batches at any N
+    for r in parts:  # python ints: no overflow across partials at any N
         flat = r["g"]
         for i in range(d):
             base = i * d
@@ -1865,23 +1918,8 @@ def spectral_power_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             for j in range(d):
                 row[j] += flat[base + j]
 
-    g = _fp_rescale(g0)
-    for _ in range(_SPC_SQUARINGS):
-        g = _fp_rescale(
-            [
-                [sum(g[i][k] * g[k][j] for k in range(d)) for j in range(d)]
-                for i in range(d)
-            ]
-        )
-    w = [sum(g[i][j] for j in range(d)) for i in range(d)]
-    mm = max(abs(x) for x in w)
-    ai = min(i for i in range(d) if abs(w[i]) == mm)
-    sg = 1 if w[ai] >= 0 else -1
-    v = [sg * _trunc_div(x * _SPC_SCALE, mm) for x in w]
-    w0 = [sum(g0[i][j] * v[j] for j in range(d)) for i in range(d)]
-    num = sum(w0[i] * v[i] for i in range(d))  # >= 0: Gram is PSD
-    den = sum(x * x for x in v)
-    lam_fp = num // ((den // _SPC_LDP) * n)
+    v = _power_top_vec(g0, d)
+    lam_fp = _rayleigh_mean_fp(g0, v, n, d)
     lam_mean = lam_fp / float(_SPC_Q) / float(_SPC_Q) / float(_SPC_LDP)
     return spark.createDataFrame(
         [
@@ -1927,19 +1965,6 @@ _PCA_VPROJ = 10**6  # projection-vector fixed-point scale (v >> 1e9 -> 1e6)
 
 
 def _pca_oracle() -> str:
-    sq = []
-    for k in range(_SPC_SQUARINGS):
-        sq.append(f"""
-    m{k} AS MATERIALIZED (
-      SELECT a.i AS i, b.j AS j, SUM(a.g::HUGEINT * b.g) AS h
-      FROM s{k} a JOIN s{k} b ON a.j = b.i GROUP BY 1, 2
-    ),
-    s{k + 1} AS MATERIALIZED (
-      SELECT i, j,
-             CAST(CASE WHEN h >= 0 THEN (h * {_SPC_SCALE}) // mx
-                  ELSE -(((-h) * {_SPC_SCALE}) // mx) END AS BIGINT) AS g
-      FROM m{k}, (SELECT MAX(abs(h)) AS mx FROM m{k})
-    )""")
     return f"""
     WITH e AS MATERIALIZED (
       SELECT vec_id, list_transform(embedding::DOUBLE[],
@@ -1976,7 +2001,7 @@ def _pca_oracle() -> str:
              CAST(CASE WHEN g >= 0 THEN (g * {_SPC_SCALE}) // mx
                   ELSE -(((-g) * {_SPC_SCALE}) // mx) END AS BIGINT) AS g
       FROM c0, (SELECT MAX(abs(g)) AS mx FROM c0)
-    ),{",".join(sq)},
+    ),{_sq_cte_chain()},
     w AS MATERIALIZED (SELECT i, SUM(g::HUGEINT) AS w FROM s{_SPC_SQUARINGS} GROUP BY i),
     pick AS (SELECT CASE WHEN w >= 0 THEN 1 ELSE -1 END AS sg, abs(w) AS mx
              FROM (SELECT i, w FROM w ORDER BY abs(w) DESC, i LIMIT 1)),
@@ -2049,6 +2074,9 @@ def pca_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def gen(batches: "Iterable[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        # one partial per partition with the same overflow-safe early
+        # flush as the spectral twin's kernel (|Gram sum| <= mq^2 * rows)
+        acc, sacc, n_rows, mq_run = None, None, 0, 0
         for pdf in batches:
             if len(pdf) == 0:
                 continue
@@ -2058,13 +2086,30 @@ def pca_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f"quantized magnitude {mq} x batch {len(z)} would overflow"
                 " the int64 partial GEMM; lower _SPC_Q for this corpus"
             )
+            mq_new = max(mq_run, mq)
+            if acc is not None and mq_new * mq_new * (n_rows + len(z)) >= 2**63:
+                yield pd.DataFrame(
+                    {
+                        "g": [acc.reshape(-1).tolist()],
+                        "s": [sacc.tolist()],
+                        "n": [n_rows],
+                        "mq": [mq_run],
+                    }
+                )
+                acc, sacc, n_rows = None, None, 0
+            mq_run = mq_new if acc is not None else mq
             p = z.T @ z
+            sb = z.sum(axis=0)
+            acc = p if acc is None else acc + p
+            sacc = sb if sacc is None else sacc + sb
+            n_rows += len(z)
+        if n_rows:
             yield pd.DataFrame(
                 {
-                    "g": [p.reshape(-1).tolist()],
-                    "s": [z.sum(axis=0).tolist()],
-                    "n": [len(z)],
-                    "mq": [mq],
+                    "g": [acc.reshape(-1).tolist()],
+                    "s": [sacc.tolist()],
+                    "n": [n_rows],
+                    "mq": [mq_run],
                 }
             )
 
@@ -2077,7 +2122,7 @@ def pca_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     maxq = max(r["mq"] for r in parts)
     g0 = [[0] * d for _ in range(d)]
     s = [0] * d
-    for r in parts:  # python ints: no overflow across batches at any N
+    for r in parts:  # python ints: no overflow across partials at any N
         flat = r["g"]
         for i in range(d):
             base = i * d
@@ -2094,23 +2139,8 @@ def pca_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
         for i in range(d)
     ]
-    g = _fp_rescale(c0)
-    for _ in range(_SPC_SQUARINGS):
-        g = _fp_rescale(
-            [
-                [sum(g[i][k] * g[k][j] for k in range(d)) for j in range(d)]
-                for i in range(d)
-            ]
-        )
-    w = [sum(g[i][j] for j in range(d)) for i in range(d)]
-    mm = max(abs(x) for x in w)
-    ai = min(i for i in range(d) if abs(w[i]) == mm)
-    sg = 1 if w[ai] >= 0 else -1
-    v = [sg * _trunc_div(x * _SPC_SCALE, mm) for x in w]
-    w0 = [sum(c0[i][j] * v[j] for j in range(d)) for i in range(d)]
-    num = sum(w0[i] * v[i] for i in range(d))  # >= 0: centered Gram is PSD
-    den = sum(x * x for x in v)
-    lam_fp = num // ((den // _SPC_LDP) * n)
+    v = _power_top_vec(c0, d)
+    lam_fp = _rayleigh_mean_fp(c0, v, n, d)
     vp = [_trunc_div(x, _SPC_SCALE // _PCA_VPROJ) for x in v]
 
     # Projection overflow guard (the kmeans/irls recipe): the per-row dot

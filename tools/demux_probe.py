@@ -279,10 +279,18 @@ def main() -> None:
         dt = min(runs)
         timings[name] = (n_lines, dt)
         comp_mbps[name] = mb / comp
-        wr = max(dt - comp, 0.01)
+        # derived write axis = total - compute; it also carries the
+        # partitionBy per-task sort only the real write performs (the
+        # noop sink needs no ordering), so it slightly overstates pure
+        # I/O. Run-to-run variance can make the delta ~0 or negative on
+        # fast tiers — report a dash rather than a nonsense MB/s.
+        wr = dt - comp
+        wr_cells = (
+            f"{wr:.2f} | {mb / wr:,.0f}" if wr >= 0.05 else "— | —"
+        )
         rows.append(
             f"| {name} | {n_lines:,} | {mb:,.0f} | {comp:.2f} |"
-            f" {mb / comp:,.0f} | {wr:.2f} | {mb / wr:,.0f} | {dt:.2f} |"
+            f" {mb / comp:,.0f} | {wr_cells} | {dt:.2f} |"
             f" {n_lines / dt / 1000:,.0f} |"
         )
         print(rows[-1])
@@ -363,8 +371,11 @@ def main() -> None:
         "surveys at 100:1 with the same total as `t1e6`). r9 splits each "
         "tier into a COMPUTE axis (identical pipeline through the noop "
         "sink: scan + demux projections, no disk write) and a derived "
-        "WRITE axis (total - compute), so write-side disk weather no "
-        "longer dilutes the linearity evidence.\n",
+        "WRITE axis (total - compute; includes the partitionBy per-task "
+        "sort only the real write performs, so it slightly overstates "
+        "pure I/O, and is dashed when the delta is within run variance), "
+        "so write-side disk weather no longer dilutes the linearity "
+        "evidence.\n",
         "| tier | lines | MB | compute s | compute MB/s | write s |"
         " write MB/s | total s | klines/s |",
         "|---|---|---|---|---|---|---|---|---|",
