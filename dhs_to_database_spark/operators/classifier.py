@@ -525,6 +525,16 @@ def irls_stats_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         # _newton_stats' partials shape with the float GEMMs swapped for
         # exact int64 GEMMs: one (g, h) row per partition, rows never
         # leave the executors.
+        #
+        # INVARIANT (VERDICT r9): unlike the pca/spectral kernels
+        # (similarity.py, which early-flush a partial when
+        # mq^2 * rows approaches 2^63), this kernel accumulates a WHOLE
+        # partition unflushed — that is safe ONLY because the pre-pass
+        # guard above bounds the entire corpus: every Hessian term is
+        # <= 25 * max|qz|^2 and 25 * maxq^2 * N < 2^63 covers any
+        # partition's sum (a partition holds <= N rows). If that guard
+        # is ever weakened or removed, add the siblings' overflow-safe
+        # early flush here in the same edit.
         g = np.zeros(d1, dtype=np.int64)
         h = np.zeros((d1, d1), dtype=np.int64)
         for pdf in batches:

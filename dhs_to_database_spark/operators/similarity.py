@@ -526,6 +526,20 @@ def kmeans_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"max|q|={maxq} at dim={dim} would overflow the int64 squared-L2"
         f" sum (4*maxq^2*dim >= 2^63); drop _KMC_Q a decade"
     )
+    # N-scaled sums (ADVICE r9): the update step's centroid sums
+    # SUM(q[i]) (<= maxq * n per cell) and the report's inertia
+    # SUM(dist DIV _KMC_IDIV) (<= 4*maxq^2*dim // _KMC_IDIV per row,
+    # summed over <= n rows) also run through Spark's wrapping int64
+    # SUM while DuckDB's HUGEINT stays exact — bound them by N too, the
+    # same shape as the irls twin's 25*max|qz|^2*N guard (classifier.py).
+    assert maxq * n < 2**63, (
+        f"max|q|={maxq} * n={n} would overflow the int64 centroid sum;"
+        f" drop _KMC_Q a decade"
+    )
+    assert (4 * maxq * maxq * dim // _KMC_IDIV) * n < 2**63, (
+        f"inertia sum bound 4*maxq^2*dim//_KMC_IDIV * n >= 2^63 at"
+        f" max|q|={maxq}, dim={dim}, n={n}; raise _KMC_IDIV a decade"
+    )
     stride = n // _KMC_K
     assert stride >= 1, "corpus smaller than the twin cell count"
     init = (

@@ -172,6 +172,10 @@ def demux_to_parquet(
     surveyid (partition-pruned downstream; idempotent per-survey overwrite
     is the Spark-native version of the reference's drop-and-reload A22).
 
+    Returns ``{record_name: destination}``. With a non-parquet
+    ``sink_format`` (compute-only dry run) nothing lands on disk, so the
+    destination is the empty string — never a phantom path (ADVICE r9).
+
     Wide records (r6): a record type whose PAYLOAD field count — keys
     excluded, see ``packed_record_names`` — crosses the reference's
     JSON-table threshold (>500 columns — the column-count
@@ -196,12 +200,15 @@ def demux_to_parquet(
                 df = pack_wide_table(df)
             if sink_format == "parquet":
                 df.write.mode(mode).partitionBy("surveyid").parquet(dest)
+                out[rec.record_name] = dest
             else:
                 # compute-only sink (e.g. "noop"): runs the full scan +
                 # demux projection + pack without the partitioned write —
-                # dry-run validation and the probe's compute axis
+                # dry-run validation and the probe's compute axis. Nothing
+                # lands on disk, so map to "" (ADVICE r9): callers must
+                # not mistake the would-be destination for a real path.
                 df.write.format(sink_format).mode(mode).save()
-            out[rec.record_name] = dest
+                out[rec.record_name] = ""
         return out
     finally:
         tagged.unpersist()

@@ -85,6 +85,20 @@ def test_demux_to_parquet_partitioned(spark, dat_dir, spec, tmp_path):
     assert spark.read.parquet(out["RECH1"]).count() == 3
 
 
+def test_demux_noop_sink_returns_no_phantom_paths(spark, dat_dir, spec, tmp_path):
+    """r10 (ADVICE r9): the compute-only sink writes nothing, so the
+    returned table map must not hand back parquet paths that were never
+    written — every destination is the empty-string sentinel and the
+    would-be directory does not exist."""
+    out = demux_to_parquet(
+        spark, dat_dir, spec, str(tmp_path / "tables"), sink_format="noop"
+    )
+    # record names still enumerated
+    assert set(out) == {r.record_name for r in spec.records.values()}
+    assert all(v == "" for v in out.values()), out
+    assert not (tmp_path / "tables").exists()
+
+
 def test_padded_key_joins(spark, dat_dir, spec):
     """FIXTURES.md: joins on untrimmed keys must work across tables."""
     tables = demux_dat(spark, dat_dir, spec)

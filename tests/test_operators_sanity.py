@@ -1332,6 +1332,33 @@ def test_kmeans_calibration_overflow_guard_trips_on_heavy_corpus(spark, tmp_path
         kmeans_calibration(spark, str(tmp_path))
 
 
+def test_kmeans_calibration_n_scaled_inertia_guard_trips(
+    spark, tmp_path, monkeypatch
+):
+    """r10 (ADVICE r9): the N-scaled bounds guard the corpus-wide SUMs
+    (centroid sums <= maxq*n, inertia <= 4*maxq^2*dim//_KMC_IDIV * n),
+    not just one vector's distance. A genuinely N-heavy corpus needs
+    >1e6 rows, so pin the inertia bound by shrinking _KMC_IDIV to 1:
+    per-vector 4*maxq^2*dim stays under 2^63 (the r9 guard passes) while
+    the summed-inertia bound times n trips."""
+    import pytest
+
+    from dhs_to_database_spark.operators import similarity
+
+    # |x| = 700 -> q = 7e8: 4 * (7e8)^2 * 4 = 7.84e18 < 2^63 (~9.22e18)
+    # but with _KMC_IDIV = 1 the inertia bound * n = 7.84e18 * 16 trips.
+    rows = [
+        (i, [700.0 * (1 if (i + j) % 2 else -1) for j in range(4)], 0)
+        for i in range(2 * similarity._KMC_K)
+    ]
+    spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int"
+    ).write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+    monkeypatch.setattr(similarity, "_KMC_IDIV", 1)
+    with pytest.raises(AssertionError, match="inertia sum bound"):
+        similarity.kmeans_calibration(spark, str(tmp_path))
+
+
 def test_pca_calibration_matches_numpy_truth_and_production_fit(spark):
     """r9 (VERDICT r8 ask #5): the integer fixed-point CENTERED-Gram twin
     must land on the true top principal axis (numpy eigh on the centered

@@ -160,6 +160,23 @@ _ROTATION_HISTORY = [
     # each keeps >=2 in-window family siblings — see _GRADE_TAIL).
     ("r9", {"kmeans_calibration", "featurize_calibration"},
      {"span_dedup_report", "funnel_stages"}),
+    # r10 (VERDICT r9 ask #1, r6-style bulk): the two r9 calibration
+    # twins plus eight queries from the never-driver-graded
+    # oracle-backed backlog in; the ten longest-tenured in-window
+    # queries (most r1-r9 green) out. Every rotated-out entry keeps an
+    # in-window family sibling — see the r10 _GRADE_TAIL block.
+    ("r10", {
+        "irls_stats_calibration", "pca_calibration",
+        "setsim_join_prefix", "hybrid_search_rrf",
+        "stateful_session_paths", "streaming_window_counts",
+        "dq_checks_orders", "spearman_length_tokens",
+        "dedup_incremental_bloom", "content_reconcile",
+    }, {
+        "agg_having", "case_coalesce_harmonize", "join_anti",
+        "label_similarity", "multimodal_features", "rowcount_reconcile",
+        "schema_union_derive", "token_budget_mix", "session_windows",
+        "zorder_key",
+    }),
 ]
 
 
