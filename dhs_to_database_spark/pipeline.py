@@ -44,7 +44,11 @@ from .sources.staging import stage_batch, stage_manual
 @dataclass
 class PipelineResult:
     """What the run produced: record-table paths, staged file list, and the
-    log-and-skip diagnostics (lines whose record tag no spec knows)."""
+    log-and-skip diagnostics (lines whose record tag no spec knows).
+
+    With a non-parquet ``sink_format`` (compute-only dry run) ``tables``
+    still enumerates every record name but maps each to ``""`` — nothing
+    was written, so no path is handed back (ADVICE r9)."""
 
     tables: dict[str, str] = field(default_factory=dict)
     staged: list[str] = field(default_factory=list)
