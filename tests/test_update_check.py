@@ -177,6 +177,26 @@ _ROTATION_HISTORY = [
         "schema_union_derive", "token_budget_mix", "session_windows",
         "zorder_key",
     }),
+    # r11 (VERDICT r10 ask #1, second r6-style bulk): ten queries from
+    # the never-driver-graded oracle-backed backlog in (the r1-era
+    # parkings and composites the judge named); the ten longest-tenured
+    # in-window queries out (nine r1-r10 green plus window_functions,
+    # r2-r10 green — cube_agg stays as the only in-window
+    # reshaping/grouping-sets sibling, and duplicate_load_detect stays
+    # so VERDICT r10 ask #2 grades on nonzero rows). Every rotated-out
+    # entry keeps an in-window family sibling — see the r11 _GRADE_TAIL
+    # block.
+    ("r11", {
+        "curation_pipeline", "embedding_centroids",
+        "segment_window_counts", "curation_pipeline_v2",
+        "scd2_asof_lookup", "moment_stats", "cohort_retention",
+        "video_metadata", "flac_metadata", "rich_inactive_customers_sql",
+    }, {
+        "projection_filter_ilike", "rowid_join",
+        "join_full_outer_indicator", "range_join_decode",
+        "map_pack_extract", "catalog_introspect", "decile_stats",
+        "dedup_components", "flagship_cross_level", "window_functions",
+    }),
 ]
 
 
