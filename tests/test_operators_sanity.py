@@ -1426,3 +1426,74 @@ def test_pca_calibration_layout_invariance(spark, tmp_path):
         tuple(r) for r in pca_calibration(spark, str(tmp_path)).collect()
     )
     assert got2 == got
+
+
+def test_duplicate_load_detect_plants_nonzero_groups_with_oracle_parity(
+    spark, tmp_path
+):
+    """r11 (VERDICT r10 ask #2): the graded query must exercise the
+    GROUP BY/HAVING path on NONZERO rows at every SF, so it plants
+    deterministic duplicate loads (doc_id % 13 == 0 -> one of 7 shared
+    payloads) in BOTH engines. On a planted corpus of unique texts plus
+    one natural dup pair: (a) Spark and the DuckDB oracle agree row for
+    row, (b) the planted groups are present with >1 copies each, and
+    (c) the natural duplicate group still surfaces (injection-blind
+    detector)."""
+    import duckdb
+
+    import __spark_entry__ as em
+    from dhs_to_database_spark.operators.metadata import (
+        _DUP_PLANT_GROUPS,
+        _DUP_PLANT_MOD,
+        duplicate_load_detect,
+    )
+
+    # ids 0..199: 16 planted ids in ceil(200/91)-sized payload groups;
+    # ids 5 and 9 share a natural duplicate text (neither is planted).
+    rows = [
+        (i, "natural dup text" if i in (5, 9) else f"unique text {i}")
+        for i in range(200)
+    ]
+    spark.createDataFrame(rows, "doc_id bigint, text string").write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "documents.parquet"))
+
+    got = sorted(
+        (r["content_key"], r["n_copies"], r["first_doc_id"])
+        for r in duplicate_load_detect(spark, str(tmp_path)).collect()
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM"
+        f" '{tmp_path}/documents.parquet/*.parquet'"
+    )
+    ora = sorted(
+        tuple(r) for r in con.execute(
+            em.oracle_sql()["duplicate_load_detect"]
+        ).fetchall()
+    )
+    assert got == ora
+
+    by_first = {first: n for _key, n, first in got}
+    # the natural dup group survives, injection-blind
+    assert by_first.get(5) == 2
+    # every planted payload group that got >=2 members is reported with
+    # the exact member count the arithmetic predicts
+    from collections import Counter
+
+    planted = Counter(
+        i % _DUP_PLANT_GROUPS for i in range(0, 200, _DUP_PLANT_MOD)
+    )
+    expected = {
+        min(
+            i
+            for i in range(0, 200, _DUP_PLANT_MOD)
+            if i % _DUP_PLANT_GROUPS == g
+        ): n
+        for g, n in planted.items()
+        if n > 1
+    }
+    assert expected, "fixture must produce at least one planted group"
+    for first, n in expected.items():
+        assert by_first.get(first) == n, (first, n, by_first)
