@@ -13,25 +13,36 @@ judge.  Prints:
   - the longest-parked never-graded entries with the round each was
     introduced,
   - rounds-to-burn-down at the BACKLOG pace of the latest rotation —
-    only rotated-in names older than the rotation's own round count
-    toward the pace (same-round additions are inflow, not burn-down).
+    only rotated-in names introduced before that rotation's own round
+    count toward the pace (same-round additions are inflow, not
+    burn-down) — and the projected zero-backlog round if that pace
+    holds (VERDICT r10 ask #6, so later rotations are pre-committed
+    instead of re-litigated).
+
+The pace is computed from first-seen rounds resolved for the rotation's
+rotated-in names REGARDLESS of their graded status (ADVICE r10: deriving
+it from the never-graded set alone made the pace collapse to 0 the
+moment the round's CORRECTNESS file landed).
 """
 
 from __future__ import annotations
 
 import glob
 import json
+import os
 import re
 import subprocess
 import sys
 
-sys.path.insert(0, "/root/repo")
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _REPO_ROOT not in sys.path:
+    sys.path.insert(0, _REPO_ROOT)
 
 
 def _round_boundaries() -> list[tuple[int, int]]:
     """[(round, unix_ts_of_its_end-of-round driver commit)], ascending."""
     out = subprocess.run(
-        ["git", "-C", "/root/repo", "log", "--format=%ct %s"],
+        ["git", "-C", _REPO_ROOT, "log", "--format=%ct %s"],
         capture_output=True,
         text=True,
         check=True,
@@ -42,6 +53,13 @@ def _round_boundaries() -> list[tuple[int, int]]:
         if m:
             ts, rnd = int(m.group(1)), int(m.group(2))
             bounds[rnd] = max(bounds.get(rnd, 0), ts)
+    if not bounds:
+        raise SystemExit(
+            "tail_tenure: no 'round N: verdict/...' boundary commits found in"
+            f" the git history of {_REPO_ROOT} — run this from a full clone"
+            " of the driver-managed repo (round tenure cannot be derived"
+            " from a fresh or shallow checkout)."
+        )
     return sorted(bounds.items())
 
 
@@ -54,7 +72,7 @@ def _first_seen_round(name: str, bounds: list[tuple[int, int]]) -> int:
         [
             "git",
             "-C",
-            "/root/repo",
+            _REPO_ROOT,
             "log",
             "--reverse",
             "--format=%ct",
@@ -79,7 +97,7 @@ def summarize() -> str:
     from tests.test_update_check import _ROTATION_HISTORY
 
     graded: set[str] = set()
-    for f in glob.glob("/root/repo/CORRECTNESS_r*.json"):
+    for f in glob.glob(os.path.join(_REPO_ROOT, "CORRECTNESS_r*.json")):
         graded |= set(json.load(open(f)))
     qs = list(e.queries())
     ors = e.oracle_sql()
@@ -88,23 +106,40 @@ def summarize() -> str:
     entering = sorted(set(never) & window)
     parked = sorted(set(never) - window)
     bounds = _round_boundaries()
-    current = bounds[-1][0] + 1  # the round being built now
-    first_seen = {n: _first_seen_round(n, bounds) for n in never}
+    # first-seen rounds for the parked backlog AND the latest rotation's
+    # rotated-in names — the latter independent of graded status, so the
+    # pace survives the round's own CORRECTNESS file landing (ADVICE r10)
+    rot_label, rotated_in, _rotated_out = _ROTATION_HISTORY[-1]
+    rot_round = int(rot_label.lstrip("r"))
+    first_seen = {
+        n: _first_seen_round(n, bounds) for n in set(never) | set(rotated_in)
+    }
     oldest = sorted(parked, key=lambda n: (first_seen[n], n))[:3]
-    # backlog pace: rotated-in names introduced BEFORE this round;
-    # same-round additions (e.g. the r9 twins entering at r10 count,
-    # fresh r10 ones would not) are inflow, not burn-down
-    pace = sum(1 for n in _ROTATION_HISTORY[-1][1] if first_seen.get(n, current) < current)
-    rounds_left = -(-len(parked) // pace) if pace else 0
+    # backlog pace: rotated-in names introduced BEFORE the rotation's own
+    # round (e.g. the r9 twins entering at r10 count; fresh r10 additions
+    # would not — they are inflow, not burn-down)
+    pace = sum(1 for n in rotated_in if first_seen[n] < rot_round)
+    if pace:
+        rounds_left = -(-len(parked) // pace)
+        burn = (
+            f"at this rotation's backlog pace ({pace}/round, new-query"
+            f" inflow excluded) the parked backlog burns down in"
+            f" ~{rounds_left} rounds — projected zero-backlog round:"
+            f" r{rot_round + rounds_left} if the {pace}-in/"
+            f"{pace}-out cadence holds"
+        )
+    else:
+        burn = (
+            f"the {rot_label} rotation retired no pre-existing backlog"
+            " (burn-down pace n/a this round)"
+        )
     return (
         f"tail tenure: {len(never)} of {len(ors)} oracle-backed queries"
         f" never driver-graded — {len(entering)} rotate into the window"
         f" this round ({', '.join(entering)}), {len(parked)} stay parked;"
         f" longest-parked: "
         + ", ".join(f"{n} (since r{first_seen[n]})" for n in oldest)
-        + f"; at this rotation's backlog pace ({pace}/round, new-query"
-        f" inflow excluded) the parked backlog burns down in"
-        f" ~{rounds_left} rounds."
+        + f"; {burn}."
     )
 
 
