@@ -259,6 +259,17 @@ DECADE_TAIL = {
     # so the whole slow-tail top-6 has a decade row.
     "span_dedup_report": "documents",
     "benchmark_decontaminate": "documents",
+    # r11 (VERDICT r10 ask #3): the six remaining >=5s sf1 risers — the
+    # next hazard classes after r10's sweep: island-merge span kernel,
+    # gram-DF + broadcast-probe boilerplate path, broadcast bench-gram
+    # decontamination probe, banded-Hamming bit votes, content-defined
+    # chunking, and the rarity-weighted selection scorer.
+    "max_dup_span_stats": "documents",
+    "boilerplate_prune": "documents",
+    "decontaminate_pairs": "documents",
+    "simhash_md5": "documents",
+    "cdc_chunks": "documents",
+    "importance_weights": "documents",
 }
 
 # r10 (VERDICT r9 ask #3): containment_pairs' sf10/sf1 ratio was the
