@@ -48,6 +48,8 @@ BENCH_QUERIES = [
     "funnel_stages",
     "sequence_pack",
     "curation_pipeline",
+    "curation_pipeline_v2",
+    "embedding_centroids",
     "repetition_stats",
     "context_chunks",
     "token_budget_mix",

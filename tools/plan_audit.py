@@ -47,6 +47,8 @@ NOTES = {
     "funnel_stages": "three conditional-min windows share one user_id exchange",
     "sequence_pack": "one shard shuffle + window cumsum; shards pack independently",
     "curation_pipeline": "quality filter fused into the scan; dedup digest shuffle is the only wide stage before the tiny summary agg",
+    "curation_pipeline_v2": "gate fused into the scan, one digest shuffle for dedup, DSIR scores join in from one corpus shuffle + broadcast ratios, split is a narrow hash — no stage rescans history",
+    "embedding_centroids": "posexplode is a narrow per-row expansion; the single (label, pos) partial agg is the only shuffle and carries label*dim rows",
     "repetition_stats": "narrow scan + higher-order array ops (bigram transform/distinct) — zero shuffles",
     "context_chunks": "narrow scan + sequence/explode/slice — zero shuffles; chunk ids are arithmetic, stable under any partitioning",
     "token_budget_mix": "one partial-agg shuffle for lang totals; thresholds broadcast-joined back; keep-filter is a narrow hash compare",

@@ -44,6 +44,9 @@ PROBES = {
     "funnel_stages": "events",
     "sequence_pack": "documents",
     "curation_pipeline": "documents",
+    "curation_pipeline_v2": "documents",
+    "embedding_centroids": "embeddings",
+    "rich_inactive_customers_sql": "customer",
     "dedup_components": "documents",
     "repetition_stats": "documents",
     "context_chunks": "documents",
