@@ -110,8 +110,11 @@ def schema_union_derive(spark: SparkSession, sf_dir: str) -> DataFrame:
 # _DUP_PLANT_GROUPS shared payloads (keyed doc_id % _DUP_PLANT_GROUPS) in
 # BOTH engines — pure integer/concat arithmetic, byte-identical across
 # Spark and DuckDB — so the GROUP BY/HAVING path grades on nonzero rows
-# at every SF. The detector itself stays injection-blind and still
-# surfaces any natural duplicate groups (sf0.1's 8).
+# at every SF. The detector itself stays injection-blind; natural
+# duplicate groups still surface unless a member's doc_id hits the plant
+# predicate (at sf0.1 that masks exactly one of the corpus's 8 natural
+# groups — doc 3562 of the {1917, 3562} pair — leaving 7 planted + 7
+# natural = 14 rows, identically in both engines).
 # ---------------------------------------------------------------------------
 
 _DUP_PLANT_MOD = 13

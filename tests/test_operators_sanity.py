@@ -1448,8 +1448,10 @@ def test_duplicate_load_detect_plants_nonzero_groups_with_oracle_parity(
         duplicate_load_detect,
     )
 
-    # ids 0..199: 16 planted ids in ceil(200/91)-sized payload groups;
-    # ids 5 and 9 share a natural duplicate text (neither is planted).
+    # ids 0..199: 16 planted ids (0,13,...,195) land in 7 payload-residue
+    # groups of sizes 3,3,2,2,2,2,2 (two ids share a group iff they
+    # differ by a multiple of lcm(13,7)=91); ids 5 and 9 share a natural
+    # duplicate text (neither is planted).
     rows = [
         (i, "natural dup text" if i in (5, 9) else f"unique text {i}")
         for i in range(200)
