@@ -109,8 +109,13 @@ def summarize() -> str:
     # first-seen rounds for the parked backlog AND the latest rotation's
     # rotated-in names — the latter independent of graded status, so the
     # pace survives the round's own CORRECTNESS file landing (ADVICE r10)
-    rot_label, rotated_in, _rotated_out = _ROTATION_HISTORY[-1]
+    rot_label, rotated_in, rotated_out = _ROTATION_HISTORY[-1]
     rot_round = int(rot_label.lstrip("r"))
+    # anchor the projection to the CURRENT round (one past the last
+    # "round N: verdict" boundary), not the latest rotation row's round —
+    # otherwise a round that passes without a rotation leaves the
+    # projected zero-backlog round stale/understated (code-review r11)
+    current_round = max(rot_round, bounds[-1][0] + 1)
     first_seen = {
         n: _first_seen_round(n, bounds) for n in set(never) | set(rotated_in)
     }
@@ -125,8 +130,8 @@ def summarize() -> str:
             f"at this rotation's backlog pace ({pace}/round, new-query"
             f" inflow excluded) the parked backlog burns down in"
             f" ~{rounds_left} rounds — projected zero-backlog round:"
-            f" r{rot_round + rounds_left} if the {pace}-in/"
-            f"{pace}-out cadence holds"
+            f" r{current_round + rounds_left} if the {len(rotated_in)}-in/"
+            f"{len(rotated_out)}-out cadence holds"
         )
     else:
         burn = (
