@@ -8,6 +8,7 @@ GPS branch's characteristic-contains filter + anti-joins (cells 25-34).
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from dhs_to_database_spark.pipeline import check_for_updates
@@ -219,6 +220,52 @@ def test_grading_window_rotation_history():
     should_be_out = {n for n, v in state.items() if not v}
     assert should_be_in <= window, should_be_in - window
     assert not (should_be_out & window), should_be_out & window
+
+
+def test_rotation_never_retires_ungraded():
+    """No query leaves the grading window without evidence: every
+    rotated-out name in every _ROTATION_HISTORY row must be driver-GREEN
+    (hash-matched, or rows-matched for rows-only entries, with no error)
+    in at least one committed CORRECTNESS_r{M}.json from a round BEFORE
+    its rotation. This pins the discipline the per-round tail comments
+    describe ("r1-rN driver-green") mechanically, against the committed
+    driver archive — a rotation that parks a never-green query fails
+    here, not in a judge review. Verified to hold for r5-r11 at the time
+    of writing (r11)."""
+    import glob
+    import json
+    import os
+    import re
+
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    archive: dict[int, dict] = {}
+    for f in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
+        rnd = int(re.search(r"_r(\d+)\.json$", f).group(1))
+        archive[rnd] = json.load(open(f))
+    if not archive:
+        pytest.skip("no committed CORRECTNESS archive (fresh checkout)")
+
+    def green(rec) -> bool:
+        if not isinstance(rec, dict):
+            return bool(rec)
+        if rec.get("err"):
+            return False
+        if rec.get("hash_match") is not None:
+            return bool(rec["hash_match"])
+        return bool(rec.get("rows_match"))
+
+    violations = []
+    for label, _rotated_in, rotated_out in _ROTATION_HISTORY:
+        rnd = int(label.lstrip("r"))
+        for n in rotated_out:
+            if not any(
+                r < rnd and n in recs and green(recs[n])
+                for r, recs in archive.items()
+            ):
+                violations.append((label, n))
+    assert violations == [], (
+        f"rotated out without any prior driver-green round: {violations}"
+    )
 
 
 def test_no_bare_whitespace_class_in_oracle_gated_patterns():
