@@ -66,7 +66,8 @@ _GRADE_TAIL = [
     # --- r6 rotation (VERDICT r5 ask #1): the ten never-driver-graded r4/r5
     # additions move INTO the window, plus the two r6 additions
     # ann_calibration and leakage_safe_split (12 in). Twelve FIVE-round-
-    # graded (r1-r5 green) family-redundant siblings rest here, and the
+    # graded (r1-r5 green; pivot_wide r2-r5, its r1 record being the
+    # round-1 rounding-hash miss) family-redundant siblings rest here, and the
     # third r6 addition (embedding_quantization) is parked for the r7
     # rotation; every entry below keeps an in-window or tail-verified
     # sibling.
@@ -133,8 +134,10 @@ _GRADE_TAIL = [
     # curation_pipeline_v2, scd2_asof_lookup, moment_stats,
     # cohort_retention, video_metadata, flac_metadata,
     # rich_inactive_customers_sql) — move INTO the window; the ten
-    # longest-tenured in-window queries rest here (nine r1-r10 green,
-    # one r2-r10 green). duplicate_load_detect (also r1-r10) stays
+    # longest-tenured in-window queries rest here (eight r1-r10 green;
+    # flagship_cross_level graded r1-r10 with hash-green r2-r10, its r1
+    # record being the round-1 rounding-hash miss; window_functions
+    # r2-r10 green). duplicate_load_detect (also r1-r10) stays
     # in-window so VERDICT r10 ask #2 (grade on nonzero rows at sf0.01)
     # lands with direct driver evidence. Every entry below keeps an
     # in-window family sibling.
@@ -146,11 +149,13 @@ _GRADE_TAIL = [
     "catalog_introspect",  # metadata family (r1-r10 green): survey_update_check + dq_checks_orders graded in-window
     "decile_stats",  # rank/percentile family (r1-r10 green): spearman_length_tokens (distributed rank passes) + approx_quantile_calibration graded in-window
     "dedup_components",  # dedup/clustering family (r1-r10 green): leakage_safe_split (consumes the same connected components) + dedup_incremental_bloom graded in-window
-    "flagship_cross_level",  # TPC-H-ish agg/join family (r1-r10 green): cube_agg graded in-window; ALSO still executed every round as the entry() smoke check
+    "flagship_cross_level",  # TPC-H-ish agg/join family (graded r1-r10; hash-green r2-r10 — the r1 record is the round-1 money-rounding hash miss, rows/schema matched even there): cube_agg graded in-window; ALSO still executed every round as the entry() smoke check
     "window_functions",  # window family (r2-r10 green): streaming_window_counts + interval_join_attribution graded; segment_window_counts rotated in
     # --- r5 rotation: four-round-graded queries rest in the tail so the
     # driver finally grades long-tenured tail members (VERDICT r4 ask #4);
-    # every one below is r1-r4 driver-green with an in-window family sibling.
+    # every one below is r1-r4 driver-green (cast_at_query: r2-r4 green,
+    # its r1 record being the round-1 rounding-hash miss with rows/schema
+    # matched) with an in-window family sibling.
     "distinct_values",  # relational basics: json_props_extract graded in-window; curation_pipeline (keep-first distinct stage) rotated in-window this round
     "join_semi",  # join family: scd2_history + interval_join_attribution graded in-window; join_inner/join_anti tail siblings
     "cast_at_query",  # expression family: json_props_extract (map extract + cast) graded in-window

@@ -181,8 +181,9 @@ _ROTATION_HISTORY = [
     # r11 (VERDICT r10 ask #1, second r6-style bulk): ten queries from
     # the never-driver-graded oracle-backed backlog in (the r1-era
     # parkings and composites the judge named); the ten longest-tenured
-    # in-window queries out (nine r1-r10 green plus window_functions,
-    # r2-r10 green — cube_agg stays as the only in-window
+    # in-window queries out (eight r1-r10 green; flagship_cross_level
+    # graded r1-r10 with hash-green r2-r10 after the round-1 rounding
+    # fix; window_functions r2-r10 green — cube_agg stays as the only in-window
     # reshaping/grouping-sets sibling, and duplicate_load_detect stays
     # so VERDICT r10 ask #2 grades on nonzero rows). Every rotated-out
     # entry keeps an in-window family sibling — see the r11 _GRADE_TAIL
@@ -226,12 +227,16 @@ def test_rotation_never_retires_ungraded():
     """No query leaves the grading window without evidence: every
     rotated-out name in every _ROTATION_HISTORY row must be driver-GREEN
     (hash-matched, or rows-matched for rows-only entries, with no error)
-    in at least one committed CORRECTNESS_r{M}.json from a round BEFORE
-    its rotation. This pins the discipline the per-round tail comments
-    describe ("r1-rN driver-green") mechanically, against the committed
-    driver archive — a rotation that parks a never-green query fails
-    here, not in a judge review. Verified to hold for r5-r11 at the time
-    of writing (r11)."""
+    in the committed CORRECTNESS archive for the round IMMEDIATELY
+    BEFORE its rotation — you can only retire a query that is green
+    right now, not one that was green once and has regressed since.
+    (This is deliberately per-round, not "green in every graded round
+    ever": three r1 records are hash-red from the round-1 money-rounding
+    hash fix class — flagship_cross_level, cast_at_query, pivot_wide —
+    all rows/schema-matched even then and green every round since r2.)
+    A rotation that parks a not-currently-green query fails here, not in
+    a judge review. Verified to hold for all of r5-r11 at the time of
+    writing (r11)."""
     import glob
     import json
     import os
@@ -240,8 +245,10 @@ def test_rotation_never_retires_ungraded():
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     archive: dict[int, dict] = {}
     for f in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
-        rnd = int(re.search(r"_r(\d+)\.json$", f).group(1))
-        archive[rnd] = json.load(open(f))
+        m = re.search(r"_r(\d+)\.json$", f)
+        if m is None:  # scratch copies like CORRECTNESS_r11_retry.json
+            continue
+        archive[int(m.group(1))] = json.load(open(f))
     if not archive:
         pytest.skip("no committed CORRECTNESS archive (fresh checkout)")
 
@@ -257,14 +264,13 @@ def test_rotation_never_retires_ungraded():
     violations = []
     for label, _rotated_in, rotated_out in _ROTATION_HISTORY:
         rnd = int(label.lstrip("r"))
+        prev = archive.get(rnd - 1, {})
         for n in rotated_out:
-            if not any(
-                r < rnd and n in recs and green(recs[n])
-                for r, recs in archive.items()
-            ):
+            if n not in prev or not green(prev[n]):
                 violations.append((label, n))
     assert violations == [], (
-        f"rotated out without any prior driver-green round: {violations}"
+        f"rotated out without a driver-green record in the immediately"
+        f" preceding round: {violations}"
     )
 
 

@@ -126,11 +126,19 @@ def summarize() -> str:
     pace = sum(1 for n in rotated_in if first_seen[n] < rot_round)
     if pace:
         rounds_left = -(-len(parked) // pace)
+        # if the current round's rotation hasn't landed yet
+        # (current_round > rot_round), the cadence assumption means the
+        # CURRENT round's rotation burns the first batch — so the zero
+        # round is one earlier than naive anchor+rounds_left
+        # (code-review r11)
+        zero_round = current_round + rounds_left - (
+            1 if current_round > rot_round else 0
+        )
         burn = (
             f"at this rotation's backlog pace ({pace}/round, new-query"
             f" inflow excluded) the parked backlog burns down in"
             f" ~{rounds_left} rounds — projected zero-backlog round:"
-            f" r{current_round + rounds_left} if the {len(rotated_in)}-in/"
+            f" r{zero_round} if the {len(rotated_in)}-in/"
             f"{len(rotated_out)}-out cadence holds"
         )
     else:
