@@ -199,6 +199,30 @@ _ROTATION_HISTORY = [
         "map_pack_extract", "catalog_introspect", "decile_stats",
         "dedup_components", "flagship_cross_level", "window_functions",
     }),
+    # r12 (VERDICT r11 ask #1, third r6-style bulk): the ten
+    # pre-committed never-driver-graded queries from CHECK_LOCAL_r11's
+    # rotation plan in; the ten longest-tenured currently-green
+    # in-window queries out (duplicate_load_detect 11 rounds, cube_agg
+    # 10, survey_update_check 9, four r5-r11 seven-round entries, three
+    # r6-r11 six-round entries — tfidf_topk and
+    # interval_join_attribution, also seven-round, stay in-window as
+    # the sole graded anchors of the text-scoring and banded-join
+    # families; supersedes the r5 row for scd2_history /
+    # exact_substring_excise / bm25_search / audio_metadata and the r6
+    # row for containment_pairs / boilerplate_prune /
+    # source_overlap_matrix). Every rotated-out entry keeps an
+    # in-window family sibling — see the r12 _GRADE_TAIL block.
+    ("r12", {
+        "sliding_window", "stratified_sample_langs", "topk_per_group",
+        "tumbling_window", "duplicate_spans", "importance_weights",
+        "profile_orders_columns", "quantile_normalize",
+        "range_frame_trailing", "regex_token_count",
+    }, {
+        "duplicate_load_detect", "cube_agg", "survey_update_check",
+        "scd2_history", "exact_substring_excise", "bm25_search",
+        "audio_metadata", "source_overlap_matrix", "containment_pairs",
+        "boilerplate_prune",
+    }),
 ]
 
 
@@ -257,14 +281,28 @@ def test_rotation_never_retires_ungraded():
             return bool(rec)
         if rec.get("err"):
             return False
+        # ADVICE r11: a rows-only record (hash_match null) must not count
+        # as green when its schema regressed — require schema_match not
+        # explicitly False on every path, not just the hash-backed one.
+        if rec.get("schema_match") is False:
+            return False
         if rec.get("hash_match") is not None:
             return bool(rec["hash_match"])
         return bool(rec.get("rows_match"))
 
     violations = []
+    missing_rounds = []
     for label, _rotated_in, rotated_out in _ROTATION_HISTORY:
         rnd = int(label.lstrip("r"))
-        prev = archive.get(rnd - 1, {})
+        if rnd - 1 not in archive:
+            # ADVICE r11: a partial checkout (some CORRECTNESS rounds
+            # present, this rotation's rnd-1 file absent) is a missing-
+            # evidence condition, not ten per-name retirement violations
+            # — report it distinctly instead of folding it into
+            # `violations` with a misleading "ungraded retirement" text.
+            missing_rounds.append(label)
+            continue
+        prev = archive[rnd - 1]
         for n in rotated_out:
             if n not in prev or not green(prev[n]):
                 violations.append((label, n))
@@ -272,6 +310,11 @@ def test_rotation_never_retires_ungraded():
         f"rotated out without a driver-green record in the immediately"
         f" preceding round: {violations}"
     )
+    if missing_rounds:
+        pytest.skip(
+            "CORRECTNESS archive incomplete — cannot check retirement "
+            f"evidence for rotation(s) {missing_rounds}"
+        )
 
 
 def test_no_bare_whitespace_class_in_oracle_gated_patterns():

@@ -9,31 +9,41 @@
 # affected steps so CHECK_LOCAL quotes frozen-HEAD numbers only.
 set -e
 cd "$(dirname "$0")/.."
+# ADVICE r11: a detached setsid/nohup launch from a non-interactive
+# context may lack the interactive PATH (pyenv shims etc.), so resolve
+# the interpreter up front and fail fast instead of dying at step 1.
+PY=${PYTHON:-$(command -v python || command -v python3)}
+if [ -z "$PY" ] || ! "$PY" -c 'import pyspark' 2>/dev/null; then
+  echo "FATAL: no python with pyspark on PATH (PY='$PY'); set \$PYTHON" >&2
+  exit 1
+fi
 # 24g for EVERYTHING: the 8g default GC-thrashes on demux's wide1e7 tier
 # and broadcast-OOMs on minhash_calibration@sf10 (r9 and r11 both hit this
 # by scoping the export too narrowly).
 export SPARK_GRAFT_DRIVER_MEM=24g
-echo "=== chain HEAD: $(git rev-parse HEAD) ==="
-echo "=== [1/10] plan_audit ==="
-python tools/plan_audit.py
-echo "=== [2/10] scale_probe (sf0.001-0.1; overwrites SCALING.md) ==="
-python tools/scale_probe.py
-echo "=== [3/10] scale_probe --sf1 ==="
-python tools/scale_probe.py --sf1
-echo "=== [4/10] scale_probe --sf10 (decade probe) ==="
-python tools/scale_probe.py --sf10
-echo "=== [5/10] demux_probe ==="
-python tools/demux_probe.py
-echo "=== [6/10] window_warning_audit ==="
-python tools/window_warning_audit.py
-echo "=== [7/10] check_oracle sf0.01 ==="
-python tools/check_oracle.py /root/testdata/sf0.01
-echo "=== [8/10] check_oracle sf0.1 ==="
-python tools/check_oracle.py /root/testdata/sf0.1
-echo "=== [9/10] bench ==="
-python bench.py
-echo "=== [10/10] tail_tenure ==="
-python tools/tail_tenure.py
+echo "=== chain HEAD: $(git rev-parse HEAD) (python: $PY) ==="
+echo "=== [1/11] plan_audit ==="
+"$PY" tools/plan_audit.py
+echo "=== [2/11] scale_probe (sf0.001-0.1; overwrites SCALING.md) ==="
+"$PY" tools/scale_probe.py
+echo "=== [3/11] scale_probe --sf1 ==="
+"$PY" tools/scale_probe.py --sf1
+echo "=== [4/11] scale_probe --sf10 (decade probe) ==="
+"$PY" tools/scale_probe.py --sf10
+echo "=== [5/11] demux_probe ==="
+"$PY" tools/demux_probe.py
+echo "=== [6/11] window_warning_audit (sf0.001) ==="
+"$PY" tools/window_warning_audit.py
+echo "=== [7/11] window_warning_audit at the bench SF (VERDICT r11 ask #3) ==="
+"$PY" tools/window_warning_audit.py /root/testdata/sf0.1
+echo "=== [8/11] check_oracle sf0.01 ==="
+"$PY" tools/check_oracle.py /root/testdata/sf0.01
+echo "=== [9/11] check_oracle sf0.1 ==="
+"$PY" tools/check_oracle.py /root/testdata/sf0.1
+echo "=== [10/11] bench ==="
+"$PY" bench.py
+echo "=== [11/11] tail_tenure ==="
+"$PY" tools/tail_tenure.py
 echo "=== chain complete at $(git rev-parse HEAD) ==="
 echo "Now re-run pytest + the vanilla driver simulation at this HEAD"
 echo "(see .claude/skills/verify/SKILL.md) before writing CHECK_LOCAL."
