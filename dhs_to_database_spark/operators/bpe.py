@@ -288,7 +288,7 @@ def bpe_token_counts(
 _BPE_N_MERGES = 24
 
 
-@query("bpe_compression")  # iterative training: not SQL-expressible -> rows-only
+@query("bpe_compression", rows_only_reason="24-round BPE merge loop: each training round is a full CTE level in SQL and the oracle replay is combinatorial past ~8 rounds; the loop itself is oracle-gated at 8 rounds by bpe_merge_calibration and the encode+count kernel by bpe_encode_calibration")
 def bpe_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train a small BPE tokenizer on the corpus vocab, encode the corpus
     with it, and report per-doc compression (BPE tokens per word).
@@ -335,9 +335,12 @@ def bpe_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BPE_CAL_MERGES = 8
 
 
-def _bpe_cal_oracle() -> str:
+def _bpe_cal_ctes() -> str:
+    """Shared WITH-prefix for both BPE oracles: the corpus vocab (words/
+    wc/v0 — the exact word_counts tokenizer) plus the _BPE_CAL_MERGES
+    unrolled training levels (p{k}/m{k}/v{k+1}). ``v{_BPE_CAL_MERGES}``
+    is the vocab's symbol state after all calibration merges."""
     levels = []
-    reports = []
     for k in range(_BPE_CAL_MERGES):
         levels.append(f"""
     p{k} AS MATERIALIZED (
@@ -371,10 +374,6 @@ def _bpe_cal_oracle() -> str:
         )
       )
     )""")
-        reports.append(
-            f"SELECT CAST({k + 1} AS INTEGER) AS merge_rank, a, b,"
-            f" c AS pair_count FROM m{k}"
-        )
     return f"""
     WITH words AS (
       SELECT unnest(string_split(regexp_replace(lower(trim(text)), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'), ' ')) AS w
@@ -386,8 +385,35 @@ def _bpe_cal_oracle() -> str:
     v0 AS MATERIALIZED (
       SELECT w, list_append(string_split(w, ''), '{_EOW}') AS syms, n FROM wc
     ),
-    {",".join(levels)}
+    {",".join(levels)}"""
+
+
+def _bpe_cal_oracle() -> str:
+    reports = [
+        f"SELECT CAST({k + 1} AS INTEGER) AS merge_rank, a, b,"
+        f" c AS pair_count FROM m{k}"
+        for k in range(_BPE_CAL_MERGES)
+    ]
+    return f"""{_bpe_cal_ctes()}
     {" UNION ALL ".join(reports)}
+    """
+
+
+def _bpe_encode_oracle() -> str:
+    # v{N} (the vocab after all calibration merges) IS each word's BPE
+    # encoding under the first N ranks: sequential exhaustive rank-order
+    # application == best-rank-first encoding, because a merge's pair can
+    # never be re-created once exhausted (new adjacencies always involve
+    # the just-created symbol, whose pairs were necessarily learned at
+    # HIGHER ranks) — pinned by the hypothesis parity test in
+    # tests/test_bpe.py. n_words = 1 is a CONTRACT column: it trips the
+    # driver hash if a vocab word ever tokenizes to anything but itself
+    # under the Python kernel's str.split() (cannot happen on this
+    # corpus — probed pure printable ASCII at every shipped SF).
+    return f"""{_bpe_cal_ctes()}
+    SELECT w, CAST(len(syms) AS BIGINT) AS n_bpe_tokens,
+           CAST(1 AS BIGINT) AS n_words
+    FROM v{_BPE_CAL_MERGES}
     """
 
 
@@ -409,3 +435,40 @@ def bpe_merge_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(i + 1, a, b, c) for i, (a, b, c) in enumerate(scored)],
         "merge_rank int, a string, b string, pair_count bigint",
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE encode calibration (r12, VERDICT r11 ask #4): bpe_merge_calibration
+# oracle-gates the TRAINING loop; this gates the other half of
+# bpe_compression — the ENCODE kernel (bpe_encode_word's best-rank-first
+# loop + bpe_token_counts' memoized Arrow batch counting). The PRODUCTION
+# kernel runs verbatim: each distinct vocab word is fed through
+# bpe_token_counts as a one-word document with the learned 8-rank merge
+# table, and the DuckDB twin reads the same counts off v8's symbol state
+# (see _bpe_encode_oracle for the sequential==best-rank-first proof
+# sketch). All quantities are integers; no float anywhere.
+# Scale: identical to bpe_compression's shape — one corpus pass
+# (word_counts), then everything runs on the bounded vocab table.
+# ---------------------------------------------------------------------------
+
+
+@query("bpe_encode_calibration", oracle=_bpe_encode_oracle())
+def bpe_encode_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vocab-word BPE token count under the first _BPE_CAL_MERGES
+    learned ranks, computed by the production encode kernel
+    (bpe_token_counts over one-word docs) and hash-compared against the
+    oracle's replayed symbol state. n_words is the ==1 contract column."""
+    d = load_table(spark, sf_dir, "documents")
+    wc = word_counts(d)
+    rows = wc.limit(_DRIVER_MAX_VOCAB + 1).collect()
+    assert len(rows) <= _DRIVER_MAX_VOCAB, (
+        "calibration pins the driver tier; larger vocabs take bpe_train's "
+        "DataFrame loop (parity-tested)"
+    )
+    merges = _bpe_train_driver(
+        [(r["w"], r["n"]) for r in rows], _BPE_CAL_MERGES
+    )
+    one_word_docs = wc.select("w", F.col("w").alias("wtext"))
+    return bpe_token_counts(
+        one_word_docs, merges, id_col="w", text_col="wtext"
+    ).select("w", "n_bpe_tokens", "n_words")

@@ -575,7 +575,7 @@ def irls_stats_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("quality_classifier")  # iterative training: not SQL-expressible -> rows-only
+@query("quality_classifier", rows_only_reason="float IRLS solve: coefficient bits depend on BLAS summation order, so no engine-independent hash exists; the featurize and per-iteration sufficient-stats kernels are oracle-gated by featurize_calibration + irls_stats_calibration")
 def quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train the distilled quality scorer on the corpus and score every
     doc: (doc_id, score, label). Correctness pinned by tests (held-out

@@ -267,7 +267,7 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("near_dup_clusters")  # rows-only: upstream MinHash uses Spark xxhash64
+@query("near_dup_clusters", rows_only_reason="edge set comes from production xxhash64 MinHash (no DuckDB implementation of xxhash64 exists); the signature pipeline and estimator are oracle-gated by the md5 twin minhash_calibration, the CC algorithm by dedup_components")
 def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The PRODUCTION dedup path end-to-end over the full corpus: MinHash+LSH
     candidate pairs (linear cost, hot buckets capped) -> connected

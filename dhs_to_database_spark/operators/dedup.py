@@ -275,7 +275,7 @@ def bucket_pairs(
     )
 
 
-@query("minhash_near_dup")  # no SQL oracle: xxhash64 is Spark-specific (rows-only check)
+@query("minhash_near_dup", rows_only_reason="production signatures use Spark xxhash64, which DuckDB cannot reproduce; the identical pipeline with md5 signatures plus the Jaccard estimator is oracle-gated by minhash_lsh_md5 + minhash_calibration")
 def minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Materialized signature table: it feeds banding AND both verification
     # joins; recomputing the shingle-explode + 32-way agg three times per
@@ -348,7 +348,7 @@ def simhash_bands(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return voted.select(id_col, *bands)
 
 
-@query("simhash_near_dup")  # no SQL oracle: xxhash64 is Spark-specific (rows-only check)
+@query("simhash_near_dup", rows_only_reason="production fingerprints use Spark xxhash64, which DuckDB cannot reproduce; the identical banded-Hamming pipeline with md5 fingerprints is oracle-gated by simhash_md5")
 def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Materialized band table: feeds candidate generation and the two
     # Hamming-verification joins (previously 8 self-joins recomputed the
@@ -526,7 +526,7 @@ def within_cell_cosine_pairs(assigned: DataFrame, threshold: float) -> DataFrame
     )
 
 
-@query("semantic_dedup")  # rows-only: k-means cells are not SQL-expressible
+@query("semantic_dedup", rows_only_reason="cells come from float Lloyd's k-means whose centroid bits are iteration/BLAS-order-dependent; the assignment+update kernel is oracle-gated in integer fixed-point by kmeans_calibration")
 def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One row per vector: its cell, its duplicate-group representative,
     and whether it survives the dedup (is the representative)."""

@@ -776,7 +776,7 @@ def except_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@query("approx_distinct_customers")  # approximate: rows-only check
+@query("approx_distinct_customers", rows_only_reason="HLL++ sketch: estimates are engine/seed-specific by design (DuckDB's approx_count_distinct uses a different sketch); the KMV estimator is oracle-gated against exact counts by approx_distinct_calibration")
 def approx_distinct_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     return o.groupBy("o_orderpriority").agg(
@@ -1008,7 +1008,7 @@ def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@query("approx_percentile_orders")  # rows-only: sketch is engine-specific
+@query("approx_percentile_orders", rows_only_reason="KLL/GK percentile sketch: outputs are engine-specific by design; the sample-quantile estimator is oracle-gated against exact percentiles by approx_quantile_calibration")
 def approx_percentile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     return o.groupBy("o_orderpriority").agg(

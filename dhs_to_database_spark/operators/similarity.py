@@ -129,7 +129,7 @@ def lsh_signature(emb_col: str = "embedding", table: int = 0, n_planes: int = _N
     return sig
 
 
-@query("ann_lsh_topk")  # no SQL oracle: approximate by design (rows-only check)
+@query("ann_lsh_topk", rows_only_reason="hyperplanes are derived from Spark xxhash64 (no DuckDB equivalent) and ANN recall is approximate by contract; the md5-plane twin lsh_md5 inside ann_calibration oracle-gates the pipeline and its recall")
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-k: multi-table hyperplane LSH + exact re-rank.
 
@@ -608,7 +608,7 @@ def kmeans_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("ann_ivf_topk")  # approximate: rows-only check; recall pinned in tests
+@query("ann_ivf_topk", rows_only_reason="coarse quantizer is float Lloyd's k-means (BLAS-order-dependent bits) and recall is approximate by contract; the stride-init twin ivf_stride inside ann_calibration oracle-gates cell assign, probe and rank")
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
@@ -777,7 +777,7 @@ def pq_encode(emb: DataFrame, codebooks, id_col: str = "vec_id") -> DataFrame:
     )
 
 
-@query("ann_pq_topk")  # approximate (float k-means): rows-only; recall pinned in tests
+@query("ann_pq_topk", rows_only_reason="PQ codebooks are float k-means (BLAS-order-dependent bits) and recall is approximate by contract; the stride-codebook twin pq_stride inside ann_calibration oracle-gates encode and ADC ranking")
 def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate L2 top-k via PQ/ADC: query vectors (vec_id < _N_QUERIES)
     against the rest of the corpus. One narrow encode pass over the corpus,
@@ -1074,7 +1074,7 @@ def pca_project(
     return vecs.mapInPandas(project, f"{fields}, {out_col} array<double>")
 
 
-@query("pca_embedding_reduce")  # eigendecomposition: not SQL -> rows-only
+@query("pca_embedding_reduce", rows_only_reason="projection axes are data-dependent eigenvectors (no SQL eigendecomposition; float bits BLAS-order-dependent); the power-iteration is oracle-gated in integer fixed-point by pca_calibration and the projection GEMM + residual identity by pca_project_calibration")
 def pca_embedding_reduce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fit exact PCA on the corpus and emit each vector's k-dim
     projection (rounded for a stable rows-only check) plus its
@@ -1091,6 +1091,118 @@ def pca_embedding_reduce(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.transform("reduced", lambda x: F.round(x, 6)).alias("reduced"),
         F.round(sq(centered) - sq(F.col("reduced")), 4).alias("sq_residual"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# PCA projection calibration (r12, VERDICT r11 ask #4): pca_embedding_reduce
+# stays rows-only because its axes are data-dependent eigenvectors, but the
+# production projection kernel (pca_project's Arrow GEMM) and the residual
+# identity it reports ARE engine-checkable on a FIXED orthogonal basis.
+# Sylvester-Hadamard rows (+-1 entries, pairwise dot 0, norm^2 = _DIM = 64)
+# stand in for the eigenvectors; inputs are quantized to binary fixed point
+# so the float64 GEMM is EXACT in any summation order:
+#   |x| <= 4 (raise_error guard)  ->  |q| <= 4 * 2^18 = 2^20
+#   |P_j| = |sum q_i * (+-1)|     <=  64 * 2^20 = 2^26
+#   P_j^2                         <=  2^52 < 2^53  (exactly representable)
+#   P_j^2 / 64                    exact (binary shift), partial sums <= 2^48
+#   dot(q, q)                     <=  64 * 2^40 = 2^46
+# so every intermediate — numpy BLAS on the Spark side, BIGINT list algebra
+# on the DuckDB side — is an exactly-representable integer (or /64 of one)
+# and the hashes compare bit-for-bit. This oracle-gates the GEMM batch
+# shape, the (v - mu) centering path (mu = the zero vector literal), and
+# the ||v||^2 - sum proj^2 residual identity that pca_embedding_reduce
+# reports on the fitted axes.
+# Scale: identical to production pca_project — quantize fused into the
+# scan, one narrow mapInPandas projection pass, zero shuffles.
+# ---------------------------------------------------------------------------
+
+_PPC_Q = 1 << 18  # binary fixed-point scale (exactness budget above)
+_PPC_ROWS = (1, 2, 4, 8)  # Hadamard row indices (any distinct nonzero set)
+
+
+def _hadamard_row(r: int) -> list[float]:
+    """Sylvester-Hadamard row r over _DIM dims: sign = (-1)^popcount(r&j)."""
+    return [
+        1.0 if bin(r & j).count("1") % 2 == 0 else -1.0 for j in range(_DIM)
+    ]
+
+
+def _pca_project_oracle() -> str:
+    pcols = []
+    for idx, r in enumerate(_PPC_ROWS, 1):
+        signs = ", ".join(
+            "1" if bin(r & j).count("1") % 2 == 0 else "-1"
+            for j in range(_DIM)
+        )
+        pcols.append(
+            f"CAST(list_sum(list_transform(list_zip(qv, [{signs}]),"
+            f" z -> z[1] * z[2])) AS BIGINT) AS p{idx}"
+        )
+    return f"""
+    WITH q AS MATERIALIZED (
+      SELECT vec_id,
+             list_transform(embedding, x ->
+               CAST(round(CAST(x AS DOUBLE) * {_PPC_Q}.0) AS BIGINT)) AS qv
+      FROM embeddings
+    ),
+    p AS (
+      SELECT vec_id, {", ".join(pcols)},
+             CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS dd
+      FROM q
+    )
+    SELECT vec_id,
+           CAST(p1 AS DOUBLE) AS p1, CAST(p2 AS DOUBLE) AS p2,
+           CAST(p3 AS DOUBLE) AS p3, CAST(p4 AS DOUBLE) AS p4,
+           CAST(dd AS DOUBLE)
+             - (CAST(p1 * p1 AS DOUBLE) / 64.0
+                + CAST(p2 * p2 AS DOUBLE) / 64.0
+                + CAST(p3 * p3 AS DOUBLE) / 64.0
+                + CAST(p4 * p4 AS DOUBLE) / 64.0) AS sq_residual
+    FROM p
+    """
+
+
+@query("pca_project_calibration", oracle=_pca_project_oracle())
+def pca_project_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Project quantized embeddings onto 4 fixed Hadamard axes through the
+    PRODUCTION pca_project GEMM kernel and report each projection plus the
+    orthogonal-residual identity, bit-compared against BIGINT list algebra
+    in DuckDB (see block comment for the 2^53 exactness budget)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.select(
+        "vec_id",
+        F.expr(
+            f"transform(embedding, x -> CASE"
+            f" WHEN abs(CAST(x AS DOUBLE)) > 4.0D THEN"
+            f" raise_error('pca_project_calibration: |x| > 4 breaks the"
+            f" 2^53 exactness budget')"
+            f" ELSE CAST(CAST(round(CAST(x AS DOUBLE) * {_PPC_Q}.0)"
+            f" AS BIGINT) AS DOUBLE) END)"
+        ).alias("qe"),
+    )
+    out = pca_project(
+        q,
+        [0.0] * _DIM,
+        [_hadamard_row(r) for r in _PPC_ROWS],
+        vec_col="qe",
+        out_col="reduced",
+    )
+    dot_qe = F.aggregate("qe", F.lit(0.0), lambda a, x: a + x * x)
+    p = [F.col("reduced")[i] for i in range(len(_PPC_ROWS))]
+    sum_proj = (
+        p[0] * p[0] / F.lit(64.0)
+        + p[1] * p[1] / F.lit(64.0)
+        + p[2] * p[2] / F.lit(64.0)
+        + p[3] * p[3] / F.lit(64.0)
+    )
+    return out.select(
+        "vec_id",
+        p[0].alias("p1"),
+        p[1].alias("p2"),
+        p[2].alias("p3"),
+        p[3].alias("p4"),
+        (dot_qe - sum_proj).alias("sq_residual"),
     )
 
 

@@ -1260,7 +1260,7 @@ def term_cms(df: DataFrame, text_col: str = "text"):
     return sketch, toks
 
 
-@query("cms_term_estimates")  # sketch estimates are seed/hash-specific: rows-only
+@query("cms_term_estimates", rows_only_reason="CMS estimates are hash/seed-specific by design (no cross-engine sketch standard); the sketch's width/depth error contract is oracle-gated against exact counts by cms_calibration")
 def cms_term_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Estimated frequencies of the exact top-N terms from one Count-Min
     sketch pass (plus the exact counts for comparison — the driver's

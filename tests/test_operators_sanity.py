@@ -1499,3 +1499,33 @@ def test_duplicate_load_detect_plants_nonzero_groups_with_oracle_parity(
     assert expected, "fixture must produce at least one planted group"
     for first, n in expected.items():
         assert by_first.get(first) == n, (first, n, by_first)
+
+
+def test_rows_only_queries_all_carry_reasons():
+    """VERDICT r11 ask #4, made structural: every registered query without
+    a DuckDB oracle must carry a rows_only_reason at its registration
+    site, and the decorator must reject a new undocumented (or
+    contradictory) registration — no query can join the rows-only class
+    silently."""
+    import pytest
+
+    import __spark_entry__ as e
+    from dhs_to_database_spark.operators import registry
+
+    qs, ors = e.queries(), e.oracle_sql()
+    undocumented = [
+        n for n in qs if n not in ors and n not in registry.ROWS_ONLY_REASONS
+    ]
+    assert undocumented == []
+    # reasons are real prose, not placeholders
+    for n, reason in registry.ROWS_ONLY_REASONS.items():
+        assert len(reason) > 40, (n, reason)
+
+    with pytest.raises(ValueError, match="rows_only_reason"):
+        registry.query("zz_rows_only_unreasoned")(lambda s, d: None)
+    assert "zz_rows_only_unreasoned" not in registry.QUERIES
+    with pytest.raises(ValueError, match="contradictory"):
+        registry.query(
+            "zz_contradictory", oracle="SELECT 1", rows_only_reason="x"
+        )(lambda s, d: None)
+    assert "zz_contradictory" not in registry.QUERIES

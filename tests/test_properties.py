@@ -230,3 +230,43 @@ def test_connected_components_matches_dfs(spark, edges):
             for r in connected_components(df, driver_threshold=thresh).collect()
         }
         assert got == expect, thresh
+
+
+# ---------------------------------------------------------------------------
+# BPE encode == sequential training replay (r12): the bpe_encode_calibration
+# oracle reads per-word token counts off the replayed training state
+# (v{N} in _bpe_cal_ctes), while the Spark side runs bpe_encode_word's
+# best-rank-first loop. The two are equal because an exhausted pair can
+# never be re-created by later merges (new adjacencies always involve the
+# just-created symbol, whose pairs carry higher ranks) — this property
+# test pins that equivalence over adversarially small alphabets, where
+# pair collisions and re-merge opportunities are densest.
+# ---------------------------------------------------------------------------
+
+
+@given(
+    st.dictionaries(
+        st.text("abc", min_size=1, max_size=6),
+        st.integers(1, 5),
+        min_size=1,
+        max_size=8,
+    ),
+    st.integers(1, 10),
+)
+@settings(max_examples=80, deadline=None)
+def test_bpe_encode_matches_sequential_training_replay(word_counts, n_merges):
+    from dhs_to_database_spark.operators.bpe import (
+        _EOW,
+        _bpe_train_driver_scored,
+        _merge_pair,
+        bpe_encode_word,
+    )
+
+    rows = sorted(word_counts.items())
+    merges = [(a, b) for a, b, _ in _bpe_train_driver_scored(rows, n_merges)]
+    ranks = {m: i for i, m in enumerate(merges)}
+    for w, _ in rows:
+        syms = list(w) + [_EOW]
+        for a, b in merges:
+            syms = _merge_pair(syms, a, b)
+        assert bpe_encode_word(w, ranks) == syms, (w, merges)
