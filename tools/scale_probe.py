@@ -281,7 +281,12 @@ DECADE_TAIL = {
 # itself settles steady-state vs slide — a one-run cell can't
 # distinguish a 1.2 from disk/JIT weather, and a noisy single-run sf1
 # denominator would bias the ratio as much as a noisy sf10 numerator.
-DECADE_MIN2 = {"containment_pairs"}
+# r12 (VERDICT r11 ask #5): simhash_md5 (r11 froze 1.28 while its own
+# confirmation re-run measured 2.22 — a fast-sf1-denominator artifact)
+# and minhash_calibration (the #1 historical cross-capture swinger,
+# same session-weather signature as containment_pairs) join the
+# standing set so their final-decade cells are never single-run again.
+DECADE_MIN2 = {"containment_pairs", "simhash_md5", "minhash_calibration"}
 
 
 def probe_sf10() -> None:
@@ -322,20 +327,34 @@ def probe_sf10() -> None:
     for name, table in DECADE_TAIL.items():
         cells, rates = [], []
         min2 = name in DECADE_MIN2
+        divergent = []
         for sf in sfs:
             runs = 2 if (min2 and sf in (SF1_DIR, SF10_DIR)) else 1
-            dt = float("inf")
+            times = []
             for _ in range(runs):
                 t0 = time.time()
                 qs[name](spark, sf).write.format("noop").mode(
                     "overwrite"
                 ).save()
-                dt = min(dt, time.time() - t0)
+                times.append(time.time() - t0)
+            dt = min(times)
+            # r12 (VERDICT r11 ask #5): when a repeated cell's runs
+            # diverge >1.5x, freeze BOTH figures in the row note — the
+            # min-of-2 quotient alone would hide the session weather the
+            # re-run just demonstrated (r11 froze simhash_md5 at 1.28
+            # while its confirmation re-run said 2.22).
+            if len(times) > 1 and max(times) / max(min(times), 1e-9) > 1.5:
+                divergent.append(
+                    f"{sf.rsplit('/', 1)[-1].replace('.scale_', '')} runs "
+                    + "/".join(f"{t:.1f}s" for t in sorted(times))
+                )
             rate = counts[(sf, table)] / dt / 1000
             rates.append(rate)
             cells.append(f"{dt:.2f} / {rate:,.0f}")
         ratio = rates[-1] / rates[-2]
         note = " (standing min-of-2 sf1+sf10)" if min2 else ""
+        if divergent:
+            note += f" (>1.5x run spread, min-of-2 frozen: {'; '.join(divergent)})"
         if ratio <= 0.5:
             # ADVICE r8: one noisy multi-minute run can fake a collapse —
             # confirm with a second run of JUST the failing sf10 cell
