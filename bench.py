@@ -123,6 +123,9 @@ BENCH_QUERIES = [
     "approx_distinct_calibration",
     "approx_quantile_calibration",
     "cms_calibration",
+    # r12: the two new rows-only-residue calibration twins
+    "bpe_encode_calibration",
+    "pca_project_calibration",
 ]
 
 
