@@ -406,10 +406,11 @@ def _bpe_encode_oracle() -> str:
     # never be re-created once exhausted (new adjacencies always involve
     # the just-created symbol, whose pairs were necessarily learned at
     # HIGHER ranks) — pinned by the hypothesis parity test in
-    # tests/test_bpe.py. n_words = 1 is a CONTRACT column: it trips the
-    # driver hash if a vocab word ever tokenizes to anything but itself
-    # under the Python kernel's str.split() (cannot happen on this
-    # corpus — probed pure printable ASCII at every shipped SF).
+    # tests/test_properties.py. n_words = 1 is a CONTRACT column: the
+    # Spark side raise_errors if a vocab word ever tokenizes to anything
+    # but itself under the Python kernel's str.split() (cannot happen on
+    # this corpus — probed pure printable ASCII at every shipped SF —
+    # and fails loudly rather than hash-diverging if data changes).
     return f"""{_bpe_cal_ctes()}
     SELECT w, CAST(len(syms) AS BIGINT) AS n_bpe_tokens,
            CAST(1 AS BIGINT) AS n_words
@@ -417,19 +418,26 @@ def _bpe_encode_oracle() -> str:
     """
 
 
-@query("bpe_merge_calibration", oracle=_bpe_cal_oracle())
-def bpe_merge_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """First _BPE_CAL_MERGES learned merges with their selection-time pair
-    counts — the BPE training loop made oracle-exact (see block comment).
-    One corpus pass (word_counts); the loop runs on the bounded vocab."""
+def _driver_vocab(spark: SparkSession, sf_dir: str) -> list[tuple[str, int]]:
+    """Collect the corpus vocab for a driver-tier calibration — ONE
+    corpus pass. Both BPE calibrations share this preamble so the tier
+    contract (and the vocab they train on) cannot drift apart."""
     d = load_table(spark, sf_dir, "documents")
     rows = word_counts(d).limit(_DRIVER_MAX_VOCAB + 1).collect()
     assert len(rows) <= _DRIVER_MAX_VOCAB, (
         "calibration pins the driver tier; larger vocabs take bpe_train's "
         "DataFrame loop (parity-tested)"
     )
+    return [(r["w"], r["n"]) for r in rows]
+
+
+@query("bpe_merge_calibration", oracle=_bpe_cal_oracle())
+def bpe_merge_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First _BPE_CAL_MERGES learned merges with their selection-time pair
+    counts — the BPE training loop made oracle-exact (see block comment).
+    One corpus pass (word_counts); the loop runs on the bounded vocab."""
     scored = _bpe_train_driver_scored(
-        [(r["w"], r["n"]) for r in rows], _BPE_CAL_MERGES
+        _driver_vocab(spark, sf_dir), _BPE_CAL_MERGES
     )
     return spark.createDataFrame(
         [(i + 1, a, b, c) for i, (a, b, c) in enumerate(scored)],
@@ -457,18 +465,30 @@ def bpe_encode_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-vocab-word BPE token count under the first _BPE_CAL_MERGES
     learned ranks, computed by the production encode kernel
     (bpe_token_counts over one-word docs) and hash-compared against the
-    oracle's replayed symbol state. n_words is the ==1 contract column."""
-    d = load_table(spark, sf_dir, "documents")
-    wc = word_counts(d)
-    rows = wc.limit(_DRIVER_MAX_VOCAB + 1).collect()
-    assert len(rows) <= _DRIVER_MAX_VOCAB, (
-        "calibration pins the driver tier; larger vocabs take bpe_train's "
-        "DataFrame loop (parity-tested)"
+    oracle's replayed symbol state. n_words is the ==1 contract column,
+    enforced loudly: a vocab word that the kernel's Python str.split()
+    re-tokenizes (possible only for non-ASCII whitespace the explicit
+    [ \\t\\n\\x0b\\f\\r] class does not split on) raises instead of
+    silently hash-diverging."""
+    vocab = _driver_vocab(spark, sf_dir)
+    merges = _bpe_train_driver(vocab, _BPE_CAL_MERGES)
+    # vocab is already collected and bounded: build the one-word docs on
+    # the driver rather than re-running the corpus-scale word_counts
+    # shuffle a second time
+    one_word_docs = spark.createDataFrame(
+        [(w, w) for w, _ in vocab], "w string, wtext string"
     )
-    merges = _bpe_train_driver(
-        [(r["w"], r["n"]) for r in rows], _BPE_CAL_MERGES
+    counts = bpe_token_counts(one_word_docs, merges, id_col="w", text_col="wtext")
+    return counts.select(
+        "w",
+        "n_bpe_tokens",
+        F.when(F.col("n_words") == 1, F.col("n_words"))
+        .otherwise(
+            F.expr(
+                "raise_error('bpe_encode_calibration: vocab word"
+                " re-tokenized by the Python kernel — whitespace-class"
+                " divergence')"
+            )
+        )
+        .alias("n_words"),
     )
-    one_word_docs = wc.select("w", F.col("w").alias("wtext"))
-    return bpe_token_counts(
-        one_word_docs, merges, id_col="w", text_col="wtext"
-    ).select("w", "n_bpe_tokens", "n_words")

@@ -12,7 +12,9 @@ cd "$(dirname "$0")/.."
 # ADVICE r11: a detached setsid/nohup launch from a non-interactive
 # context may lack the interactive PATH (pyenv shims etc.), so resolve
 # the interpreter up front and fail fast instead of dying at step 1.
-PY=${PYTHON:-$(command -v python || command -v python3)}
+# the inner || true keeps set -e from killing the script BEFORE the
+# FATAL diagnostic when neither interpreter resolves
+PY=${PYTHON:-$(command -v python || command -v python3 || true)}
 if [ -z "$PY" ] || ! "$PY" -c 'import pyspark' 2>/dev/null; then
   echo "FATAL: no python with pyspark on PATH (PY='$PY'); set \$PYTHON" >&2
   exit 1
