@@ -126,6 +126,14 @@ BENCH_QUERIES = [
     # r12: the two new rows-only-residue calibration twins
     "bpe_encode_calibration",
     "pca_project_calibration",
+    # r12: the five rotated-in window queries that were not yet headline
+    # entries — every driver-graded query now carries bench + plan-audit
+    # coverage
+    "sliding_window",
+    "stratified_sample_langs",
+    "topk_per_group",
+    "quantile_normalize",
+    "regex_token_count",
 ]
 
 

@@ -122,6 +122,13 @@ NOTES = {
     "range_frame_trailing": "RANGE window over the per-day aggregate in dense rank blocks with 6-row carry (6 days span at most 6 rows on a distinct-day axis) — no single-partition WindowExec",
     "wow_growth": "lag window over the per-week aggregate in dense rank blocks with 1-row carry",
     "hybrid_search_rrf": "both branches top-k-bounded before the fusion full-outer join; ranks via array-sort aggregate (no global WindowExec); corpus work stays in branches",
+    "sliding_window": "one shuffle on the window key; each event expanded narrowly to its 2 covering windows pre-shuffle",
+    "stratified_sample_langs": "pure narrow filter (deterministic md5 hash bucket vs per-stratum literal threshold) — zero shuffles",
+    "topk_per_group": "single exchange feeds the per-group rank window; rank filter applied before any downstream work",
+    "quantile_normalize": "distributed global rank (range-partitioned sort passes, no single-partition window); N comes free from the rank's offset pass",
+    "regex_token_count": "pure narrow projection — per-doc regex counts in JVM codegen, zero shuffles",
+    "bpe_encode_calibration": "one corpus pass (word_counts agg); encode runs on the driver-collected bounded vocab re-parallelized as one-word docs",
+    "pca_project_calibration": "quantize fused into the scan; one narrow Arrow GEMM pass (production pca_project kernel), zero shuffles",
 }
 
 
