@@ -273,6 +273,15 @@ DECADE_TAIL = {
     "simhash_md5": "documents",
     "cdc_chunks": "documents",
     "importance_weights": "documents",
+    # r12: the scale-interesting members of this round's rotation-in set
+    # plus the new projection twin — gram-pair span scan, distributed
+    # global rank (two range-partitioned sort passes at 10,000x), native
+    # sliding-window explode on events, and the narrow Arrow GEMM pass.
+    # First rows appear at the r13 chain regeneration.
+    "duplicate_spans": "documents",
+    "quantile_normalize": "documents",
+    "sliding_window": "events",
+    "pca_project_calibration": "embeddings",
 }
 
 # r10 (VERDICT r9 ask #3): containment_pairs' sf10/sf1 ratio was the
