@@ -197,7 +197,7 @@ _GRADE_TAIL = [
     "latest_version_per_group",  # metadata A-family: dq_checks_orders + topk_per_group (same latest-per-group rank core, rotated in this round) graded in-window
     "top_unshipped_orders",  # TPC-H-ish agg/join family: rich_inactive_customers_sql + moment_stats graded in-window
     "asof_join",  # banded-join family: interval_join_attribution now graded in-window
-    "doc_fingerprint",  # fingerprint family: winnowing_fingerprint graded
+    "doc_fingerprint",  # fingerprint family: cdc_chunks (same rolling-hash kernel class) graded in-window; winnowing_fingerprint (r1-r5 driver-green) tail
     "vocab_stats",  # text family: tfidf_topk graded in-window; regex_token_count rotated in-window this round
     "ngram_jaccard_pairs",  # dedup verification primitive; setsim_join_prefix + minhash_calibration graded in-window
     "merge_upsert_orders",  # MERGE ext; schema_evolution pytest-covered
@@ -207,7 +207,7 @@ _GRADE_TAIL = [
     "unpivot_long",  # inverse of graded pivot_wide
     "percentile_summary",  # percentile family: approx_quantile_calibration (exact-percentile truth side) graded in-window
     "sentinel_dup_check",  # HAVING-dup family: dq_checks_orders graded in-window; duplicate_load_detect (r1-r11 green) rotated to the tail this round
-    "context_chunks",  # chunking family: sequence_pack graded
+    "context_chunks",  # chunking family: cdc_chunks graded in-window; sequence_pack (r1-r4 driver-green) tail
     "repetition_stats",  # quality family: tfidf_topk + pii_redact (text-kernel siblings) graded in-window
     "token_rarity_score",  # scoring family: tfidf_topk (same df-based rarity core) graded in-window
     "sample_k_per_group",  # sampling family: training_shuffle_order graded in-window
@@ -224,7 +224,7 @@ _GRADE_TAIL = [
     "mode_per_group",  # agg family: moment_stats graded in-window; topk_per_group (same group-rank core) rotated in-window this round
     "temperature_mix",  # mixture family: training_shuffle_order + decontaminate_pairs graded in-window
     "dup_rate_by_source",  # dedup-diagnostic family: dedup_incremental_bloom graded in-window; duplicate_load_detect (r1-r11 green) tail
-    "bpe_pair_counts",  # corpus-stats family: pmi_collocations/vocab_stats graded
+    "bpe_pair_counts",  # corpus-stats family: bpe_merge_calibration (pair counts are its selection-time statistic) graded in-window
     "returned_orders_by_priority_sql",  # subquery family: rich_inactive_customers_sql (correlated-subquery sibling) rotated in-window this round
     "corpus_dataset_card",  # r4: one-row release report; stats family: dq_checks_orders graded in-window, moment_stats rotated in-window this round
 ]
