@@ -359,3 +359,45 @@ def test_no_bare_whitespace_class_in_oracle_gated_patterns():
                         f"{os.path.basename(path)}:{lineno}: {line.strip()}"
                     )
     assert offenders == [], "\n".join(offenders)
+
+
+def test_tail_comments_cite_in_window_siblings():
+    """r12 sweep, made structural: a _GRADE_TAIL entry's justification
+    comment may claim a sibling is 'graded [in-window]' or '(in-window)'
+    only if that sibling is actually inside the CURRENT 50-entry grading
+    window. Three r5-era comments drifted this way (citing siblings that
+    had themselves been rotated to the tail); this scan fails on any
+    recurrence, so rotation edits must update the affected comments in
+    the same change."""
+    import os
+    import re
+
+    import __spark_entry__ as e
+
+    window = set(list(e.queries())[:50])
+    registered = set(e.queries())
+    src = open(
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "__spark_entry__.py",
+        )
+    ).read()
+    stale = []
+    for m in re.finditer(r'^\s+"([a-z0-9_]+)",\s+#\s*(.*)$', src, re.M):
+        entry, comment = m.groups()
+        cited = set()
+        # "a + b (parenthetical) graded ..." — names claimed as graded
+        for phrase in re.findall(
+            r"([a-z0-9_]+(?:\s*\+\s*[a-z0-9_]+)*)\s+(?:\([^)]*\)\s+)?graded",
+            comment,
+        ):
+            cited.update(re.split(r"\s*\+\s*", phrase))
+        # "name (in-window)" — direct in-window claims
+        cited.update(re.findall(r"([a-z0-9_]+)\s+\(in-window\)", comment))
+        for q in cited:
+            if q in registered and q not in window:
+                stale.append((entry, q))
+    assert stale == [], (
+        f"tail comments cite non-window queries as graded/in-window:"
+        f" {stale}"
+    )
