@@ -204,7 +204,7 @@ _GRADE_TAIL = [
     "frame_sample",  # multimodal sibling: video_metadata + flac_metadata graded in-window
     "rollup_agg",  # grouping-sets family: moment_stats + profile_orders_columns (rotated in this round) graded in-window; cube_agg (r2-r11 green) tail
     "except_intersect_all",  # set-op ext; leakage_safe_split (edge-source union + split) graded in-window
-    "unpivot_long",  # inverse of graded pivot_wide
+    "unpivot_long",  # reshaping family: profile_orders_columns (per-column long-form union) graded in-window; inverse pivot_wide tail
     "percentile_summary",  # percentile family: approx_quantile_calibration (exact-percentile truth side) graded in-window
     "sentinel_dup_check",  # HAVING-dup family: dq_checks_orders graded in-window; duplicate_load_detect (r1-r11 green) rotated to the tail this round
     "context_chunks",  # chunking family: cdc_chunks graded in-window; sequence_pack (r1-r4 driver-green) tail
@@ -212,12 +212,12 @@ _GRADE_TAIL = [
     "token_rarity_score",  # scoring family: tfidf_topk (same df-based rarity core) graded in-window
     "sample_k_per_group",  # sampling family: training_shuffle_order graded in-window
     "frequent_terms_topk",  # term-count family: tfidf_topk (df counts over the same tokenizer) graded in-window; regex_token_count rotated in-window this round
-    "rollup_maintenance",  # incremental-agg family: merge_upsert/rollup graded
+    "rollup_maintenance",  # incremental-agg family: dedup_incremental_bloom (incremental-batch merge core) graded in-window; merge_upsert_orders + rollup_agg tail
     "value_histogram",  # profiling family: approx_quantile_calibration graded in-window; moment_stats rotated in-window this round
     "lang_id_heuristic",  # r1-graded green; text family (token/quality) graded
     "word_entropy",  # quality family: tfidf_topk + spearman_length_tokens graded in-window
     "weighted_sample_langs",  # sampling family: training_shuffle_order graded in-window
-    "pmi_collocations",  # corpus-stats family: vocab/frequent_terms graded
+    "pmi_collocations",  # corpus-stats family: bpe_merge_calibration (the same weighted pair-count agg) + tfidf_topk graded in-window
     "term_drift_kl",  # drift family: importance_weights (same source-distribution ratio core) rotated in-window this round
     "window_unique_users",  # window family: streaming_window_counts graded in-window; segment_window_counts + sliding_window graded in-window
     "wow_growth",  # period-over-period family: streaming_window_counts + interval_join_attribution graded in-window; cohort_retention graded in-window

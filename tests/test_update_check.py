@@ -386,14 +386,26 @@ def test_tail_comments_cite_in_window_siblings():
     for m in re.finditer(r'^\s+"([a-z0-9_]+)",\s+#\s*(.*)$', src, re.M):
         entry, comment = m.groups()
         cited = set()
-        # "a + b (parenthetical) graded ..." — names claimed as graded
+        # "a + b / c (parenthetical) [now] graded ..." — names claimed
+        # as graded (review r12: '+' AND '/' separators, optional 'now')
         for phrase in re.findall(
-            r"([a-z0-9_]+(?:\s*\+\s*[a-z0-9_]+)*)\s+(?:\([^)]*\)\s+)?graded",
+            r"([a-z0-9_]+(?:\s*[+/]\s*[a-z0-9_]+)*)\s+(?:\([^)]*\)\s+)?"
+            r"(?:now\s+)?graded",
             comment,
         ):
-            cited.update(re.split(r"\s*\+\s*", phrase))
-        # "name (in-window)" — direct in-window claims
+            cited.update(re.split(r"\s*[+/]\s*", phrase))
+        # "graded name" word order ('inverse of graded pivot_wide')
+        cited.update(re.findall(r"graded\s+([a-z0-9_]+)", comment))
+        # "name (in-window)" and "name [(paren)] rotated in-window" —
+        # direct in-window claims; both go stale when the sibling is
+        # later rotated out, so rotations must update these comments too
         cited.update(re.findall(r"([a-z0-9_]+)\s+\(in-window\)", comment))
+        cited.update(
+            re.findall(
+                r"([a-z0-9_]+)\s+(?:\([^)]*\)\s+)?rotated in-window",
+                comment,
+            )
+        )
         for q in cited:
             if q in registered and q not in window:
                 stale.append((entry, q))

@@ -277,7 +277,7 @@ DECADE_TAIL = {
     # plus the new projection twin — gram-pair span scan, distributed
     # global rank (two range-partitioned sort passes at 10,000x), native
     # sliding-window explode on events, and the narrow Arrow GEMM pass.
-    # First rows appear at the r13 chain regeneration.
+    # First rows landed in the r12 final-chain regeneration.
     "duplicate_spans": "documents",
     "quantile_normalize": "documents",
     "sliding_window": "events",
@@ -295,7 +295,18 @@ DECADE_TAIL = {
 # and minhash_calibration (the #1 historical cross-capture swinger,
 # same session-weather signature as containment_pairs) join the
 # standing set so their final-decade cells are never single-run again.
-DECADE_MIN2 = {"containment_pairs", "simhash_md5", "minhash_calibration"}
+# exact_substring_excise joined after the r12 final chain froze a 0.90
+# ratio from the same two-sided weather (sf1 13.8 s fast / sf10 152.7 s
+# slow; the same session's first chain measured 25.4 s / 123.4 s =
+# 2.06, and the post-chain idle min-of-2 triage re-confirmed a rising
+# ratio) — it is the fourth documents-corpus shuffle-heavy row with a
+# ±2x cell swing.
+DECADE_MIN2 = {
+    "containment_pairs",
+    "simhash_md5",
+    "minhash_calibration",
+    "exact_substring_excise",
+}
 
 
 def probe_sf10() -> None:
