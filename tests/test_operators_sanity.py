@@ -1529,3 +1529,38 @@ def test_rows_only_queries_all_carry_reasons():
             "zz_contradictory", oracle="SELECT 1", rows_only_reason="x"
         )(lambda s, d: None)
     assert "zz_contradictory" not in registry.QUERIES
+
+
+def test_pca_project_calibration_guard_trips(spark, monkeypatch):
+    """The |x| > 4 raise_error guard in pca_project_calibration's
+    quantize step fires on out-of-contract embeddings instead of
+    silently producing inexact-float hashes (the 2^53 budget in the
+    block comment assumes the guard)."""
+    import pytest
+
+    from dhs_to_database_spark.operators import similarity as sim
+
+    bad = spark.createDataFrame(
+        [(1, [5.0] * 64)], "vec_id bigint, embedding array<float>"
+    )
+    monkeypatch.setattr(sim, "load_table", lambda s, d, t: bad)
+    with pytest.raises(Exception, match="exactness budget"):
+        sim.pca_project_calibration(spark, "ignored").collect()
+
+
+def test_bpe_encode_calibration_guard_trips(spark, monkeypatch):
+    """The n_words==1 contract column raise_errors when a vocab word is
+    re-tokenized by the Python kernel's broader whitespace class (e.g. a
+    non-breaking space survives the explicit [ \\t\\n\\x0b\\f\\r]
+    tokenizer as one word but str.split() cuts it) — loud failure, not a
+    silent oracle hash divergence."""
+    import pytest
+
+    from dhs_to_database_spark.operators import bpe
+
+    docs = spark.createDataFrame(
+        [(1, "foo\xa0bar foo bar baz baz")], "doc_id bigint, text string"
+    )
+    monkeypatch.setattr(bpe, "load_table", lambda s, d, t: docs)
+    with pytest.raises(Exception, match="whitespace-class"):
+        bpe.bpe_encode_calibration(spark, "ignored").collect()
