@@ -675,6 +675,12 @@ def sample_k_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 # and summed as DECIMAL(28,8) — decimal addition is exact and
 # order-independent, so Spark's partial-agg order vs DuckDB's cannot
 # drift the hash; only the final mean returns to DOUBLE (ROUND 4).
+# Signed zero (the r12 driver failure): a tiny NEGATIVE mean that
+# ROUNDs to zero is IEEE -0.0 under DuckDB's ROUND but +0.0 under
+# Spark's F.round (BigDecimal has no signed zero), and the driver's
+# value hash distinguishes the two. Both engines therefore add +0.0
+# after the ROUND (-0.0 + 0.0 == +0.0 and x + 0.0 == x exactly for
+# every other finite x), pinning the zero's sign engine-independently.
 #
 # Plan shape: two partial-agg shuffles build the two term tables (target
 # is a filtered re-scan — at 100 TB you persist the tokenized corpus
@@ -721,7 +727,7 @@ def _quality_gate(text: Column) -> Column:
     )
     SELECT t.doc_id,
            CAST(COUNT(*) AS BIGINT) AS n_scored_tokens,
-           CAST(ROUND(CAST(SUM(lr) AS DOUBLE) / COUNT(*), 4) AS DOUBLE) AS dsir_score
+           CAST(ROUND(CAST(SUM(lr) AS DOUBLE) / COUNT(*), 4) + 0.0 AS DOUBLE) AS dsir_score
     FROM toks_nz t JOIN ratios USING (term)
     GROUP BY t.doc_id
     """,
@@ -779,7 +785,11 @@ def importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_scored_tokens"),
-            F.round(F.sum("lr").cast("double") / F.count(F.lit(1)), 4)
+            # + 0.0 pins the sign of a rounded-to-zero score (see the
+            # signed-zero note above): F.round already emits +0.0, but
+            # the normalization is applied in BOTH engines so neither
+            # side's rounding implementation is load-bearing.
+            (F.round(F.sum("lr").cast("double") / F.count(F.lit(1)), 4) + F.lit(0.0))
             .cast("double")
             .alias("dsir_score"),
         )
@@ -973,12 +983,12 @@ def term_drift_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
     ratios AS (
       SELECT term,
              CAST(ROUND(ln(((c_tgt + 1.0) * (t_raw + v)) / ((t_tgt + v) * (c_raw + 1.0))), 8)
-                  AS DECIMAL(28,10)) AS lr
+                  AS DECIMAL(28,8)) AS lr
       FROM counts CROSS JOIN totals
     ),
     scores AS (
       SELECT t.doc_id,
-             CAST(ROUND(CAST(SUM(lr) AS DOUBLE) / COUNT(*), 4) AS DOUBLE) AS dsir_score
+             CAST(ROUND(CAST(SUM(lr) AS DOUBLE) / COUNT(*), 4) + 0.0 AS DOUBLE) AS dsir_score
       FROM toks_nz t JOIN ratios USING (term)
       GROUP BY t.doc_id
     ),

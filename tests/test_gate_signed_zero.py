@@ -1,0 +1,97 @@
+"""Signed-zero gate hardening (VERDICT r12 asks #2a-c).
+
+The r12 driver failure: at sf0.01 DuckDB's ROUND(x, 4) kept IEEE -0.0 for
+19 importance_weights docs whose exact mean is a tiny negative, while
+Spark's F.round (BigDecimal — no signed zero) emitted +0.0. The driver's
+value hash distinguishes the two; the local gate's norm_cell collapsed
+both through str(int(v)) == "0", so two full local chains were green
+while the driver was red. These tests pin the hardened gate: a crafted
+-0.0/+0.0 pair must FAIL locally, exactly the class the driver sees.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+
+import duckdb
+import pandas as pd
+
+_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+for p in (_ROOT, os.path.join(_ROOT, "tools")):
+    if p not in sys.path:
+        sys.path.insert(0, p)
+
+from check_oracle import frame_hash, negative_zero_cells, norm_cell  # noqa: E402
+
+
+def test_norm_cell_preserves_zero_sign():
+    """-0.0 and +0.0 must normalize differently (the driver's hash does);
+    everything else about integral-float collapsing stays intact so the
+    int-vs-float cross-engine equivalences keep hashing equal."""
+    assert norm_cell(-0.0) == "-0"
+    assert norm_cell(0.0) == "0"
+    assert norm_cell(0) == "0"  # int zero still collapses with float +0.0
+    assert norm_cell(-0.0) != norm_cell(0.0)
+    assert norm_cell(2.0) == "2" == norm_cell(2)
+    assert norm_cell(-2.0) == "-2"
+    assert norm_cell(float("nan")) == "<null>"
+
+
+def test_crafted_signed_zero_pair_fails_the_local_gate():
+    """The exact r12 failure shape: rows match, columns match, one side
+    rounds to -0.0 where the other emits +0.0 — the hardened frame_hash
+    must differ (pre-hardening both hashed identically)."""
+    spark_like = pd.DataFrame({"doc_id": [1, 2], "score": [0.0, 1.5]})
+    duck_like = pd.DataFrame({"doc_id": [1, 2], "score": [-0.0, 1.5]})
+    assert frame_hash(spark_like) != frame_hash(duck_like)
+    # and with the sign normalized (+ 0.0 — the committed fix) they agree
+    fixed = duck_like.assign(score=duck_like["score"] + 0.0)
+    assert frame_hash(spark_like) == frame_hash(fixed)
+
+
+def test_negative_zero_lint_flags_float_and_object_columns():
+    clean = pd.DataFrame({"a": [0.0, 1.0], "b": ["x", "y"], "c": [0, -1]})
+    assert negative_zero_cells(clean, "spark") == []
+    dirty_f = pd.DataFrame({"a": [-0.0, 1.0]})
+    (msg,) = negative_zero_cells(dirty_f, "oracle")
+    assert "'a'" in msg and "-0.0" in msg
+    # nullable doubles surface as object dtype in some fetch paths
+    dirty_o = pd.DataFrame({"a": pd.array([None, -0.0], dtype=object)})
+    assert dirty_o["a"].dtype.kind == "O"
+    assert len(negative_zero_cells(dirty_o, "oracle")) == 1
+
+
+def test_duckdb_round_emits_negative_zero_and_plus_zero_normalizes():
+    """Pin the engine behavior the importance_weights fix depends on:
+    DuckDB ROUND keeps the sign of a negative underflow-to-zero, and
+    appending + 0.0 flips it to +0.0 without touching any nonzero value."""
+    con = duckdb.connect()
+    # NB the input must be DOUBLE (as in the dsir_score expression, which
+    # rounds CAST(SUM(lr) AS DOUBLE) / COUNT(*)): DuckDB's DECIMAL ROUND
+    # has no signed zero, it is the DOUBLE overload that keeps the sign.
+    raw, fixed, nonzero = con.execute(
+        "SELECT ROUND(CAST(-0.00001 AS DOUBLE), 4),"
+        "       ROUND(CAST(-0.00001 AS DOUBLE), 4) + 0.0,"
+        "       ROUND(CAST(-1.23456 AS DOUBLE), 4) + 0.0"
+    ).fetchone()
+    assert raw == 0.0 and math.copysign(1.0, raw) < 0.0  # IEEE -0.0
+    assert fixed == 0.0 and math.copysign(1.0, fixed) > 0.0  # normalized
+    assert nonzero == -1.2346  # + 0.0 is exact on every other value
+
+
+def test_importance_weights_score_normalizes_zero_sign_in_both_engines():
+    """The committed fix is structural in both engines' expressions: the
+    oracle's dsir_score and the Spark aggregation both append + 0.0
+    after the ROUND (sampling.py — signed-zero note)."""
+    import __spark_entry__ as e
+
+    sql = e.oracle_sql()["importance_weights"]
+    assert "+ 0.0 AS DOUBLE) AS dsir_score" in sql
+    import inspect
+
+    from dhs_to_database_spark.operators import sampling
+
+    src = inspect.getsource(sampling.importance_weights)
+    assert "+ F.lit(0.0)" in src

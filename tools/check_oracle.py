@@ -31,6 +31,14 @@ def norm_cell(v) -> str:
         if math.isnan(v):
             return "<null>"
         if v == int(v) and abs(v) < 1e15:
+            # r12 driver failure class: DuckDB's ROUND can emit IEEE -0.0
+            # where Spark's F.round (BigDecimal, no signed zero) emits
+            # +0.0. The driver's value hash distinguishes the two, so the
+            # local stand-in must as well — collapsing both through
+            # str(int(v)) == "0" is exactly the blind spot that let the
+            # r12 importance_weights failure pass two full local chains.
+            if v == 0.0 and math.copysign(1.0, v) < 0.0:
+                return "-0"
             return str(int(v))
         return repr(v)
     if isinstance(v, bool):
@@ -68,6 +76,44 @@ def lint_oracle_types(con, name: str, sql: str) -> list[str]:
         for col, typ, *_ in desc
         if any(b in typ.upper() for b in _BANNED_ORACLE_TYPES)
     ]
+
+
+def negative_zero_cells(df: pd.DataFrame, side: str) -> list[str]:
+    """r12 lint (VERDICT r12 ask #2b/#3): flag any IEEE -0.0 cell in either
+    engine's output. A ROUND'd sign-crossing double that lands on zero is
+    -0.0 under DuckDB but +0.0 under Spark's BigDecimal round, and the
+    driver's hash distinguishes them — so ANY -0.0 output, even one that
+    happens to hash-match today, is a latent cross-engine hazard on the
+    next data/SF change. Queries must normalize the sign away (append
+    ``+ 0.0`` after the ROUND in both engines), the HUGEINT/DECIMAL
+    _BANNED_ORACLE_TYPES precedent applied to this class. Executes on
+    every check_oracle run, so the full-registry chain sweeps all
+    oracles at both SFs each round."""
+    import numpy as np
+
+    out = []
+    for c in df.columns:
+        col = df[c]
+        if col.dtype.kind == "f":
+            vals = col.to_numpy()
+            n = int(((vals == 0.0) & np.signbit(vals)).sum())
+        elif col.dtype.kind == "O":
+            n = sum(
+                1
+                for v in col
+                if isinstance(v, float)
+                and v == 0.0
+                and math.copysign(1.0, v) < 0.0
+            )
+        else:
+            continue
+        if n:
+            out.append(
+                f"{side} col {c!r} emits {n} IEEE -0.0 cell(s) — normalize"
+                " the zero sign (e.g. `+ 0.0` after the ROUND) in both"
+                " engines"
+            )
+    return out
 
 
 def dtype_mismatches(sdf: pd.DataFrame, ddf: pd.DataFrame) -> list[str]:
@@ -135,6 +181,11 @@ def main() -> int:
             continue
         spark_s = time.time() - t0
         if name not in oracles:
+            nz = negative_zero_cells(sdf, "spark")
+            if nz:
+                print(f"FAIL  {name}: {'; '.join(nz)}")
+                failures.append(name)
+                continue
             print(f"ROWS  {name}: {len(sdf)} rows (no oracle) [{spark_s:.1f}s]")
             continue
         try:
@@ -145,6 +196,9 @@ def main() -> int:
             continue
         problems = lint_oracle_types(con, name, oracles[name])
         problems += dtype_mismatches(sdf, ddf)
+        problems += negative_zero_cells(sdf, "spark") + negative_zero_cells(
+            ddf, "oracle"
+        )
         if len(sdf) != len(ddf):
             problems.append(f"rows {len(sdf)} vs {len(ddf)}")
         if sorted(sdf.columns) != sorted(ddf.columns):
