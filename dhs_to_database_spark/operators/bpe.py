@@ -406,7 +406,16 @@ def _bpe_encode_oracle() -> str:
     # never be re-created once exhausted (new adjacencies always involve
     # the just-created symbol, whose pairs were necessarily learned at
     # HIGHER ranks) — pinned by the hypothesis parity test in
-    # tests/test_properties.py. n_words = 1 is a CONTRACT column: the
+    # tests/test_properties.py. Caveat (ADVICE r12): that argument is not
+    # airtight — two distinct merges can build the SAME symbol string
+    # (e.g. ('a','bc') and ('ab','c') both yield 'abc'), so a later merge
+    # can re-create a lower-rank pair after its sequential pass, and the
+    # trainer could even re-select an exhausted pair. Within the 8-merge
+    # budget the 80-example hypothesis test pins the equivalence
+    # empirically, bpe_encode_calibration asserts merge-pair uniqueness
+    # loudly, and a divergence would surface as an oracle hash mismatch
+    # (a grading flake), never silent wrongness. n_words = 1 is a
+    # CONTRACT column: the
     # Spark side raise_errors if a vocab word ever tokenizes to anything
     # but itself under the Python kernel's str.split() (cannot happen on
     # this corpus — probed pure printable ASCII at every shipped SF —
@@ -472,6 +481,15 @@ def bpe_encode_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     silently hash-diverging."""
     vocab = _driver_vocab(spark, sf_dir)
     merges = _bpe_train_driver(vocab, _BPE_CAL_MERGES)
+    # ADVICE r12: a composite-symbol collision (see the proof-sketch
+    # caveat in _bpe_encode_oracle) could in principle let the trainer
+    # re-select an already-learned pair, which the encode kernel's
+    # ranks dict ({m: i}) would silently collapse to the LAST rank —
+    # fail loudly here instead of hash-diverging downstream.
+    assert len(set(merges)) == len(merges), (
+        "bpe_encode_calibration: duplicate merge pair selected — the"
+        " rank table would silently collapse it"
+    )
     # vocab is already collected and bounded: build the one-word docs on
     # the driver rather than re-running the corpus-scale word_counts
     # shuffle a second time

@@ -1105,8 +1105,18 @@ def pca_embedding_reduce(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   |x| <= 4 (raise_error guard)  ->  |q| <= 4 * 2^18 = 2^20
 #   |P_j| = |sum q_i * (+-1)|     <=  64 * 2^20 = 2^26
 #   P_j^2                         <=  2^52 < 2^53  (exactly representable)
-#   P_j^2 / 64                    exact (binary shift), partial sums <= 2^48
+#   P_j^2 / 64                    exact (binary shift of an integer)
 #   dot(q, q)                     <=  64 * 2^40 = 2^46
+#   sum_j P_j^2 / 64              <=  dot(q, q)  <= 2^46 (Parseval — the
+#                                 Hadamard rows are orthogonal with
+#                                 norm^2 = 64), so every partial sum is
+#                                 a multiple of 1/64 bounded by 2^46:
+#                                 52 significant bits, inside float64's
+#                                 53-bit mantissa. (A naive per-term
+#                                 bound of 4 * 2^52/64 = 2^48 would NOT
+#                                 prove exactness — 48 + 6 = 54 bits —
+#                                 the orthogonality bound is what makes
+#                                 the sum exact; ADVICE r12.)
 # so every intermediate — numpy BLAS on the Spark side, BIGINT list algebra
 # on the DuckDB side — is an exactly-representable integer (or /64 of one)
 # and the hashes compare bit-for-bit. This oracle-gates the GEMM batch

@@ -311,9 +311,21 @@ def test_rotation_never_retires_ungraded():
         f" preceding round: {violations}"
     )
     if missing_rounds:
-        pytest.skip(
-            "CORRECTNESS archive incomplete — cannot check retirement "
-            f"evidence for rotation(s) {missing_rounds}"
+        # ADVICE r12: skip only when NO rotation could be checked; a
+        # partial archive still verified the rounds that were present,
+        # so register that as a pass-with-warning, not a skip.
+        if len(missing_rounds) == len(_ROTATION_HISTORY):
+            pytest.skip(
+                "CORRECTNESS archive incomplete — cannot check retirement "
+                f"evidence for rotation(s) {missing_rounds}"
+            )
+        import warnings
+
+        warnings.warn(
+            "CORRECTNESS archive incomplete — retirement evidence not "
+            f"checkable for rotation(s) {missing_rounds}; all present "
+            "rounds verified",
+            stacklevel=1,
         )
 
 
