@@ -71,10 +71,10 @@ _GRADE_TAIL = [
     # third r6 addition (embedding_quantization) is parked for the r7
     # rotation; every entry below keeps an in-window or tail-verified
     # sibling.
-    "dedup_exact",  # dedup family: dedup_incremental_bloom (same digest keep-first core, bloom-guarded) + minhash_calibration graded in-window
-    "minhash_lsh_md5",  # minhash_calibration (in-window) re-runs the same signature pipeline AND verifies the estimator
-    "token_count",  # text family: tfidf_topk graded in-window; regex_token_count rotated in-window this round
-    "union_distinct",  # set-op family: leakage_safe_split (unions two edge sources) graded in-window; except_intersect_all tail
+    "dedup_exact",  # dedup family: dedup_incremental_bloom (same digest keep-first core, bloom-guarded) + setsim_join_prefix graded in-window; minhash_calibration (r6-r12 driver-green) tail
+    "minhash_lsh_md5",  # setsim_join_prefix + dedup_incremental_bloom graded in-window; minhash_calibration (r6-r12 driver-green, tail) re-runs the same signature pipeline AND verifies the estimator
+    "token_count",  # text family: token_rarity_score + frequent_terms_topk (same tokenizer core) rotated in-window this round; regex_token_count graded in-window
+    "union_distinct",  # set-op family: curation_pipeline (keep-first distinct stage) graded in-window; leakage_safe_split (r6-r12 driver-green) + except_intersect_all tail
     "join_inner",  # join family: scd2_asof_lookup + interval_join_attribution graded in-window; scd2_history (r5-r11 green) tail
     "string_pack",  # expression family: json_props_extract + pii_redact (string-kernel sibling) graded in-window
     "sort_limit",  # ordering family: spearman_length_tokens (distributed rank) + approx_quantile_calibration graded in-window
@@ -82,31 +82,31 @@ _GRADE_TAIL = [
     "winnowing_fingerprint",  # fingerprint family: doc_fingerprint tail-verified; 5-round green
     "filename_meta_extract",  # metadata A-family: dq_checks_orders graded in-window; profile_orders_columns rotated in-window this round
     "top1_per_group",  # agg family: moment_stats graded in-window; topk_per_group (its generalization) rotated in-window this round
-    "embedding_cosine_near_dup",  # dedup/embedding families: ann_calibration graded in-window; embedding_centroids rotated in-window this round
+    "embedding_cosine_near_dup",  # dedup/embedding families: embedding_centroids + hybrid_search_rrf graded in-window; ann_calibration (r6-r12 driver-green) tail
     # --- r7 rotation (VERDICT r6 ask #1): the five never-driver-graded r6
     # additions (embedding_quantization, pii_redact,
     # approx_distinct_calibration, approx_quantile_calibration,
     # cms_calibration) move INTO the window; five six-round-graded
     # (r1-r6 green) family-redundant siblings rest here. Every entry
     # keeps an in-window sibling.
-    "train_test_split",  # split/sampling family: leakage_safe_split (the production split) + training_shuffle_order graded in-window
+    "train_test_split",  # split/sampling family: curation_pipeline_v2 (production split stage) + stratified_sample_langs graded in-window; leakage_safe_split + training_shuffle_order (both r6-r12 driver-green) tail
     "benchmark_decontaminate",  # decontamination family: decontaminate_pairs (pair attribution superset) graded in-window
-    "quality_score",  # text-quality family: tfidf_topk graded in-window; importance_weights (quality-derived weights) rotated in-window this round
+    "quality_score",  # text-quality family: importance_weights (quality-derived weights) graded in-window; repetition_stats rotated in-window this round
     "pricing_summary",  # TPC-H-ish agg family: moment_stats + profile_orders_columns graded in-window; flagship_cross_level still executed every round as entry()
-    "embedding_topk",  # similarity family: ann_calibration (SQL-verifies the exact top-k inside it) graded in-window
+    "embedding_topk",  # similarity family: hybrid_search_rrf (exact cosine top-k inside RRF) + embedding_centroids graded in-window; ann_calibration (r6-r12 driver-green) tail
     # --- r8 rotation (VERDICT r7 ask #1): the three never-driver-graded r7
     # iterative additions (source_pagerank, bpe_merge_calibration,
     # spectral_power_calibration) move INTO the window; three
     # multi-round-graded family-redundant siblings rest here. Every entry
     # keeps an in-window sibling.
-    "simhash_md5",  # near-dup family: minhash_calibration + setsim_join_prefix graded in-window
-    "doc_perplexity",  # text-scoring family: tfidf_topk graded in-window
+    "simhash_md5",  # near-dup family: setsim_join_prefix + dedup_incremental_bloom graded in-window; minhash_calibration (r6-r12 driver-green) tail
+    "doc_perplexity",  # text-scoring family: importance_weights (same add-1 unigram-LM log-likelihood core) graded in-window; tfidf_topk (r5-r12 driver-green) tail
     "moving_average_daily",  # window family: streaming_window_counts + interval_join_attribution graded in-window; segment_window_counts rotated in-window this round
     # --- r9 rotation (VERDICT r8 ask #1): the two never-driver-graded r8
     # calibration additions (kmeans_calibration, featurize_calibration)
     # move INTO the window; two multi-round-graded family-redundant
     # siblings rest here. Every entry keeps an in-window sibling.
-    "span_dedup_report",  # dup-span family (r6-r8 driver-green): max_dup_span_stats graded in-window; duplicate_spans rotated in-window this round
+    "span_dedup_report",  # dup-span family (r6-r8 driver-green): duplicate_spans graded in-window; max_dup_span_stats (r6-r12 driver-green) tail
     "funnel_stages",  # event-window family (r5-r8 driver-green): interval_join_attribution + stateful_session_paths graded in-window; cohort_retention rotated in-window this round
     # --- r10 rotation (VERDICT r9 ask #1, r6-style bulk): the two r9
     # calibration twins (irls_stats_calibration, pca_calibration) plus
@@ -124,9 +124,9 @@ _GRADE_TAIL = [
     "multimodal_features",  # multimodal family (r1-r9 green): video_metadata + flac_metadata (same header-codec kernel family) graded in-window
     "rowcount_reconcile",  # reconciliation family (r1-r9 green): content_reconcile + dq_checks_orders rotated in-window this round
     "schema_union_derive",  # metadata A-family (r1-r9 green): json_props_extract + dq_checks_orders graded in-window
-    "token_budget_mix",  # sampling/mix family (r2-r9 green): training_shuffle_order + decontaminate_pairs graded in-window
+    "token_budget_mix",  # sampling/mix family (r2-r9 green): decontaminate_pairs graded in-window; sample_k_per_group rotated in-window this round; training_shuffle_order (r6-r12 green) tail
     "session_windows",  # session family (r2-r9 green): interval_join_attribution + stateful_session_paths + streaming_window_counts graded in-window
-    "zorder_key",  # layout family (r2-r9 green): training_shuffle_order (shuffle-order layout) + spearman_length_tokens (global rank) graded in-window
+    "zorder_key",  # layout family (r2-r9 green): spearman_length_tokens (global rank) graded in-window; training_shuffle_order (r6-r12 green) tail
     # --- r11 rotation (VERDICT r10 ask #1, second r6-style bulk): TEN
     # queries from the never-driver-graded oracle-backed backlog — the
     # r1-era parkings and composites the judge named verbatim
@@ -148,7 +148,7 @@ _GRADE_TAIL = [
     "map_pack_extract",  # map/JSON family (r1-r10 green): json_props_extract (same extraction surface) graded in-window
     "catalog_introspect",  # metadata family (r1-r10 green): dq_checks_orders graded in-window; profile_orders_columns rotated in-window this round
     "decile_stats",  # rank/percentile family (r1-r10 green): spearman_length_tokens (distributed rank passes) + approx_quantile_calibration graded in-window
-    "dedup_components",  # dedup/clustering family (r1-r10 green): leakage_safe_split (consumes the same connected components) + dedup_incremental_bloom graded in-window
+    "dedup_components",  # dedup/clustering family (r1-r10 green): dedup_incremental_bloom + curation_pipeline (dedup-stage composite) graded in-window; leakage_safe_split (r6-r12 green) tail
     "flagship_cross_level",  # TPC-H-ish agg/join family (graded r1-r10; hash-green r2-r10 — the r1 record is the round-1 money-rounding hash miss, rows/schema matched even there): moment_stats + rich_inactive_customers_sql graded in-window; ALSO still executed every round as the entry() smoke check
     "window_functions",  # window family (r2-r10 green): streaming_window_counts + interval_join_attribution graded; segment_window_counts rotated in
     # --- r12 rotation (VERDICT r11 ask #1, third r6-style bulk): the TEN
@@ -169,12 +169,12 @@ _GRADE_TAIL = [
     "cube_agg",  # agg/grouping-sets family (r2-r11 green): moment_stats (exact group aggs) graded in-window; profile_orders_columns rotated in-window this round
     "survey_update_check",  # metadata/catalog family (r3-r11 green): dq_checks_orders + content_reconcile graded in-window
     "scd2_history",  # warehouse/SCD2 family (r5-r11 green): scd2_asof_lookup (consumes the same history build) + content_reconcile graded in-window
-    "exact_substring_excise",  # span-dedup family (r5-r11 green): max_dup_span_stats graded in-window; duplicate_spans rotated in-window this round
-    "bm25_search",  # text-search family (r5-r11 green): tfidf_topk graded in-window; hybrid_search_rrf (re-runs the same BM25 scorer inside RRF) graded in-window
+    "exact_substring_excise",  # span-dedup family (r5-r11 green): duplicate_spans graded in-window; max_dup_span_stats (r6-r12 green) tail
+    "bm25_search",  # text-search family (r5-r11 green): hybrid_search_rrf (re-runs the same BM25 scorer inside RRF) graded in-window; tfidf_topk (r5-r12 green) tail
     "audio_metadata",  # multimodal header-codec family (r5-r11 green): video_metadata + flac_metadata (same Arrow mapInPandas codec kernel) graded in-window
-    "source_overlap_matrix",  # dedup-diagnostic family (r6-r11 green): minhash_calibration + dedup_incremental_bloom graded in-window
-    "containment_pairs",  # set-similarity family (r6-r11 green): setsim_join_prefix (same prefix-filter candidate core) + minhash_calibration graded in-window
-    "boilerplate_prune",  # gram-excision family (r6-r11 green): max_dup_span_stats graded in-window; duplicate_spans rotated in-window this round
+    "source_overlap_matrix",  # dedup-diagnostic family (r6-r11 green): dedup_incremental_bloom + setsim_join_prefix graded in-window; minhash_calibration (r6-r12 green) tail
+    "containment_pairs",  # set-similarity family (r6-r11 green): setsim_join_prefix (same prefix-filter candidate core) graded in-window; minhash_calibration (r6-r12 green) tail
+    "boilerplate_prune",  # gram-excision family (r6-r11 green): duplicate_spans graded in-window; max_dup_span_stats (r6-r12 green) tail
     # --- r12 additions (VERDICT r11 ask #4): two new oracle-backed
     # calibration twins for the rows-only residue, PARKED here so the r12
     # window stays exactly the pre-committed ten-in/ten-out swap (the
@@ -182,6 +182,34 @@ _GRADE_TAIL = [
     # rotation list. check_oracle-green at sf0.01 and sf0.1 on landing.
     "bpe_encode_calibration",  # gates bpe_compression's encode kernel; trainer sibling bpe_merge_calibration graded in-window
     "pca_project_calibration",  # gates pca_embedding_reduce's projection GEMM + residual; power-iteration sibling pca_calibration graded in-window
+    # --- r13 rotation (VERDICT r12 ask #4, fourth bulk): the TEN
+    # pre-committed never-driver-graded queries from CHECK_LOCAL_r12's
+    # rotation plan (context_chunks, frequent_terms_topk, mode_per_group,
+    # pmi_collocations, repetition_stats, rollup_maintenance,
+    # sample_k_per_group, term_drift_kl, token_rarity_score,
+    # value_histogram) move INTO the window; the ten longest-tenured
+    # currently-green in-window queries rest here (tfidf_topk r5-r12 = 8
+    # rounds; seven r6-r12 = 7-round entries — decontaminate_pairs and
+    # json_props_extract, also seven-round, stay in-window as the sole
+    # graded anchors of the decontamination and JSON/map-extraction
+    # families; two r7-r12 = 6-round sketch/similarity entries —
+    # approx_quantile_calibration stays as the in-window sketch-family
+    # anchor). importance_weights stays IN-WINDOW per VERDICT r12 ask #1:
+    # its signed-zero fix must collect a green driver row before it can
+    # ever rotate (a failed query must not rotate out red).
+    # interval_join_attribution (8-round) also stays: sole graded
+    # banded-join anchor. Every entry below keeps an in-window family
+    # sibling.
+    "tfidf_topk",  # text-scoring family (r5-r12 green): token_rarity_score (same df-based rarity core) + frequent_terms_topk (same tokenizer df counts) rotated in-window this round
+    "cdc_chunks",  # chunking family (r6-r12 green): context_chunks (chunk-boundary sibling) rotated in-window this round; duplicate_spans (rolling-hash gram kernel) graded in-window
+    "minhash_calibration",  # near-dup family (r6-r12 green): setsim_join_prefix + dedup_incremental_bloom graded in-window; the estimator twin stays check_oracle-gated every chain
+    "training_shuffle_order",  # sampling/layout family (r6-r12 green): sample_k_per_group rotated in-window this round; stratified_sample_langs graded in-window
+    "ann_calibration",  # similarity family (r6-r12 green): hybrid_search_rrf (exact cosine top-k inside RRF) + embedding_centroids + kmeans_calibration graded in-window
+    "max_dup_span_stats",  # dup-span family (r6-r12 green): duplicate_spans (same span-merge kernel) graded in-window
+    "leakage_safe_split",  # split/clustering family (r6-r12 green): curation_pipeline_v2 (production split stage) + curation_pipeline graded in-window
+    "approx_distinct_calibration",  # sketch family (r7-r12 green): approx_quantile_calibration graded in-window; profile_orders_columns (exact ndv truth side) graded in-window
+    "cms_calibration",  # sketch family (r7-r12 green): approx_quantile_calibration graded in-window; frequent_terms_topk (exact heavy-hitter truth side) rotated in-window this round
+    "embedding_quantization",  # similarity family (r7-r12 green): embedding_centroids + hybrid_search_rrf graded in-window
     # --- r5 rotation: four-round-graded queries rest in the tail so the
     # driver finally grades long-tenured tail members (VERDICT r4 ask #4);
     # every one below is r1-r4 driver-green (cast_at_query: r2-r4 green,
@@ -192,37 +220,27 @@ _GRADE_TAIL = [
     "cast_at_query",  # expression family: json_props_extract (map extract + cast) graded in-window
     "label_search",  # metadata family: dq_checks_orders graded in-window; profile_orders_columns rotated in-window this round
     "gap_fill_hourly",  # window family: streaming_window_counts + interval_join_attribution graded in-window
-    "sequence_pack",  # chunking family: cdc_chunks graded in-window; context_chunks tail-verified
+    "sequence_pack",  # chunking family: context_chunks rotated in-window this round; cdc_chunks (r6-r12 driver-green) tail
     "dedup_incremental",  # dedup family: dedup_incremental_bloom (the bloom-guarded superset of this op) graded in-window
     "latest_version_per_group",  # metadata A-family: dq_checks_orders + topk_per_group (same latest-per-group rank core, rotated in this round) graded in-window
     "top_unshipped_orders",  # TPC-H-ish agg/join family: rich_inactive_customers_sql + moment_stats graded in-window
     "asof_join",  # banded-join family: interval_join_attribution now graded in-window
-    "doc_fingerprint",  # fingerprint family: cdc_chunks (same rolling-hash kernel class) graded in-window; winnowing_fingerprint (r1-r5 driver-green) tail
-    "vocab_stats",  # text family: tfidf_topk graded in-window; regex_token_count rotated in-window this round
-    "ngram_jaccard_pairs",  # dedup verification primitive; setsim_join_prefix + minhash_calibration graded in-window
+    "doc_fingerprint",  # fingerprint family: context_chunks (same rolling-hash chunk-boundary class) graded in-window; cdc_chunks (r6-r12 green) + winnowing_fingerprint (r1-r5 driver-green) tail
+    "vocab_stats",  # text family: frequent_terms_topk + token_rarity_score rotated in-window this round; regex_token_count graded in-window
+    "ngram_jaccard_pairs",  # dedup verification primitive; setsim_join_prefix graded in-window; minhash_calibration (r6-r12 green) tail
     "merge_upsert_orders",  # MERGE ext; schema_evolution pytest-covered
     "frame_sample",  # multimodal sibling: video_metadata + flac_metadata graded in-window
     "rollup_agg",  # grouping-sets family: moment_stats + profile_orders_columns (rotated in this round) graded in-window; cube_agg (r2-r11 green) tail
-    "except_intersect_all",  # set-op ext; leakage_safe_split (edge-source union + split) graded in-window
+    "except_intersect_all",  # set-op ext; curation_pipeline (keep-first distinct stage) graded in-window; leakage_safe_split (r6-r12 green) tail
     "unpivot_long",  # reshaping family: profile_orders_columns (per-column long-form union) graded in-window; inverse pivot_wide tail
     "percentile_summary",  # percentile family: approx_quantile_calibration (exact-percentile truth side) graded in-window
     "sentinel_dup_check",  # HAVING-dup family: dq_checks_orders graded in-window; duplicate_load_detect (r1-r11 green) rotated to the tail this round
-    "context_chunks",  # chunking family: cdc_chunks graded in-window; sequence_pack (r1-r4 driver-green) tail
-    "repetition_stats",  # quality family: tfidf_topk + pii_redact (text-kernel siblings) graded in-window
-    "token_rarity_score",  # scoring family: tfidf_topk (same df-based rarity core) graded in-window
-    "sample_k_per_group",  # sampling family: training_shuffle_order graded in-window
-    "frequent_terms_topk",  # term-count family: tfidf_topk (df counts over the same tokenizer) graded in-window; regex_token_count rotated in-window this round
-    "rollup_maintenance",  # incremental-agg family: dedup_incremental_bloom (incremental-batch merge core) graded in-window; merge_upsert_orders + rollup_agg tail
-    "value_histogram",  # profiling family: approx_quantile_calibration graded in-window; moment_stats rotated in-window this round
     "lang_id_heuristic",  # r1-graded green; text family (token/quality) graded
-    "word_entropy",  # quality family: tfidf_topk + spearman_length_tokens graded in-window
-    "weighted_sample_langs",  # sampling family: training_shuffle_order graded in-window
-    "pmi_collocations",  # corpus-stats family: bpe_merge_calibration (the same weighted pair-count agg) + tfidf_topk graded in-window
-    "term_drift_kl",  # drift family: importance_weights (same source-distribution ratio core) rotated in-window this round
+    "word_entropy",  # quality family: spearman_length_tokens + token_rarity_score graded in-window; tfidf_topk (r5-r12 driver-green) tail
+    "weighted_sample_langs",  # sampling family: sample_k_per_group + stratified_sample_langs graded in-window; training_shuffle_order (r6-r12 driver-green) tail
     "window_unique_users",  # window family: streaming_window_counts graded in-window; segment_window_counts + sliding_window graded in-window
     "wow_growth",  # period-over-period family: streaming_window_counts + interval_join_attribution graded in-window; cohort_retention graded in-window
-    "mode_per_group",  # agg family: moment_stats graded in-window; topk_per_group (same group-rank core) rotated in-window this round
-    "temperature_mix",  # mixture family: training_shuffle_order + decontaminate_pairs graded in-window
+    "temperature_mix",  # mixture family: decontaminate_pairs + stratified_sample_langs graded in-window; training_shuffle_order (r6-r12 driver-green) tail
     "dup_rate_by_source",  # dedup-diagnostic family: dedup_incremental_bloom graded in-window; duplicate_load_detect (r1-r11 green) tail
     "bpe_pair_counts",  # corpus-stats family: bpe_merge_calibration (pair counts are its selection-time statistic) graded in-window
     "returned_orders_by_priority_sql",  # subquery family: rich_inactive_customers_sql (correlated-subquery sibling) rotated in-window this round

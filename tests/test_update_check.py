@@ -223,6 +223,33 @@ _ROTATION_HISTORY = [
         "audio_metadata", "source_overlap_matrix", "containment_pairs",
         "boilerplate_prune",
     }),
+    # r13 (VERDICT r12 ask #4, fourth bulk): the ten pre-committed
+    # never-driver-graded queries from CHECK_LOCAL_r12's rotation plan
+    # in; the ten longest-tenured currently-green in-window queries out
+    # (tfidf_topk 8 rounds; seven 7-round r6 entries minus
+    # decontaminate_pairs and json_props_extract, which stay as the sole
+    # graded decontamination and JSON/map-extraction anchors; two
+    # 6-round r7 sketch/similarity entries, keeping
+    # approx_quantile_calibration as the in-window sketch anchor;
+    # supersedes the r6 row for minhash_calibration / training_shuffle_
+    # order / ann_calibration / leakage_safe_split / cdc_chunks /
+    # max_dup_span_stats and the r7 row for approx_distinct_calibration /
+    # cms_calibration / embedding_quantization, and the r5 row for
+    # tfidf_topk). importance_weights stays IN-WINDOW per VERDICT r12
+    # ask #1 so its signed-zero fix collects a green driver row — a
+    # failed query must not rotate out red. Every rotated-out entry
+    # keeps an in-window family sibling — see the r13 _GRADE_TAIL block.
+    ("r13", {
+        "context_chunks", "frequent_terms_topk", "mode_per_group",
+        "pmi_collocations", "repetition_stats", "rollup_maintenance",
+        "sample_k_per_group", "term_drift_kl", "token_rarity_score",
+        "value_histogram",
+    }, {
+        "tfidf_topk", "cdc_chunks", "minhash_calibration",
+        "training_shuffle_order", "ann_calibration", "max_dup_span_stats",
+        "leakage_safe_split", "approx_distinct_calibration",
+        "cms_calibration", "embedding_quantization",
+    }),
 ]
 
 

@@ -120,6 +120,11 @@ PROBES = {
     "approx_distinct_calibration": "orders",
     "approx_quantile_calibration": "orders",
     "cms_calibration": "documents",
+    # r13: the three rotated-in window queries that were not yet probe
+    # entries — every driver-graded query carries scale evidence
+    "frequent_terms_topk": "documents",
+    "mode_per_group": "orders",
+    "sample_k_per_group": "documents",
 }
 
 
@@ -282,6 +287,11 @@ DECADE_TAIL = {
     "quantile_normalize": "documents",
     "sliding_window": "events",
     "pca_project_calibration": "embeddings",
+    # r13: the scale-interesting member of this round's rotation-in set —
+    # adjacent-word PAIR counts are the gram-pair-expansion hazard class
+    # (df-capped like source_overlap_matrix, but the cap must be PROVEN
+    # to bound the pair blowup at 10,000x, not asserted).
+    "pmi_collocations": "documents",
 }
 
 # r10 (VERDICT r9 ask #3): containment_pairs' sf10/sf1 ratio was the
