@@ -249,10 +249,12 @@ def decile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT CAST(COUNT(*) AS BIGINT) AS n,
            CAST(SUM((rx - ry) * (rx - ry)) AS BIGINT) AS sum_d2,
+           -- + 0.0 pins a rounded-to-zero rho's sign (r12 signed-zero
+           -- class: DuckDB ROUND keeps -0.0, Spark's BigDecimal doesn't)
            CAST(ROUND(
              1.0 - 6.0 * SUM((rx - ry) * (rx - ry))
                    / (COUNT(*) * (CAST(COUNT(*) AS DOUBLE) * COUNT(*) - 1.0)), 6
-           ) AS DOUBLE) AS rho
+           ) + 0.0 AS DOUBLE) AS rho
     FROM r
     """,
 )
@@ -269,12 +271,19 @@ def spearman_length_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = ry.agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.sum(dlt * dlt).cast("bigint").alias("sum_d2"),
-        F.round(
-            1.0
-            - 6.0
-            * F.sum(dlt * dlt)
-            / (F.count(F.lit(1)) * (F.count(F.lit(1)).cast("double") * F.count(F.lit(1)) - 1.0)),
-            6,
+        # + 0.0 pins the rounded-to-zero sign in both engines (r12 class)
+        (
+            F.round(
+                1.0
+                - 6.0
+                * F.sum(dlt * dlt)
+                / (
+                    F.count(F.lit(1))
+                    * (F.count(F.lit(1)).cast("double") * F.count(F.lit(1)) - 1.0)
+                ),
+                6,
+            )
+            + F.lit(0.0)
         )
         .cast("double")
         .alias("rho"),

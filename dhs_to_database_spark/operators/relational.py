@@ -1278,13 +1278,17 @@ def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT o_orderpriority, n,
            CAST(ROUND(CAST(s1 AS DOUBLE) / n, 4) AS DOUBLE) AS mean_value,
-           CAST(ROUND((CAST(s2 AS DOUBLE) / n - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)) / 1000000.0, 4) AS DOUBLE) AS var_pop_m2,
+           -- + 0.0 on the sign-crossing outputs pins a rounded-to-zero
+           -- value's sign (r12 signed-zero class): skewness crosses zero
+           -- by nature, and var's m2 - m1^2 can be a tiny negative via
+           -- double wobble on a constant group
+           CAST(ROUND((CAST(s2 AS DOUBLE) / n - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)) / 1000000.0, 4) + 0.0 AS DOUBLE) AS var_pop_m2,
            CAST(ROUND(
              (CAST(s3 AS DOUBLE) / n
               - 3 * (CAST(s1 AS DOUBLE) / n) * (CAST(s2 AS DOUBLE) / n)
               + 2 * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))
              / pow(CAST(s2 AS DOUBLE) / n - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n), 1.5),
-             4) AS DOUBLE) AS skewness
+             4) + 0.0 AS DOUBLE) AS skewness
     FROM sums
     """,
 )
@@ -1305,8 +1309,11 @@ def moment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderpriority",
         "n",
         F.round(m1, 4).cast("double").alias("mean_value"),
-        F.round(var / 1000000.0, 4).cast("double").alias("var_pop_m2"),
-        F.round((m3 - 3 * m1 * m2 + 2 * m1 * m1 * m1) / F.pow(var, 1.5), 4)
+        # + 0.0 pins the rounded-to-zero sign in both engines (r12 class)
+        (F.round(var / 1000000.0, 4) + F.lit(0.0))
+        .cast("double")
+        .alias("var_pop_m2"),
+        (F.round((m3 - 3 * m1 * m2 + 2 * m1 * m1 * m1) / F.pow(var, 1.5), 4) + F.lit(0.0))
         .cast("double")
         .alias("skewness"),
     )

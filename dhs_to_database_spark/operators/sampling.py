@@ -891,12 +891,15 @@ def weighted_sample_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM counts GROUP BY lang
     )
     SELECT c.lang, t.v AS n_terms,
+           -- + 0.0 pins a rounded-to-zero KL's sign (r12 signed-zero
+           -- class): the rounded-contribution sum can be a tiny negative
+           -- even though exact KL is nonnegative
            CAST(ROUND(CAST(SUM(
              CAST(ROUND(
                ((c_b + 1.0) / (t_b + v))
                * ln(((c_b + 1.0) / (t_b + v)) / ((c_r + 1.0) / (t_r + v))), 10)
              AS DECIMAL(28,10))
-           ) AS DOUBLE), 4) AS DOUBLE) AS kl_nats
+           ) AS DOUBLE), 4) + 0.0 AS DOUBLE) AS kl_nats
     FROM counts c JOIN totals t ON c.lang = t.lang
     GROUP BY c.lang, t.v
     """,
@@ -937,7 +940,12 @@ def term_drift_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(p * F.log(p / q), 10).cast("decimal(28,10)").alias("contrib"),
         )
         .groupBy("lang", "v")
-        .agg(F.round(F.sum("contrib").cast("double"), 4).cast("double").alias("kl_nats"))
+        # + 0.0 pins the rounded-to-zero sign in both engines (r12 class)
+        .agg(
+            (F.round(F.sum("contrib").cast("double"), 4) + F.lit(0.0))
+            .cast("double")
+            .alias("kl_nats")
+        )
         .select("lang", F.col("v").alias("n_terms"), "kl_nats")
     )
 

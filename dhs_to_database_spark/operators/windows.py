@@ -753,9 +753,12 @@ def range_frame_trailing(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT week, n_events,
            CAST(tv AS DOUBLE) AS total_value,
            CAST(lag(n_events) OVER w AS BIGINT) AS prev_n_events,
+           -- + 0.0 pins the zero's sign: a tiny negative growth that
+           -- ROUNDs to zero is IEEE -0.0 in DuckDB but +0.0 under
+           -- Spark's BigDecimal round (the r12 importance_weights class)
            CAST(ROUND(
              (tv - lag(tv) OVER w) / lag(tv) OVER w * 100, 4
-           ) AS DOUBLE) AS value_growth_pct
+           ) + 0.0 AS DOUBLE) AS value_growth_pct
     FROM weekly
     WINDOW w AS (ORDER BY week)
     """,
@@ -785,8 +788,16 @@ def wow_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "__carry",
                 F.col("tv").cast("double").alias("total_value"),
                 F.lag("n_events").over(w).cast("bigint").alias("prev_n_events"),
-                F.round(
-                    (F.col("tv") - F.lag("tv").over(w)) / F.lag("tv").over(w) * 100, 4
+                # + 0.0 pins the rounded-to-zero sign in both engines
+                # (r12 signed-zero class; see the oracle comment)
+                (
+                    F.round(
+                        (F.col("tv") - F.lag("tv").over(w))
+                        / F.lag("tv").over(w)
+                        * 100,
+                        4,
+                    )
+                    + F.lit(0.0)
                 )
                 .cast("double")
                 .alias("value_growth_pct"),
