@@ -667,9 +667,13 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "embedding_centroids",
+    # + 0.0 pins a rounded-to-zero coordinate's sign (r12 signed-zero
+    # class): near-zero-mean dimensions land on DuckDB -0.0 vs Spark
+    # +0.0 — a CONFIRMED live divergence at sf0.1 (4 cells) and sf0.001
+    # (1 cell) caught by the hardened r13 gate.
     oracle="""
     SELECT label, i AS pos,
-           CAST(ROUND(avg(embedding[CAST(i AS INT) + 1]), 4) AS DOUBLE) AS x
+           CAST(ROUND(avg(embedding[CAST(i AS INT) + 1]), 4) + 0.0 AS DOUBLE) AS x
     FROM embeddings, unnest(range(len(embedding))) AS t(i)
     GROUP BY label, i
     """,
@@ -678,7 +682,7 @@ def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     ex = e.select("label", F.posexplode("embedding").alias("pos", "v"))
     return ex.groupBy("label", F.col("pos").cast("bigint").alias("pos")).agg(
-        F.round(F.avg(F.col("v").cast("double")), 4).alias("x")
+        (F.round(F.avg(F.col("v").cast("double")), 4) + F.lit(0.0)).alias("x")
     )
 
 

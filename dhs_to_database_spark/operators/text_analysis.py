@@ -1156,7 +1156,9 @@ _PMI_TOPK = 30
       FROM bigrams GROUP BY w1, w2
     )
     SELECT w1, w2, c_ab,
-           CAST(ROUND(ln((CAST(c_ab AS DOUBLE) * tu * tu) / (nb * ua.c * ub.c)), 4) AS DOUBLE) AS pmi
+           -- + 0.0 pins a rounded-to-zero PMI's sign (r12 signed-zero
+           -- class): PMI crosses zero by nature
+           CAST(ROUND(ln((CAST(c_ab AS DOUBLE) * tu * tu) / (nb * ua.c * ub.c)), 4) + 0.0 AS DOUBLE) AS pmi
     FROM pair_counts
     JOIN uni ua ON ua.w = w1
     JOIN uni ub ON ub.w = w2
@@ -1199,12 +1201,16 @@ def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         ua = uni.select(F.col("w").alias("w1"), F.col("c").alias("c_a"))
         ub = uni.select(F.col("w").alias("w2"), F.col("c").alias("c_b"))
-        pmi = F.round(
-            F.log(
-                (F.col("c_ab").cast("double") * F.col("tu") * F.col("tu"))
-                / (F.col("nb") * F.col("c_a") * F.col("c_b"))
-            ),
-            4,
+        # + 0.0 pins the rounded-to-zero sign in both engines (r12 class)
+        pmi = (
+            F.round(
+                F.log(
+                    (F.col("c_ab").cast("double") * F.col("tu") * F.col("tu"))
+                    / (F.col("nb") * F.col("c_a") * F.col("c_b"))
+                ),
+                4,
+            )
+            + F.lit(0.0)
         ).cast("double")
         out = (
             pair_counts.filter(F.col("c_ab") >= _PMI_MIN_COUNT)

@@ -121,10 +121,17 @@ PROBES = {
     "approx_quantile_calibration": "orders",
     "cms_calibration": "documents",
     # r13: the three rotated-in window queries that were not yet probe
-    # entries — every driver-graded query carries scale evidence
+    # entries, plus the five earlier window residents that had no scale
+    # row anywhere (review r13) — every driver-graded query now carries
+    # scale evidence in PROBES, SLOW_TAIL, or DECADE_TAIL
     "frequent_terms_topk": "documents",
     "mode_per_group": "orders",
     "sample_k_per_group": "documents",
+    "stratified_sample_langs": "documents",
+    "regex_token_count": "documents",
+    "topk_per_group": "documents",
+    "range_frame_trailing": "events",
+    "interval_join_attribution": "events",
 }
 
 
