@@ -400,6 +400,45 @@ def test_no_bare_whitespace_class_in_oracle_gated_patterns():
     assert offenders == [], "\n".join(offenders)
 
 
+def test_every_window_query_has_bench_and_scale_coverage():
+    """r13 review finding, made structural: every query in the CURRENT
+    50-entry grading window must be a bench headline entry AND carry a
+    scale row in at least one of scale_probe's registries (PROBES /
+    SLOW_TAIL / DECADE_TAIL). The r13 rotation initially added only the
+    rotated-in three to the probe list while five earlier window
+    residents had no scale row anywhere — this scan fails on any
+    recurrence, so rotations must extend the registries in the same
+    change."""
+    import importlib.util
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    import sys
+
+    if root not in sys.path:
+        sys.path.insert(0, root)
+    import __spark_entry__ as e
+
+    import bench
+
+    spec = importlib.util.spec_from_file_location(
+        "scale_probe_for_test", os.path.join(root, "tools", "scale_probe.py")
+    )
+    sp = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(sp)
+
+    window = list(e.queries())[:50]
+    missing_bench = [q for q in window if q not in bench.BENCH_QUERIES]
+    assert missing_bench == [], (
+        f"grading-window queries without a bench entry: {missing_bench}"
+    )
+    covered = set(sp.PROBES) | set(sp.SLOW_TAIL) | set(sp.DECADE_TAIL)
+    missing_scale = [q for q in window if q not in covered]
+    assert missing_scale == [], (
+        f"grading-window queries without a scale row: {missing_scale}"
+    )
+
+
 def test_tail_comments_cite_in_window_siblings():
     """r12 sweep, made structural: a _GRADE_TAIL entry's justification
     comment may claim a sibling is 'graded [in-window]' or '(in-window)'
