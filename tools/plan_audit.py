@@ -129,6 +129,10 @@ NOTES = {
     "regex_token_count": "pure narrow projection — per-doc regex counts in JVM codegen, zero shuffles",
     "bpe_encode_calibration": "one corpus pass (word_counts agg); encode runs on the driver-collected bounded vocab re-parallelized as one-word docs",
     "pca_project_calibration": "quantize fused into the scan; one narrow Arrow GEMM pass (production pca_project kernel), zero shuffles",
+    # r13 rotation-in entries without a prior note
+    "frequent_terms_topk": "sketch-then-verify: Misra-Gries candidates broadcast onto ONE exact counting pass; final plan is the k verified rows re-parallelized (bounded collect + noise-floor exactness guard)",
+    "mode_per_group": "two map-side-combined aggs ((group, value) counts, then argmax over the counted table) — no window, no sort",
+    "sample_k_per_group": "one window shuffle on the group key (deterministic md5-rank reservoir); rank filter drops rows beyond k before anything downstream",
 }
 
 
