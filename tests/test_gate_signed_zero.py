@@ -61,6 +61,17 @@ def test_negative_zero_lint_flags_float_and_object_columns():
     dirty_o = pd.DataFrame({"a": pd.array([None, -0.0], dtype=object)})
     assert dirty_o["a"].dtype.kind == "O"
     assert len(negative_zero_cells(dirty_o, "oracle")) == 1
+    # array<double> columns arrive as object cells holding lists/ndarrays;
+    # the lint recurses one level (no such oracle-backed query exists
+    # today — schema-scanned — but the lint must not go blind when added)
+    import numpy as np
+
+    dirty_list = pd.DataFrame({"a": [[0.0, -0.0], [1.0]]})
+    assert len(negative_zero_cells(dirty_list, "spark")) == 1
+    dirty_nd = pd.DataFrame({"a": [np.array([0.0]), np.array([-0.0, 2.0])]})
+    assert len(negative_zero_cells(dirty_nd, "oracle")) == 1
+    clean_list = pd.DataFrame({"a": [["x", "y"], []], "b": [[0.0], [3.5]]})
+    assert negative_zero_cells(clean_list, "spark") == []
 
 
 def test_duckdb_round_emits_negative_zero_and_plus_zero_normalizes():

@@ -98,13 +98,24 @@ def negative_zero_cells(df: pd.DataFrame, side: str) -> list[str]:
             vals = col.to_numpy()
             n = int(((vals == 0.0) & np.signbit(vals)).sum())
         elif col.dtype.kind == "O":
-            n = sum(
-                1
-                for v in col
-                if isinstance(v, float)
-                and v == 0.0
-                and math.copysign(1.0, v) < 0.0
-            )
+            # object cells: scalar floats (nullable doubles) AND one level
+            # of list/array elements (array<double> outputs hash via
+            # str(), which renders -0.0 distinctly — no such query exists
+            # today, verified by schema scan, but the lint must not go
+            # blind when one is added)
+            def _neg_zero(x) -> bool:
+                return (
+                    isinstance(x, (float, np.floating))
+                    and x == 0.0
+                    and math.copysign(1.0, x) < 0.0
+                )
+
+            n = 0
+            for v in col:
+                if _neg_zero(v):
+                    n += 1
+                elif isinstance(v, (list, tuple, np.ndarray)):
+                    n += sum(1 for x in v if _neg_zero(x))
         else:
             continue
         if n:
