@@ -45,7 +45,12 @@ for t in "region nation customer supplier part orders lineitem events documents 
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
 
 qs, ors = em.queries(), em.oracle_sql()
-window = list(qs)[:50]
+# default: the 50-entry grading window; `--all` probes every
+# oracle-backed query (the r14 queue pre-clearance mode)
+if "--all" in sys.argv:
+    window = [n for n in qs if n in ors]
+else:
+    window = list(qs)[:50]
 bit_fail, norm_only = [], []
 for name in window:
     sdf = qs[name](spark, SF).toPandas()
@@ -67,4 +72,4 @@ for name in window:
         else:
             bit_fail.append(name)
             print(f"BITFAIL  {name}: {diffs} differing rows")
-print("\nbitwise-exact:", 50 - len(bit_fail) - len(norm_only), "norm-equiv-only:", norm_only, "real bit diffs:", bit_fail)
+print("\nbitwise-exact:", len(window) - len(bit_fail) - len(norm_only), "norm-equiv-only:", norm_only, "real bit diffs:", bit_fail)
