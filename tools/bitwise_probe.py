@@ -16,7 +16,10 @@ import duckdb
 import __spark_entry__ as em
 from dhs_to_database_spark.session import get_spark
 
-SF = "/root/testdata/sf0.01"
+SF = next(
+    (a for a in sys.argv[1:] if not a.startswith("--")),
+    "/root/testdata/sf0.01",
+)
 
 def key_cell(v):
     if v is None:
