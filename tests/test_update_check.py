@@ -439,6 +439,31 @@ def test_every_window_query_has_bench_and_scale_coverage():
     )
 
 
+def test_shuffle_baseline_covers_every_bench_query():
+    """r13: the plan-regression guard (plan_audit.SHUFFLE_BASELINE) must
+    name every bench query — a query missing from the budget table would
+    turn the guard's add-it failure into a chain-time surprise instead
+    of a test-time one, and a stale entry (removed query) rots silently."""
+    import importlib.util
+    import os
+    import sys
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    if root not in sys.path:
+        sys.path.insert(0, root)
+    import bench
+
+    spec = importlib.util.spec_from_file_location(
+        "plan_audit_for_test", os.path.join(root, "tools", "plan_audit.py")
+    )
+    pa = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(pa)
+    missing = [q for q in bench.BENCH_QUERIES if q not in pa.SHUFFLE_BASELINE]
+    stale = [q for q in pa.SHUFFLE_BASELINE if q not in bench.BENCH_QUERIES]
+    assert missing == [], f"bench queries without a shuffle budget: {missing}"
+    assert stale == [], f"shuffle budgets for unregistered queries: {stale}"
+
+
 def test_tail_comments_cite_in_window_siblings():
     """r12 sweep, made structural: a _GRADE_TAIL entry's justification
     comment may claim a sibling is 'graded [in-window]' or '(in-window)'

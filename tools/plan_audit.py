@@ -189,6 +189,132 @@ def _partitionless_windows(plan: str) -> int:
     return n
 
 
+
+
+# Committed per-query shuffle budget (r13): the Exchange-node count of
+# each query's FINAL plan, frozen from the r13 chain's PLANS.md. The
+# audit FAILS when a plan exceeds its budget — the silent regression
+# class where a broadcast join degrades to a shuffle join (stats drift,
+# threshold change) or a new Exchange creeps into a narrow plan. A
+# conscious plan change lowers or raises the budget in the same commit;
+# an improvement (fewer shuffles) prints a note suggesting the budget
+# be tightened.
+SHUFFLE_BASELINE = {
+    "pricing_summary": 1,
+    "flagship_cross_level": 1,
+    "join_inner": 1,
+    "top1_per_group": 1,
+    "agg_having": 1,
+    "range_join_decode": 1,
+    "rowid_join": 1,
+    "case_coalesce_harmonize": 0,
+    "dedup_exact": 1,
+    "minhash_near_dup": 2,
+    "embedding_topk": 1,
+    "embedding_cosine_near_dup": 1,
+    "asof_join": 1,
+    "rollup_agg": 1,
+    "token_count": 0,
+    "winnowing_fingerprint": 0,
+    "tumbling_window": 1,
+    "cube_agg": 1,
+    "vocab_stats": 2,
+    "train_test_split": 0,
+    "dedup_components": 3,
+    "top_unshipped_orders": 1,
+    "gap_fill_hourly": 2,
+    "segment_window_counts": 1,
+    "decile_stats": 0,
+    "funnel_stages": 2,
+    "sequence_pack": 1,
+    "curation_pipeline": 2,
+    "curation_pipeline_v2": 6,
+    "embedding_centroids": 1,
+    "repetition_stats": 0,
+    "context_chunks": 0,
+    "token_budget_mix": 3,
+    "token_rarity_score": 4,
+    "semantic_dedup": 2,
+    "benchmark_decontaminate": 3,
+    "dedup_incremental": 2,
+    "zorder_key": 0,
+    "tfidf_topk": 4,
+    "bm25_search": 0,
+    "duplicate_spans": 2,
+    "importance_weights": 4,
+    "cohort_retention": 3,
+    "rollup_maintenance": 2,
+    "value_histogram": 1,
+    "moving_average_daily": 0,
+    "scd2_asof_lookup": 0,
+    "content_reconcile": 2,
+    "setsim_join_prefix": 0,
+    "word_entropy": 4,
+    "weighted_sample_langs": 1,
+    "pmi_collocations": 0,
+    "hybrid_search_rrf": 1,
+    "profile_orders_columns": 12,
+    "moment_stats": 1,
+    "term_drift_kl": 4,
+    "spearman_length_tokens": 0,
+    "dedup_incremental_bloom": 1,
+    "survey_update_check": 3,
+    "temperature_mix": 7,
+    "dup_rate_by_source": 2,
+    "interval_join_attribution": 1,
+    "range_frame_trailing": 0,
+    "wow_growth": 0,
+    "doc_perplexity": 0,
+    "bpe_pair_counts": 2,
+    "bpe_compression": 0,
+    "pca_embedding_reduce": 0,
+    "rich_inactive_customers_sql": 3,
+    "returned_orders_by_priority_sql": 2,
+    "dq_checks_orders": 3,
+    "stateful_session_paths": 0,
+    "streaming_window_counts": 0,
+    "audio_metadata": 0,
+    "video_metadata": 0,
+    "exact_substring_excise": 2,
+    "flac_metadata": 0,
+    "corpus_dataset_card": 3,
+    "span_dedup_report": 3,
+    "max_dup_span_stats": 2,
+    "cdc_chunks": 0,
+    "decontaminate_pairs": 4,
+    "minhash_calibration": 4,
+    "ann_calibration": 17,
+    "leakage_safe_split": 7,
+    "source_pagerank": 5,
+    "bpe_merge_calibration": 0,
+    "spectral_power_calibration": 0,
+    "kmeans_calibration": 1,
+    "featurize_calibration": 1,
+    "irls_stats_calibration": 0,
+    "pca_calibration": 0,
+    "embedding_quantization": 0,
+    "quality_classifier": 0,
+    "containment_pairs": 1,
+    "boilerplate_prune": 4,
+    "training_shuffle_order": 0,
+    "json_props_extract": 1,
+    "source_overlap_matrix": 2,
+    "pii_redact": 0,
+    "approx_distinct_calibration": 4,
+    "approx_quantile_calibration": 2,
+    "cms_calibration": 2,
+    "bpe_encode_calibration": 0,
+    "pca_project_calibration": 0,
+    "sliding_window": 1,
+    "stratified_sample_langs": 0,
+    "topk_per_group": 1,
+    "quantile_normalize": 0,
+    "regex_token_count": 0,
+    "frequent_terms_topk": 0,
+    "mode_per_group": 2,
+    "sample_k_per_group": 1,
+}
+
 def audit(sf_dir: str) -> str:
     import __spark_entry__ as em
     from dhs_to_database_spark.session import get_spark
@@ -221,6 +347,24 @@ def audit(sf_dir: str) -> str:
         pushed = len(
             [p for p in re.findall(r"PushedFilters: \[([^\]]*)\]", plan) if p.strip()]
         )
+        base = SHUFFLE_BASELINE.get(name)
+        if base is None:
+            raise SystemExit(
+                f"AUDIT FAIL: {name} has no committed shuffle budget - add"
+                f" it to SHUFFLE_BASELINE (measured now: {n_exchange})"
+            )
+        if n_exchange > base:
+            raise SystemExit(
+                f"AUDIT FAIL: {name} final plan has {n_exchange} Exchange"
+                f" node(s), over its committed budget of {base} - a plan"
+                f" regression (lost broadcast / new shuffle). Fix the plan"
+                f" or consciously raise the budget in the same commit."
+            )
+        if n_exchange < base:
+            print(
+                f"note: {name} improved to {n_exchange} shuffle(s)"
+                f" (budget {base}) - tighten SHUFFLE_BASELINE"
+            )
         pw = _partitionless_windows(plan)
         if pw and name not in GLOBAL_WINDOW_OK:
             raise SystemExit(
