@@ -24,27 +24,29 @@ fi
 # by scoping the export too narrowly).
 export SPARK_GRAFT_DRIVER_MEM=24g
 echo "=== chain HEAD: $(git rev-parse HEAD) (python: $PY) ==="
-echo "=== [1/11] plan_audit ==="
+echo "=== [1/12] plan_audit ==="
 "$PY" tools/plan_audit.py
-echo "=== [2/11] scale_probe (sf0.001-0.1; overwrites SCALING.md) ==="
+echo "=== [2/12] scale_probe (sf0.001-0.1; overwrites SCALING.md) ==="
 "$PY" tools/scale_probe.py
-echo "=== [3/11] scale_probe --sf1 ==="
+echo "=== [3/12] scale_probe --sf1 ==="
 "$PY" tools/scale_probe.py --sf1
-echo "=== [4/11] scale_probe --sf10 (decade probe) ==="
+echo "=== [4/12] scale_probe --sf10 (decade probe) ==="
 "$PY" tools/scale_probe.py --sf10
-echo "=== [5/11] demux_probe ==="
+echo "=== [5/12] demux_probe ==="
 "$PY" tools/demux_probe.py
-echo "=== [6/11] window_warning_audit (sf0.001) ==="
+echo "=== [6/12] window_warning_audit (sf0.001) ==="
 "$PY" tools/window_warning_audit.py
-echo "=== [7/11] window_warning_audit at the bench SF (VERDICT r11 ask #3) ==="
+echo "=== [7/12] window_warning_audit at the bench SF (VERDICT r11 ask #3) ==="
 "$PY" tools/window_warning_audit.py /root/testdata/sf0.1
-echo "=== [8/11] check_oracle sf0.01 ==="
+echo "=== [8/12] check_oracle sf0.01 ==="
 "$PY" tools/check_oracle.py /root/testdata/sf0.01
-echo "=== [9/11] check_oracle sf0.1 ==="
+echo "=== [9/12] check_oracle sf0.1 ==="
 "$PY" tools/check_oracle.py /root/testdata/sf0.1
-echo "=== [10/11] bench ==="
+echo "=== [10/12] bitwise probe (full registry, r13: strictly stronger than the hash gate) ==="
+"$PY" tools/bitwise_probe.py /root/testdata/sf0.01 --all
+echo "=== [11/12] bench ==="
 "$PY" bench.py
-echo "=== [11/11] tail_tenure ==="
+echo "=== [12/12] tail_tenure ==="
 "$PY" tools/tail_tenure.py
 echo "=== chain complete at $(git rev-parse HEAD) ==="
 echo "Now re-run pytest + the vanilla driver simulation at this HEAD"
