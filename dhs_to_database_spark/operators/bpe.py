@@ -485,11 +485,14 @@ def bpe_encode_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     # caveat in _bpe_encode_oracle) could in principle let the trainer
     # re-select an already-learned pair, which the encode kernel's
     # ranks dict ({m: i}) would silently collapse to the LAST rank —
-    # fail loudly here instead of hash-diverging downstream.
-    assert len(set(merges)) == len(merges), (
-        "bpe_encode_calibration: duplicate merge pair selected — the"
-        " rank table would silently collapse it"
-    )
+    # fail loudly here instead of hash-diverging downstream. ADVICE r13:
+    # raise, don't assert — this guard is load-bearing and must survive
+    # `python -O`.
+    if len(set(merges)) != len(merges):
+        raise ValueError(
+            "bpe_encode_calibration: duplicate merge pair selected — the"
+            " rank table would silently collapse it"
+        )
     # vocab is already collected and bounded: build the one-word docs on
     # the driver rather than re-running the corpus-scale word_counts
     # shuffle a second time

@@ -106,3 +106,36 @@ def test_importance_weights_score_normalizes_zero_sign_in_both_engines():
 
     src = inspect.getsource(sampling.importance_weights)
     assert "+ F.lit(0.0)" in src
+
+
+def test_bitwise_probe_untag_keeps_real_bit_diffs_real():
+    """ADVICE r13: the probe's NORMONLY classifier must not erase a
+    genuine -0.0/+0.0 bit difference or an int diff past 2^53 — only the
+    legitimate int-vs-float tag equivalence (2 vs 2.0) may compare
+    equal. key_cell must also tag numpy scalars like their Python
+    equivalents (np.int64 is not a Python int subclass)."""
+    import numpy as np
+
+    from bitwise_probe import frame_key, key_cell, untag
+
+    # numpy scalar tagging matches Python scalar tagging
+    assert key_cell(np.int64(7)) == key_cell(7)
+    assert key_cell(np.float64(1.5)) == key_cell(1.5)
+    assert key_cell(np.bool_(True)) == key_cell(True)
+    assert key_cell(np.float64("nan")) == ("nan",)
+
+    def rows(*vals):
+        return sorted((key_cell(v),) for v in vals)
+
+    # int-vs-float equivalence survives untag (the intended NORMONLY class)
+    assert untag(rows(2)) == untag(rows(2.0))
+    # signed zero is a REAL bit diff: int 0 / float +0.0 equal each other
+    # but never -0.0
+    assert untag(rows(0)) == untag(rows(0.0))
+    assert untag(rows(-0.0)) != untag(rows(0.0))
+    assert untag(rows(-0.0)) != untag(rows(0))
+    # past 2^53 ints compare exactly: 2^53 and 2^53+1 collapse to the
+    # same double but must stay distinct under untag
+    assert untag(rows(2**53)) != untag(rows(2**53 + 1))
+    # and an exactly-representable big int still equals its float twin
+    assert untag(rows(2**53)) == untag(rows(float(2**53)))

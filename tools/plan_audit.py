@@ -323,7 +323,11 @@ def audit(sf_dir: str) -> str:
     # other SFs statically-planned join strategies legitimately differ
     # (file-size broadcast decisions), so the hard-fail guard only
     # enforces at the SF the budgets were measured at (review r13).
-    enforce_budget = sf_dir.rstrip("/") == BUDGET_SF_DIR
+    # ADVICE r13: compare canonical paths, not spellings — a symlinked or
+    # relative path to the same sf0.1 directory must not skip the guard.
+    import os
+
+    enforce_budget = os.path.realpath(sf_dir) == os.path.realpath(BUDGET_SF_DIR)
     if not enforce_budget:
         print(
             f"note: shuffle budgets frozen at {BUDGET_SF_DIR}; guard"
