@@ -150,8 +150,14 @@ BENCH_QUERIES = [
 # and ANY query whose run spread exceeds 1.5x lands in the detail line's
 # `spread` map, so a contended capture documents itself instead of
 # masquerading as a code regression.
+# r14 (VERDICT r13 ask #5): the min-of-N treatment extends to EVERY
+# spread-flagged query, not just the two known swingers — while the
+# steady-state spread stays above SPREAD_FLAG, take up to
+# SPREAD_EXTRA_RUNS more runs; the reported time is the min and the
+# residual spread (if any) stays in the map.
 BENCH_MIN3 = {"stateful_session_paths", "streaming_window_counts"}
 SPREAD_FLAG = 1.5
+SPREAD_EXTRA_RUNS = 2
 
 
 def main() -> None:
@@ -195,11 +201,25 @@ def main() -> None:
             t0 = time.time()
             qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
             runs.append(time.time() - t0)
-        timings[name] = round(min(runs), 3)
         # spread over the steady-state runs only (runs[1:]): runs[0] is
         # the query's first-ever execution and carries plan/codegen
-        # warmup, which would record phantom contention on an idle box
+        # warmup, which would record phantom contention on an idle box.
+        # r14 (VERDICT r13 ask #5): while the spread stays flagged, take
+        # up to SPREAD_EXTRA_RUNS more runs so a transient contention
+        # spike doesn't inflate the reported min; a spread that survives
+        # the extra runs is real instrument weather and stays in-table.
         steady = runs[1:]
+        extra = 0
+        while (
+            max(steady) > SPREAD_FLAG * min(steady)
+            and extra < SPREAD_EXTRA_RUNS
+        ):
+            t0 = time.time()
+            qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            runs.append(time.time() - t0)
+            steady = runs[1:]
+            extra += 1
+        timings[name] = round(min(runs), 3)
         if max(steady) > SPREAD_FLAG * min(steady):
             spreads[name] = round(max(steady) / min(steady), 2)
 
