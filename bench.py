@@ -140,6 +140,9 @@ BENCH_QUERIES = [
     "frequent_terms_topk",
     "mode_per_group",
     "sample_k_per_group",
+    # r14: the one rotated-in window query that was not yet a headline
+    # entry
+    "window_unique_users",
 ]
 
 # r13 (VERDICT r12 ask #5): the real-streaming-engine drain queries are

@@ -250,6 +250,37 @@ _ROTATION_HISTORY = [
         "leakage_safe_split", "approx_distinct_calibration",
         "cms_calibration", "embedding_quantization",
     }),
+    # r14 (VERDICT r13 ask #1, fifth bulk — backlog-zeroing): ALL ELEVEN
+    # remaining never-driver-graded oracle-backed queries in (the exact
+    # pre-committed CHECK_LOCAL_r12/r13 list — tail_tenure now reports 0
+    # parked); the eleven longest-tenured currently-green in-window
+    # queries out, per CHECK_LOCAL_r13's family-anchor pre-analysis
+    # (pii_redact 7 rounds; source_pagerank / bpe_merge_calibration /
+    # spectral_power_calibration 6; featurize_calibration 5; the rest 4
+    # — kmeans_calibration and irls_stats_calibration stay as the
+    # iterative-calibration anchors, dq_checks_orders as the
+    # declarative-rules/reconcile anchor, dedup_incremental_bloom as the
+    # near-dup anchor, stateful_session_paths as the streaming-engine
+    # anchor, quantile_normalize as the distributed-rank anchor;
+    # supersedes the r7 row for pii_redact, the r8 row for
+    # source_pagerank / bpe_merge_calibration /
+    # spectral_power_calibration, the r9 row for featurize_calibration,
+    # and the r10 row for the six r10-in members). Every rotated-out
+    # entry keeps an in-window family sibling — see the r14 _GRADE_TAIL
+    # block.
+    ("r14", {
+        "weighted_sample_langs", "window_unique_users", "word_entropy",
+        "wow_growth", "bpe_pair_counts", "dup_rate_by_source",
+        "returned_orders_by_priority_sql", "temperature_mix",
+        "corpus_dataset_card", "bpe_encode_calibration",
+        "pca_project_calibration",
+    }, {
+        "pii_redact", "source_pagerank", "bpe_merge_calibration",
+        "spectral_power_calibration", "featurize_calibration",
+        "pca_calibration", "setsim_join_prefix", "hybrid_search_rrf",
+        "spearman_length_tokens", "content_reconcile",
+        "streaming_window_counts",
+    }),
 ]
 
 

@@ -133,6 +133,8 @@ NOTES = {
     "frequent_terms_topk": "sketch-then-verify: Misra-Gries candidates broadcast onto ONE exact counting pass; final plan is the k verified rows re-parallelized (bounded collect + noise-floor exactness guard)",
     "mode_per_group": "two map-side-combined aggs ((group, value) counts, then argmax over the counted table) — no window, no sort",
     "sample_k_per_group": "one window shuffle on the group key (deterministic md5-rank reservoir); rank filter drops rows beyond k before anything downstream",
+    # r14 rotation-in entry without a prior note
+    "window_unique_users": "countDistinct expands to a two-phase agg: (window, user) partial-distinct shuffle then the hour-window rollup — both map-side combined, no window function",
 }
 
 
@@ -313,6 +315,8 @@ SHUFFLE_BASELINE = {
     "frequent_terms_topk": 0,
     "mode_per_group": 2,
     "sample_k_per_group": 1,
+    # r14 rotation-in bench addition
+    "window_unique_users": 2,
 }
 
 BUDGET_SF_DIR = "/root/testdata/sf0.1"

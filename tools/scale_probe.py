@@ -132,6 +132,13 @@ PROBES = {
     "topk_per_group": "documents",
     "range_frame_trailing": "events",
     "interval_join_attribution": "events",
+    # r14: the four rotated-in window queries that had no scale row
+    # anywhere — every driver-graded query keeps scale evidence in
+    # PROBES, SLOW_TAIL, or DECADE_TAIL (structural test)
+    "wow_growth": "events",
+    "returned_orders_by_priority_sql": "orders",
+    "temperature_mix": "documents",
+    "bpe_encode_calibration": "documents",
 }
 
 
