@@ -547,3 +547,49 @@ def test_tail_comments_cite_in_window_siblings():
         f"tail comments cite non-window queries as graded/in-window:"
         f" {stale}"
     )
+
+
+def test_steady_state_rotation_plan():
+    """VERDICT r13 ask #2: from r15 on, each rotation refreshes the
+    oldest driver evidence. The pre-committed next IN-set must equal
+    the policy's deterministic computation — the STEADY_SWAP tail
+    queries with the oldest most-recent driver grade, ordered by
+    (last_graded_round, name) — over the committed CORRECTNESS archive,
+    and every family anchor the out-candidate analysis exempts must
+    actually be in the current window."""
+    import importlib.util
+    import os
+    import sys
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    if root not in sys.path:
+        sys.path.insert(0, root)
+    import __spark_entry__ as e
+
+    spec = importlib.util.spec_from_file_location(
+        "rotation_plan_for_test", os.path.join(root, "tools", "rotation_plan.py")
+    )
+    rp = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(rp)
+
+    archive = rp.load_archive(root)
+    if not archive:
+        pytest.skip("no committed CORRECTNESS archive (fresh checkout)")
+    names = list(e.queries())
+    ors = e.oracle_sql()
+    window = names[:50]
+    tail = [n for n in names[50:] if n in ors]
+
+    computed = rp.planned_in(window, tail, archive)
+    assert computed == rp.PLANNED_NEXT_IN, (
+        "pre-committed IN-set drifted from the since-last-graded"
+        f" ordering: computed {computed}"
+    )
+    # the planned IN-set must be tail queries (can't rotate in what's
+    # already in the window) and every one oracle-backed
+    assert set(rp.PLANNED_NEXT_IN) <= set(tail)
+    # family anchors must be real window members — a stale anchor entry
+    # (rotated out without updating FAMILY_ANCHORS) would silently
+    # weaken the exemption analysis
+    stale_anchors = [q for q in rp.FAMILY_ANCHORS if q not in window]
+    assert stale_anchors == [], f"anchors not in window: {stale_anchors}"
