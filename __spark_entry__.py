@@ -175,11 +175,10 @@ _GRADE_TAIL = [
     "source_overlap_matrix",  # dedup-diagnostic family (r6-r11 green): dedup_incremental_bloom graded in-window; setsim_join_prefix (r10-r13 green) + minhash_calibration (r6-r12 green) tail
     "containment_pairs",  # set-similarity family (r6-r11 green): dedup_incremental_bloom graded in-window; setsim_join_prefix (same prefix-filter candidate core, r10-r13 green) + minhash_calibration (r6-r12 green) tail
     "boilerplate_prune",  # gram-excision family (r6-r11 green): duplicate_spans graded in-window; max_dup_span_stats (r6-r12 green) tail
-    # --- r12 additions (VERDICT r11 ask #4): two new oracle-backed
-    # calibration twins for the rows-only residue, PARKED here so the r12
-    # window stays exactly the pre-committed ten-in/ten-out swap (the
-    # embedding_quantization r6->r7 precedent); both join the r13
-    # rotation list. check_oracle-green at sf0.01 and sf0.1 on landing.
+    # (The two r12-added calibration twins — bpe_encode_calibration and
+    # pca_project_calibration — were parked here from r12 until the r14
+    # backlog-zeroing rotation moved them into the window; see the r14
+    # block below and _ROTATION_HISTORY's r14 row.)
     # --- r13 rotation (VERDICT r12 ask #4, fourth bulk): the TEN
     # pre-committed never-driver-graded queries from CHECK_LOCAL_r12's
     # rotation plan (context_chunks, frequent_terms_topk, mode_per_group,

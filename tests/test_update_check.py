@@ -305,6 +305,25 @@ def test_grading_window_rotation_history():
     assert not (should_be_out & window), should_be_out & window
 
 
+def _rotation_plan_module():
+    """Load tools/rotation_plan.py (the shared archive-loader /
+    green-record / planner logic) the same way the other tool-module
+    tests do."""
+    import importlib.util
+    import os
+    import sys
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    if root not in sys.path:
+        sys.path.insert(0, root)
+    spec = importlib.util.spec_from_file_location(
+        "rotation_plan_for_test", os.path.join(root, "tools", "rotation_plan.py")
+    )
+    rp = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(rp)
+    return rp
+
+
 def test_rotation_never_retires_ungraded():
     """No query leaves the grading window without evidence: every
     rotated-out name in every _ROTATION_HISTORY row must be driver-GREEN
@@ -318,35 +337,18 @@ def test_rotation_never_retires_ungraded():
     all rows/schema-matched even then and green every round since r2.)
     A rotation that parks a not-currently-green query fails here, not in
     a judge review. Verified to hold for all of r5-r11 at the time of
-    writing (r11)."""
-    import glob
-    import json
+    writing (r11). Archive loading and the green-record rules live in
+    tools/rotation_plan.py (review r14: one copy, shared with the
+    steady-state planner, so the planner's out-candidate analysis can't
+    diverge from this enforced invariant)."""
     import os
-    import re
 
+    rp = _rotation_plan_module()
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    archive: dict[int, dict] = {}
-    for f in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
-        m = re.search(r"_r(\d+)\.json$", f)
-        if m is None:  # scratch copies like CORRECTNESS_r11_retry.json
-            continue
-        archive[int(m.group(1))] = json.load(open(f))
+    archive = rp.load_archive(here)
     if not archive:
         pytest.skip("no committed CORRECTNESS archive (fresh checkout)")
-
-    def green(rec) -> bool:
-        if not isinstance(rec, dict):
-            return bool(rec)
-        if rec.get("err"):
-            return False
-        # ADVICE r11: a rows-only record (hash_match null) must not count
-        # as green when its schema regressed — require schema_match not
-        # explicitly False on every path, not just the hash-backed one.
-        if rec.get("schema_match") is False:
-            return False
-        if rec.get("hash_match") is not None:
-            return bool(rec["hash_match"])
-        return bool(rec.get("rows_match"))
+    green = rp.record_is_green
 
     violations = []
     missing_rounds = []
@@ -557,7 +559,6 @@ def test_steady_state_rotation_plan():
     (last_graded_round, name) — over the committed CORRECTNESS archive,
     and every family anchor the out-candidate analysis exempts must
     actually be in the current window."""
-    import importlib.util
     import os
     import sys
 
@@ -566,12 +567,7 @@ def test_steady_state_rotation_plan():
         sys.path.insert(0, root)
     import __spark_entry__ as e
 
-    spec = importlib.util.spec_from_file_location(
-        "rotation_plan_for_test", os.path.join(root, "tools", "rotation_plan.py")
-    )
-    rp = importlib.util.module_from_spec(spec)
-    spec.loader.exec_module(rp)
-
+    rp = _rotation_plan_module()
     archive = rp.load_archive(root)
     if not archive:
         pytest.skip("no committed CORRECTNESS archive (fresh checkout)")
@@ -580,11 +576,26 @@ def test_steady_state_rotation_plan():
     window = names[:50]
     tail = [n for n in names[50:] if n in ors]
 
-    computed = rp.planned_in(window, tail, archive)
-    assert computed == rp.PLANNED_NEXT_IN, (
-        "pre-committed IN-set drifted from the since-last-graded"
-        f" ordering: computed {computed}"
-    )
+    # review r14: a PARTIAL checkout (some CORRECTNESS rounds missing)
+    # would compute stale last-graded rounds and fail the equality with
+    # a misleading "drifted" message — mirror the retirement test's
+    # missing-evidence treatment and skip the ordering check instead.
+    missing = sorted(set(range(1, max(archive) + 1)) - set(archive))
+    if missing:
+        import warnings
+
+        warnings.warn(
+            "CORRECTNESS archive incomplete (missing rounds"
+            f" {missing}) — since-last-graded ordering not checkable;"
+            " structural anchor/tail checks still enforced",
+            stacklevel=1,
+        )
+    else:
+        computed = rp.planned_in(tail, archive)
+        assert computed == rp.PLANNED_NEXT_IN, (
+            "pre-committed IN-set drifted from the since-last-graded"
+            f" ordering: computed {computed}"
+        )
     # the planned IN-set must be tail queries (can't rotate in what's
     # already in the window) and every one oracle-backed
     assert set(rp.PLANNED_NEXT_IN) <= set(tail)

@@ -114,31 +114,42 @@ def first_of_current_stint(name: str, archive: dict[int, dict]) -> int:
     return start
 
 
-def planned_in(window: list[str], tail: list[str], archive: dict[int, dict],
+def planned_in(tail: list[str], archive: dict[int, dict],
                n: int = STEADY_SWAP) -> list[str]:
+    """The next IN-set: the n tail queries with the oldest most-recent
+    driver grade, (last_graded_round, name)-ordered. Window/tail
+    disjointness is the registry's invariant (queries() ordering), not
+    this function's — it ranks only what it is given."""
     lg = last_graded(archive)
     ranked = sorted(tail, key=lambda q: (lg.get(q, 0), q))
     return ranked[:n]
+
+
+def record_is_green(rec) -> bool:
+    """Driver-green per the retirement invariant: no error, schema not
+    explicitly regressed, hash matched when hash-backed, rows matched
+    otherwise (ADVICE r11: a rows-only record with schema_match False
+    must not count). Shared by the planner's out-candidate analysis and
+    tests/test_update_check.py::test_rotation_never_retires_ungraded so
+    the two can't diverge."""
+    if not isinstance(rec, dict):
+        return bool(rec)
+    if rec.get("err") or rec.get("schema_match") is False:
+        return False
+    if rec.get("hash_match") is not None:
+        return bool(rec["hash_match"])
+    return bool(rec.get("rows_match"))
 
 
 def out_candidates(window: list[str], archive: dict[int, dict]) -> list[tuple]:
     latest = max(archive) if archive else None
     prev = archive.get(latest, {}) if latest is not None else {}
 
-    def green(rec) -> bool:
-        if not isinstance(rec, dict):
-            return bool(rec)
-        if rec.get("err") or rec.get("schema_match") is False:
-            return False
-        if rec.get("hash_match") is not None:
-            return bool(rec["hash_match"])
-        return bool(rec.get("rows_match"))
-
     rows = []
     for q in window:
         stint = first_of_current_stint(q, archive)
         anchor = FAMILY_ANCHORS.get(q)
-        is_green = q in prev and green(prev[q])
+        is_green = q in prev and record_is_green(prev[q])
         rows.append((stint, q, anchor, is_green))
     rows.sort(key=lambda r: (r[0], r[1]))
     return rows
@@ -153,7 +164,7 @@ def main() -> None:
     tail = [n for n in names[50:] if n in ors]
     archive = load_archive()
 
-    plan = planned_in(window, tail, archive)
+    plan = planned_in(tail, archive)
     lg = last_graded(archive)
     print(f"policy: swap the {STEADY_SWAP} oldest-evidence tail queries in"
           " each round; family anchors and non-green queries never rotate"
