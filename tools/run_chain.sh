@@ -38,12 +38,15 @@ echo "=== [6/12] window_warning_audit (sf0.001) ==="
 "$PY" tools/window_warning_audit.py
 echo "=== [7/12] window_warning_audit at the bench SF (VERDICT r11 ask #3) ==="
 "$PY" tools/window_warning_audit.py /root/testdata/sf0.1
-echo "=== [8/12] check_oracle sf0.01 ==="
+echo "=== [8/12] check_oracle sf0.001 + sf0.01 (three-SF hash gate, r13) ==="
+"$PY" tools/check_oracle.py /root/testdata/sf0.001
 "$PY" tools/check_oracle.py /root/testdata/sf0.01
 echo "=== [9/12] check_oracle sf0.1 ==="
 "$PY" tools/check_oracle.py /root/testdata/sf0.1
-echo "=== [10/12] bitwise probe (full registry, r13: strictly stronger than the hash gate) ==="
+echo "=== [10/12] bitwise probe (full registry, ALL THREE SFs — VERDICT r13 ask #3) ==="
+"$PY" tools/bitwise_probe.py /root/testdata/sf0.001 --all
 "$PY" tools/bitwise_probe.py /root/testdata/sf0.01 --all
+"$PY" tools/bitwise_probe.py /root/testdata/sf0.1 --all
 echo "=== [11/12] bench ==="
 "$PY" bench.py
 echo "=== [12/12] tail_tenure ==="
