@@ -116,7 +116,7 @@ def test_bitwise_probe_untag_keeps_real_bit_diffs_real():
     equivalents (np.int64 is not a Python int subclass)."""
     import numpy as np
 
-    from bitwise_probe import frame_key, key_cell, untag
+    from bitwise_probe import key_cell, untag
 
     # numpy scalar tagging matches Python scalar tagging
     assert key_cell(np.int64(7)) == key_cell(7)

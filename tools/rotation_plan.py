@@ -86,7 +86,8 @@ def load_archive(root: str = _ROOT) -> dict[int, dict]:
         m = re.search(r"_r(\d+)\.json$", f)
         if m is None:  # scratch copies
             continue
-        archive[int(m.group(1))] = json.load(open(f))
+        with open(f) as fh:
+            archive[int(m.group(1))] = json.load(fh)
     return archive
 
 
@@ -149,8 +150,17 @@ def out_candidates(window: list[str], archive: dict[int, dict]) -> list[tuple]:
     for q in window:
         stint = first_of_current_stint(q, archive)
         anchor = FAMILY_ANCHORS.get(q)
-        is_green = q in prev and record_is_green(prev[q])
-        rows.append((stint, q, anchor, is_green))
+        # Three states, because the retirement invariant treats them
+        # differently: "green" (eligible to rotate out), "red" (graded
+        # and failing — NEVER rotates out), "ungraded" (no record in
+        # the latest CORRECTNESS — e.g. just rotated in; not eligible
+        # yet, but not failing either). Review r14: collapsing the last
+        # two mislabeled every fresh rotated-in query as not-green.
+        if q not in prev:
+            status = "ungraded"
+        else:
+            status = "green" if record_is_green(prev[q]) else "red"
+        rows.append((stint, q, anchor, status))
     rows.sort(key=lambda r: (r[0], r[1]))
     return rows
 
@@ -160,7 +170,7 @@ def main() -> None:
 
     qs, ors = e.queries(), e.oracle_sql()
     names = list(qs)
-    window = [n for n in names[:50]]
+    window = names[:50]
     tail = [n for n in names[50:] if n in ors]
     archive = load_archive()
 
@@ -178,9 +188,12 @@ def main() -> None:
     print("\nOUT-candidates, tenure-first (anchor/green annotations;"
           " final set contingent on the next CORRECTNESS being green):")
     shown = 0
-    for stint, q, anchor, is_green in out_candidates(window, archive):
+    for stint, q, anchor, status in out_candidates(window, archive):
         tag = f" [ANCHOR: {anchor}]" if anchor else ""
-        tag += "" if is_green else " [NOT GREEN LAST ROUND]"
+        if status == "red":
+            tag += " [NOT GREEN LAST ROUND]"
+        elif status == "ungraded":
+            tag += " [NO GRADE YET]"
         print(f"  stint r{stint}+: {q}{tag}")
         shown += 1
         if shown >= 2 * STEADY_SWAP:

@@ -37,6 +37,11 @@ import sys
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 if _REPO_ROOT not in sys.path:
     sys.path.insert(0, _REPO_ROOT)
+# rotation_plan lives beside this file; when tail_tenure is imported
+# (rather than run as a script) tools/ is not on sys.path.
+_TOOLS_DIR = os.path.dirname(os.path.abspath(__file__))
+if _TOOLS_DIR not in sys.path:
+    sys.path.insert(0, _TOOLS_DIR)
 
 
 def _round_boundaries() -> list[tuple[int, int]]:
@@ -96,9 +101,15 @@ def summarize() -> str:
     import __spark_entry__ as e
     from tests.test_update_check import _ROTATION_HISTORY
 
+    # Shared archive loader (review r14): tail_tenure's own glob had no
+    # scratch-file filter, so a CORRECTNESS_r11_retry.json copy would
+    # count here but not in rotation_plan/test_update_check — the exact
+    # divergence the shared loader exists to prevent.
+    from rotation_plan import load_archive
+
     graded: set[str] = set()
-    for f in glob.glob(os.path.join(_REPO_ROOT, "CORRECTNESS_r*.json")):
-        graded |= set(json.load(open(f)))
+    for recs in load_archive(_REPO_ROOT).values():
+        graded |= set(recs)
     qs = list(e.queries())
     ors = e.oracle_sql()
     window = set(qs[:50])
