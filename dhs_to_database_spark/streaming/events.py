@@ -29,16 +29,34 @@ def read_events_stream(spark: SparkSession, sf_dir: str, max_files_per_trigger: 
     read and normalize ``ts`` to the session-UTC microsecond TimestampType,
     which event-time watermarks require.
     """
+    import os
+
     from pyspark.sql.types import LongType, TimestampNTZType
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    reader = spark.readStream.schema(schema).format("parquet").option(
-        "pathGlobFilter", "events.parquet"
-    )
+    path = f"{sf_dir}/events.parquet"
+    schema = spark.read.parquet(path).schema
+    reader = spark.readStream.schema(schema).format("parquet")
+    if os.path.isdir(path):
+        # Directory-style table (the cluster-scale layout: any multi-file
+        # writer produces events.parquet/part-*.parquet) — stream the
+        # directory itself. The pathGlobFilter trick below would silently
+        # match ZERO leaf files here (the filter applies to leaf file
+        # names, and the leaves are part-* files), draining an empty
+        # stream — caught by tools/layout_probe.py (r14). os.path is
+        # fine for the driver contract's local sf_dir; a remote
+        # filesystem deployment would resolve layout via its catalog,
+        # not a path probe.
+        load_path = path
+    else:
+        # Single bare file beside the other tables' files: a file-stream
+        # source lists a DIRECTORY, so point it at sf_dir and filter to
+        # this one leaf file.
+        reader = reader.option("pathGlobFilter", "events.parquet")
+        load_path = sf_dir
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
-    df = reader.load(sf_dir)
+    df = reader.load(load_path)
     if isinstance(schema["ts"].dataType, LongType):
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
     elif isinstance(schema["ts"].dataType, TimestampNTZType):

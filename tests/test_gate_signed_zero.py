@@ -139,3 +139,34 @@ def test_bitwise_probe_untag_keeps_real_bit_diffs_real():
     assert untag(rows(2**53)) != untag(rows(2**53 + 1))
     # and an exactly-representable big int still equals its float twin
     assert untag(rows(2**53)) == untag(rows(float(2**53)))
+
+
+def test_layout_probe_allowlist_contract():
+    """tools/layout_probe.py's LAYOUT_DEPENDENT_OK must stay honest:
+    every entry names a registered query and carries a non-empty reason
+    (the documented semantic layout dependence plus the gate that covers
+    the query instead). Empty today — every registered query is
+    layout-invariant (157/157 at sf0.001, r14) — so this also pins that
+    any future allowlisting is a conscious, reviewed act rather than a
+    silent way to mute a LAYOUTDIFF failure."""
+    import os
+    import sys
+
+    sys.path.insert(
+        0,
+        os.path.join(os.path.dirname(os.path.dirname(__file__)), "tools"),
+    )
+    import layout_probe
+
+    import __spark_entry__ as e
+
+    qs = e.queries()
+    for name, reason in layout_probe.LAYOUT_DEPENDENT_OK.items():
+        assert name in qs, f"allowlisted unknown query {name!r}"
+        assert isinstance(reason, str) and len(reason) >= 20, (
+            f"allowlist entry {name!r} needs a real documented reason"
+        )
+    assert layout_probe.LAYOUT_DEPENDENT_OK == {}, (
+        "new allowlist entries require a documented semantic reason AND"
+        " updating this pin (see tools/layout_probe.py)"
+    )
