@@ -160,13 +160,43 @@ def test_layout_probe_allowlist_contract():
 
     import __spark_entry__ as e
 
+    import config_probe
+
     qs = e.queries()
-    for name, reason in layout_probe.LAYOUT_DEPENDENT_OK.items():
-        assert name in qs, f"allowlisted unknown query {name!r}"
-        assert isinstance(reason, str) and len(reason) >= 20, (
-            f"allowlist entry {name!r} needs a real documented reason"
+    allowlists = {
+        "layout_probe": layout_probe.LAYOUT_DEPENDENT_OK,
+        "config_probe": config_probe.CONFIG_DEPENDENT_OK,
+    }
+    for tool, allow in allowlists.items():
+        for name, reason in allow.items():
+            assert name in qs, f"{tool}: allowlisted unknown query {name!r}"
+            assert isinstance(reason, str) and len(reason) >= 20, (
+                f"{tool}: allowlist entry {name!r} needs a real reason"
+            )
+        assert allow == {}, (
+            f"{tool}: new allowlist entries require a documented semantic"
+            " reason AND updating this pin"
         )
-    assert layout_probe.LAYOUT_DEPENDENT_OK == {}, (
-        "new allowlist entries require a documented semantic reason AND"
-        " updating this pin (see tools/layout_probe.py)"
-    )
+
+
+def test_key_cell_recurses_into_arrays_and_maps():
+    """r14 (found by config_probe): array cells must compare by element
+    bits, not by repr — np.ndarray vs list of identical floats tagged
+    differently under the old str() fallback, and numpy's 8-sig-digit
+    print precision could make genuinely different floats compare equal.
+    Maps key-sort so python dict insertion order cannot leak in."""
+    import numpy as np
+
+    from bitwise_probe import key_cell
+
+    assert key_cell(np.array([0.1, 0.2])) == key_cell([0.1, 0.2])
+    assert key_cell((1, 2.5)) == key_cell([1, 2.5])
+    # element bits matter: differs past numpy print precision
+    assert key_cell([0.1]) != key_cell([0.1 + 1e-12])
+    # nested signed zero stays a real difference
+    assert key_cell([0.0]) != key_cell([-0.0])
+    # int vs float elements tag differently (exactness, as at top level)
+    assert key_cell([1]) != key_cell([1.0])
+    # maps: order-insensitive, value-bit-sensitive
+    assert key_cell({"a": 1, "b": 2.0}) == key_cell({"b": 2.0, "a": 1})
+    assert key_cell({"a": 0.0}) != key_cell({"a": -0.0})

@@ -36,6 +36,19 @@ def key_cell(v):
         return ("f", struct.pack("<d", v))
     if isinstance(v, (int, np.integer)):
         return ("i", int(v))
+    # Array/map cells recurse element-wise (r14, found by config_probe):
+    # the old str() fallback tagged an array by its repr, which is
+    # representation-sensitive (Arrow toPandas yields np.ndarray —
+    # "[0.1 0.2]" at 8-sig-digit numpy print precision, '...'-truncated
+    # past 1000 elements — while the non-Arrow path yields a list,
+    # "[0.1, 0.2]"), so bit-identical float arrays compared UNEQUAL
+    # across sessions and, worse, genuinely different floats could
+    # compare EQUAL after repr rounding. Element recursion restores the
+    # packed-bytes discipline inside containers.
+    if isinstance(v, (list, tuple, np.ndarray)):
+        return ("a", tuple(key_cell(x) for x in v))
+    if isinstance(v, dict):
+        return ("m", tuple(sorted((str(k), key_cell(x)) for k, x in v.items())))
     if hasattr(v, "isoformat"):
         return ("t", v.isoformat())
     return ("s", str(v))
