@@ -47,10 +47,12 @@ echo "=== [10/14] bitwise probe (full registry, ALL THREE SFs — VERDICT r13 as
 "$PY" tools/bitwise_probe.py /root/testdata/sf0.001 --all
 "$PY" tools/bitwise_probe.py /root/testdata/sf0.01 --all
 "$PY" tools/bitwise_probe.py /root/testdata/sf0.1 --all
-echo "=== [11/14] layout probe (full registry, layout-invariance gate — r14) ==="
+echo "=== [11/14] layout probe (full registry, layout-invariance gate — r14; BOTH SFs: sketch compaction only trips at sf0.01) ==="
 "$PY" tools/layout_probe.py /root/testdata/sf0.001
-echo "=== [12/14] config probe (tuned vs driver-vanilla session — r14) ==="
+"$PY" tools/layout_probe.py /root/testdata/sf0.01
+echo "=== [12/14] config probe (tuned vs driver-vanilla session — r14; BOTH SFs) ==="
 "$PY" tools/config_probe.py /root/testdata/sf0.001
+"$PY" tools/config_probe.py /root/testdata/sf0.01
 echo "=== [13/14] bench ==="
 "$PY" bench.py
 echo "=== [14/14] tail_tenure ==="
