@@ -35,6 +35,7 @@ from pyspark.sql import functions as F
 
 from ..sources.tables import load_table
 from .registry import query
+from .util import local_rows_df
 
 _EOW = "</w>"
 _CHECKPOINT_EVERY = 4
@@ -448,7 +449,8 @@ def bpe_merge_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = _bpe_train_driver_scored(
         _driver_vocab(spark, sf_dir), _BPE_CAL_MERGES
     )
-    return spark.createDataFrame(
+    return local_rows_df(
+        spark,
         [(i + 1, a, b, c) for i, (a, b, c) in enumerate(scored)],
         "merge_rank int, a string, b string, pair_count bigint",
     )

@@ -45,6 +45,7 @@ from pyspark.sql import functions as F
 
 from ..sources.tables import load_table
 from .registry import query
+from .util import local_rows_df
 from .sampling import _java_ws_tokens
 
 _HASH_DIM = 16  # hashed bag-of-words buckets
@@ -151,9 +152,19 @@ def featurize(docs: DataFrame, text_col: str = "text") -> DataFrame:
     # it across the cluster costs one tiny shuffle of raw text; at real
     # scale the scan already has >= defaultParallelism splits and this is
     # a no-op (same tier-guard shape as the windows.py thresholds).
+    # r14 (guide §2.3/§4.1): the spread is SIZE-CAPPED — each extra
+    # partition costs a Python worker round-trip (~0.2-0.4 s of executor
+    # wait at any scale), so fanning a few MB of text across
+    # defaultParallelism cores pays 32 worker spin-ups to parallelize
+    # milliseconds of numpy. Target ~4 MB of optimizer-estimated input
+    # per Arrow task (plan stats, no job): tiny corpora stay at 1-2
+    # partitions, and by ~128 MB the guard is back at full cluster
+    # parallelism (and is a no-op past it, as before).
     par = docs.sparkSession.sparkContext.defaultParallelism
-    if src.rdd.getNumPartitions() < par:
-        src = src.repartition(par)
+    est_bytes = src._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+    size_cap = max(1, min(par, int(est_bytes) // (4 * 1024 * 1024) + 1))
+    if src.rdd.getNumPartitions() < size_cap:
+        src = src.repartition(size_cap)
     return src.mapInPandas(gen, "doc_id bigint, x array<double>, y double")
 
 
@@ -570,8 +581,8 @@ def irls_stats_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         for i in range(d1 * d1)
     ]
-    return spark.createDataFrame(
-        rows, "term string, j int, k int, v_fp bigint, v double"
+    return local_rows_df(
+        spark, rows, "term string, j int, k int, v_fp bigint, v double"
     )
 
 

@@ -47,6 +47,7 @@ from .dedup import (
     ngram_jaccard_pairs,
 )
 from .registry import query
+from .util import local_rows_df
 
 
 #: Edge sets at or below this size are solved on the driver (union-find).
@@ -132,7 +133,7 @@ def connected_components(
         ]
     )
     if obs0.get["n"] <= driver_threshold:
-        return spark.createDataFrame(_driver_union_find(e.collect()), out_schema)
+        return local_rows_df(spark, _driver_union_find(e.collect()), out_schema)
     # Singleton-free node set is implied by e; remember it for the label
     # emission (roots appear only on the v side at convergence).
     prev_sig = None

@@ -31,6 +31,7 @@ import tempfile
 
 from ..sources.tables import load_table
 from .registry import query
+from .util import local_rows_df
 from .text_analysis import normalized_fingerprint
 
 # ---------------------------------------------------------------------------
@@ -419,8 +420,8 @@ def blocked_allpairs_cosine(
     import pandas as pd
 
     e = emb.select("vec_id", "embedding", (F.col("vec_id") % n_blocks).alias("blk"))
-    pair_keys = spark.createDataFrame(
-        [(i, j) for i in range(n_blocks) for j in range(i, n_blocks)], "i int, j int"
+    pair_keys = local_rows_df(
+        spark, [(i, j) for i in range(n_blocks) for j in range(i, n_blocks)], "i int, j int"
     )
     rep = e.join(
         F.broadcast(pair_keys), (F.col("blk") == F.col("i")) | (F.col("blk") == F.col("j"))

@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 
 from ..sources.tables import TABLE_NAMES, load_table
 from .registry import query
+from .util import local_rows_df
 
 # ---------------------------------------------------------------------------
 # A19 — filename metadata extraction: '511.CMIR71.REC43.csv' ->
@@ -255,7 +256,7 @@ def catalog_introspect(spark: SparkSession, sf_dir: str) -> DataFrame:
         for t in TABLE_NAMES
         for i, c in enumerate(spark.catalog.listColumns(t))
     ]
-    return spark.createDataFrame(rows, "table_name string, column_name string, ordinal bigint")
+    return local_rows_df(spark, rows, "table_name string, column_name string, ordinal bigint")
 
 
 # ---------------------------------------------------------------------------

@@ -112,7 +112,26 @@ def global_rank_parts(
     re-count the input.
     """
     spark = df.sparkSession
-    n_parts = num_partitions or spark.sparkContext.defaultParallelism
+    # r14 (guide §2.2): derive the range-partition count from the
+    # optimizer's input-size estimate (~32 MB per partition, no job)
+    # instead of pinning it to the core count — defaultParallelism made
+    # every rank pass pay a full-width shuffle + per-partition task and
+    # Python round-trip overhead regardless of data size, and a
+    # core-count constant is exactly the local-mode tuning the 100 TB
+    # design forbids. Ranks are invariant to the partition count (the
+    # sort keys are a total order, offsets are exact), so this only
+    # moves task/shuffle overhead; at cluster scale the estimate
+    # saturates defaultParallelism and the behavior is unchanged.
+    n_parts = num_partitions
+    if n_parts is None:
+        est_bytes = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+        n_parts = max(
+            1,
+            min(
+                spark.sparkContext.defaultParallelism,
+                est_bytes // (32 * 1024 * 1024) + 1,
+            ),
+        )
     part = df.repartitionByRange(n_parts, *sort_cols).sortWithinPartitions(
         *sort_cols
     )
@@ -141,11 +160,24 @@ def global_rank_parts(
     for pid in sorted(counts):
         offsets.append((pid, acc))
         acc += counts[pid]
-    off_df = spark.createDataFrame(offsets or [(0, 0)], "__pid int, __off long")
+    # r14 (guide §2.4): the per-partition offsets used to ride in via a
+    # createDataFrame -> broadcast equi-join — a full broadcast-exchange
+    # job (and parallelize()'s defaultParallelism micro-tasks) per rank
+    # pass. The offset table is at most one entry per input partition and
+    # lives on the driver already, so inline it as a literal MAP lookup:
+    # same integers, zero extra jobs, and the rank projection stays in
+    # whole-stage codegen. Bounded at scale: one map entry per partition
+    # (thousands), far under any expression-size hazard.
+    off_items: list = []
+    for pid, off in offsets:
+        off_items.extend((F.lit(pid), F.lit(off)))
+    off_map = F.create_map(*off_items) if off_items else F.create_map(F.lit(0), F.lit(0))
     ranked = (
-        tagged.join(F.broadcast(off_df), "__pid", "inner")
-        .withColumn(rank_name, (F.col("__lidx") + F.col("__off") + 1).cast("bigint"))
-        .drop("__pid", "__lidx", "__off")
+        tagged.withColumn(
+            rank_name,
+            (F.col("__lidx") + off_map[F.col("__pid")] + 1).cast("bigint"),
+        )
+        .drop("__pid", "__lidx")
     )
     return ranked, acc, handle
 

@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 
 from ..sources.tables import load_table
 from .registry import query
+from .util import local_rows_df
 
 # ---------------------------------------------------------------------------
 # helpers
@@ -525,7 +526,7 @@ _BANDS = [
 )
 def range_join_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
-    bands = spark.createDataFrame(_BANDS, ["band", "lo", "hi"])
+    bands = local_rows_df(spark, _BANDS, ["band", "lo", "hi"])
     return (
         c.join(
             F.broadcast(bands),

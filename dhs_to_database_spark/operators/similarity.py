@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 
 from ..sources.tables import load_table
 from .registry import query
+from .util import local_rows_df
 
 _N_QUERIES = 8  # vec_id < 8 are the query vectors
 _TOP_K = 5
@@ -590,7 +591,8 @@ def kmeans_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("inertia_fp"),
         )
     )
-    cdf = spark.createDataFrame(
+    cdf = local_rows_df(
+        spark,
         [(cid, pos, cv[pos]) for cid, cv in cents for pos in range(d)],
         "cell int, pos int, c_fp bigint",
     )
@@ -621,8 +623,8 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # probe list per query: the _IVF_PROBES nearest cells by centroid cosine
     q = assigned.filter(F.col("vec_id") < _N_QUERIES).select("vec_id", "embedding")
-    cdf = spark.createDataFrame(
-        [(cid, vec) for cid, vec in centroids], "cell bigint, centroid array<float>"
+    cdf = local_rows_df(
+        spark, [(cid, vec) for cid, vec in centroids], "cell bigint, centroid array<float>"
     )
     qc = q.crossJoin(F.broadcast(cdf)).select(
         F.col("vec_id").alias("query_id"),
@@ -1718,7 +1720,8 @@ def ann_calibration(
     # literal method spine + LEFT joins: a twin with zero candidates or
     # zero hits at some SF must still emit its report row (the oracle's
     # scalar subqueries always produce 4 rows with 0 counts)
-    methods = spark.createDataFrame(
+    methods = local_rows_df(
+        spark,
         [("exact",), ("lsh_md5",), ("ivf_stride",), ("pq_stride",)],
         "method string",
     )

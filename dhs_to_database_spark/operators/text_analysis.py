@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 
 from ..sources.tables import load_table
 from .registry import query
+from .util import local_rows_df
 
 # ---------------------------------------------------------------------------
 # Token counting: whitespace tokenization + a BPE-ish proxy (4 chars/token).
@@ -831,7 +832,7 @@ def frequent_terms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"top-{_TOPK_TERMS} kth count {rows[-1]['n']} is within the "
             f"Misra-Gries noise floor N/capacity={floor:.1f}; raise capacity"
         )
-    return spark.createDataFrame(rows, top.schema)
+    return local_rows_df(spark, rows, top.schema)
 
 
 # ---------------------------------------------------------------------------
@@ -1284,7 +1285,7 @@ def cms_term_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
         (r["term"], r["exact_n"], int(sketch.estimateCount(r["term"])))
         for r in exact
     ]
-    return spark.createDataFrame(rows, "term string, exact_n bigint, est_n bigint")
+    return local_rows_df(spark, rows, "term string, exact_n bigint, est_n bigint")
 
 
 # ---------------------------------------------------------------------------

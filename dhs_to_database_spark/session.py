@@ -39,6 +39,17 @@ def get_spark(app_name: str = "dhs_to_database_spark", cpus: int | None = None) 
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(max(n, 8)))
+        # r14 (guide §2.2/§2.4): persisted and localCheckpointed plans
+        # otherwise compile WITHOUT AQE partition coalescing (the default
+        # pins cached-plan output partitioning), so every checkpointed
+        # subtree materializes at the full shuffle-partition constant and
+        # all downstream stages over it run that many micro-tasks — 32
+        # tasks of ~KB each locally, and a core-count constant instead of
+        # a data-derived size on a cluster. Letting AQE re-plan cached
+        # subtrees makes checkpoint/persist partitioning scale-adaptive
+        # (size-targeted) at every SF. Values are partitioning-independent
+        # (layout + config invariance gates, 157/157).
+        .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.session.timeZone", "UTC")

@@ -149,6 +149,7 @@ def drain_to_parquet(
     tempdir default is reclaimed at interpreter exit.
     """
     import atexit
+    import os
     import shutil
     import tempfile
 
@@ -161,14 +162,40 @@ def drain_to_parquet(
     def write_batch(batch_df: DataFrame, _batch_id: int) -> None:
         batch_df.write.mode(mode).parquet(dest)
 
-    q = (
-        df.writeStream.foreachBatch(write_batch)
-        .outputMode(output_mode)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    # r14 (guide §2.2): a stateful streaming query pins its state-store
+    # partition count to spark.sql.shuffle.partitions at FIRST start, and
+    # every micro-batch then pays per-partition state-store overhead
+    # (provider init, delta-file commit, maintenance) regardless of data
+    # volume — measured 3x wall on the two drain queries at the session's
+    # core-count-sized setting vs a small fixed count. The tempdir path
+    # is by construction the bounded local verification harness (see
+    # docstring), so its state partitioning should track the harness's
+    # bounded corpus, not the session's core count; a PRODUCTION drain
+    # passes dest/checkpoint (possibly resuming an existing checkpoint,
+    # whose pinned partitioning must not be fought) and the session conf
+    # is left untouched there. Emitted rows are state-partitioning-
+    # independent (hash distribution of keys only; config-invariance
+    # gate holds at 8 vs 32 vs 200). Knob: SPARK_GRAFT_STREAM_SHUFFLE.
+    spark = df.sparkSession
+    tune_state = not caller_owns and checkpoint is None
+    if tune_state:
+        prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set(
+            "spark.sql.shuffle.partitions",
+            os.environ.get("SPARK_GRAFT_STREAM_SHUFFLE", "8"),
+        )
+    try:
+        q = (
+            df.writeStream.foreachBatch(write_batch)
+            .outputMode(output_mode)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if tune_state:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     # The one-shot tempdir checkpoint is pure waste once the drain
     # terminated (every call makes a fresh one, so it can never be
     # restarted from); a CALLER-supplied checkpoint IS restartable and is

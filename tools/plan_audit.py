@@ -291,7 +291,10 @@ SHUFFLE_BASELINE = {
     "bpe_merge_calibration": 0,
     "spectral_power_calibration": 0,
     "kmeans_calibration": 1,
-    "featurize_calibration": 1,
+    # r14: the defaultParallelism repartition ahead of the Arrow kernel is
+    # now size-capped (a few MB of text stays at its scan partitioning), so
+    # the round-robin Exchange is gone at bench scale
+    "featurize_calibration": 0,
     "irls_stats_calibration": 0,
     "pca_calibration": 0,
     "embedding_quantization": 0,
