@@ -331,12 +331,20 @@ def token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   probed map-side and never shuffles; the only shuffle is the final
 #   per-doc aggregation of matches, whose input is just the surviving
 #   (contaminated) grams.
-# - Gram generation is an Arrow-batched mapInPandas kernel (the
-#   winnowing_fingerprint pattern): Spark's higher-order-function lambdas
-#   are interpreted per element, and the measured HOF explode was ~40x
-#   slower than the batched Python loop at sf0.1. The kernel is linear in
-#   corpus tokens, stays on the executors, and emits per-doc-distinct
-#   grams so downstream never re-dedups.
+# - Gram generation is pure JVM (split projection + transform/slice +
+#   explode — guide §4.1). It was an Arrow-batched mapInPandas kernel
+#   through r13 on the strength of an early "HOF ~40x slower" measurement,
+#   but that measurement timed the tokenizer INLINED into the lambda —
+#   interpreted HOF lambdas re-evaluate inlined subexpressions per
+#   element, so the regexp split re-ran once per gram (the word_shingles
+#   lesson). With the split hoisted into its own projection the JVM form
+#   is 15-36% faster than the Python kernel at sf0.1 (isolated noop-sink
+#   min-of-3: pos-kernel 1.93->1.64 s, distinct 1.07->0.69 s, with a
+#   groupBy consumer 1.39->1.00 s; row-for-row identical output), removes
+#   the JVM->Python->JVM Arrow round-trip from every corpus-scale gram
+#   pass, and keeps scan pushdown/pruning visible to the optimizer.
+#   Per-doc distinct stays map-side via array_distinct, so downstream
+#   never re-dedups.
 # - In production the gram width is 8-13; the registered query uses
 #   width 3 because the synthetic corpus (~30-word vocabulary, ~50-word
 #   docs) has essentially zero 8-gram collisions — the operator takes the
@@ -344,20 +352,39 @@ def token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def token_ngrams(col: Column, n: int) -> Column:
-    """Array of space-joined token ``n``-grams of a text column.
+#: Java whitespace class used by every tokenizer in the package (see
+#: ``_java_ws_tokens`` for the exact semantics).
+_WS_SPLIT = r"[ \t\n\x0b\f\r]+"
+
+
+def _gram_array(tokens: Column, n: int) -> Column:
+    """Array of space-joined ``n``-grams of an ALREADY-PROJECTED token-array
+    column. Callers on hot paths MUST hoist the ``split`` into its own
+    projection and pass the resulting attribute here: interpreted HOF
+    lambdas re-evaluate inlined subexpressions PER ELEMENT, so an inlined
+    split re-tokenizes the document once per gram (measured ~2.5x on the
+    gram consumers; the word_shingles lesson). A multiply-referenced
+    attribute is safe — CollapseProject keeps the projection because the
+    token array is referenced three times below.
 
     Empty array when the document has fewer than ``n`` tokens (guards the
     descending-``sequence`` edge: Spark's sequence(1, 0) yields [1, 0],
     not []).
     """
-    t = F.split(F.trim(col), r"[ \t\n\x0b\f\r]+")
-    return F.when(F.size(t) < n, F.array().cast("array<string>")).otherwise(
+    return F.when(F.size(tokens) < n, F.array().cast("array<string>")).otherwise(
         F.transform(
-            F.sequence(F.lit(1), F.size(t) - (n - 1)),
-            lambda i: F.array_join(F.slice(t, i, n), " "),
+            F.sequence(F.lit(1), F.size(tokens) - (n - 1)),
+            lambda i: F.array_join(F.slice(tokens, i, n), " "),
         )
     )
+
+
+def token_ngrams(col: Column, n: int) -> Column:
+    """Array of space-joined token ``n``-grams of a text column (inline
+    convenience form — for corpus-scale passes use ``explode_ngrams`` /
+    ``explode_ngrams_pos``, which hoist the split per ``_gram_array``'s
+    warning)."""
+    return _gram_array(F.split(F.trim(col), _WS_SPLIT), n)
 
 
 def explode_ngrams(
@@ -370,28 +397,21 @@ def explode_ngrams(
 ) -> DataFrame:
     """(id, gram) rows — the token ``n``-grams of ``text_col`` (per-doc
     DISTINCT by default; ``distinct=False`` keeps every occurrence, for
-    span-duplication counting), generated by a vectorized Arrow-batched
-    kernel (HOF lambdas are interpreted per element; this path measured
-    ~40x faster). Narrow map: no shuffle, any partitioning."""
-    import pandas as pd
-
-    id_type = df.schema[id_col].dataType.simpleString()
-    out_schema = f"{out_id} {id_type}, gram string"
-    cols = df.select(F.col(id_col), F.col(text_col))
-
-    def gen(batches):
-        for pdf in batches:
-            ids: list = []
-            grams: list = []
-            for did, tx in zip(pdf[id_col], pdf[text_col]):
-                t = tx.split() if tx else []
-                run = (" ".join(t[i : i + n]) for i in range(len(t) - n + 1))
-                gs = set(run) if distinct else list(run)
-                ids.extend([did] * len(gs))
-                grams.extend(gs)
-            yield pd.DataFrame({out_id: ids, "gram": grams})
-
-    return cols.mapInPandas(gen, out_schema)
+    span-duplication counting). Pure JVM (see module comment): a hoisted
+    split projection feeds ``_gram_array``'s transform/slice, with per-doc
+    distinct applied map-side via ``array_distinct`` before the explode.
+    Narrow map: no shuffle, any partitioning, and — unlike the former
+    Arrow kernel — transparent to column pruning and predicate pushdown
+    at the scan. NULL/empty/short docs yield no rows (explode of an
+    empty/NULL array), exactly as the Python kernel did."""
+    toks = df.select(
+        F.col(id_col).alias(out_id),
+        F.split(F.trim(F.col(text_col)), _WS_SPLIT).alias("__toks"),
+    )
+    arr = _gram_array(F.col("__toks"), n)
+    if distinct:
+        arr = F.array_distinct(arr)
+    return toks.select(out_id, F.explode(arr).alias("gram"))
 
 
 def _java_ws_tokens(tx: str | None) -> list[str]:
@@ -415,35 +435,26 @@ def explode_ngrams_pos(
     """(id, pos, gram) rows — every token ``n``-gram OCCURRENCE with its
     0-based token start position (the positional variant of
     ``explode_ngrams``, for span excision where WHERE a duplicate sits
-    matters, not just that it exists). Same vectorized Arrow kernel; a
-    narrow map, no shuffle, any partitioning.
+    matters, not just that it exists). Pure JVM: ``posexplode`` over
+    ``_gram_array``'s grams (split hoisted into its own projection, per
+    that helper's warning) — the array index IS the 0-based token start
+    position. Narrow map, no shuffle, any partitioning.
 
     Tokenization is ``split(trim(text), '[ \\t\\n\\x0b\\f\\r]+')`` with JAVA regex
-    semantics (`_java_ws_tokens`) — NOT Python ``str.split`` — because
-    consumers index these positions back into Spark's ``F.split`` output:
-    the two must agree token-for-token (leading non-space whitespace
-    yields a leading '' token in both; Python split would silently shift
-    every position by one)."""
-    import pandas as pd
-
-    id_type = df.schema[id_col].dataType.simpleString()
-    out_schema = f"{id_col} {id_type}, pos int, gram string"
-    cols = df.select(F.col(id_col), F.col(text_col))
-
-    def gen(batches):
-        for pdf in batches:
-            ids: list = []
-            poss: list = []
-            grams: list = []
-            for did, tx in zip(pdf[id_col], pdf[text_col]):
-                t = _java_ws_tokens(tx)
-                for i in range(len(t) - n + 1):
-                    ids.append(did)
-                    poss.append(i)
-                    grams.append(" ".join(t[i : i + n]))
-            yield pd.DataFrame({id_col: ids, "pos": poss, "gram": grams})
-
-    return cols.mapInPandas(gen, out_schema)
+    semantics (`_java_ws_tokens` is its exact Python replica for
+    driver/kernel consumers) because span-excision consumers index these
+    positions back into Spark's ``F.split`` output: the two must agree
+    token-for-token (leading non-space whitespace yields a leading ''
+    token in both; Python split would silently shift every position by
+    one)."""
+    toks = df.select(
+        F.col(id_col),
+        F.split(F.trim(F.col(text_col)), _WS_SPLIT).alias("__toks"),
+    )
+    return toks.select(
+        id_col,
+        F.posexplode(_gram_array(F.col("__toks"), n)).alias("pos", "gram"),
+    )
 
 
 def decontaminate(
