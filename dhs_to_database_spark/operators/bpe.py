@@ -498,8 +498,8 @@ def bpe_encode_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     # vocab is already collected and bounded: build the one-word docs on
     # the driver rather than re-running the corpus-scale word_counts
     # shuffle a second time
-    one_word_docs = spark.createDataFrame(
-        [(w, w) for w, _ in vocab], "w string, wtext string"
+    one_word_docs = local_rows_df(
+        spark, [(w, w) for w, _ in vocab], "w string, wtext string"
     )
     counts = bpe_token_counts(one_word_docs, merges, id_col="w", text_col="wtext")
     return counts.select(

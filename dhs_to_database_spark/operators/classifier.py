@@ -152,19 +152,22 @@ def featurize(docs: DataFrame, text_col: str = "text") -> DataFrame:
     # it across the cluster costs one tiny shuffle of raw text; at real
     # scale the scan already has >= defaultParallelism splits and this is
     # a no-op (same tier-guard shape as the windows.py thresholds).
-    # r14 (guide §2.3/§4.1): the spread is SIZE-CAPPED — each extra
-    # partition costs a Python worker round-trip (~0.2-0.4 s of executor
-    # wait at any scale), so fanning a few MB of text across
-    # defaultParallelism cores pays 32 worker spin-ups to parallelize
-    # milliseconds of numpy. Target ~4 MB of optimizer-estimated input
-    # per Arrow task (plan stats, no job): tiny corpora stay at 1-2
-    # partitions, and by ~128 MB the guard is back at full cluster
-    # parallelism (and is a no-op past it, as before).
+    # r14 measurement note (guide §1.1 — empirical beats first-principles
+    # here): an earlier r14 edit size-capped this spread at ~4 MB of
+    # estimated input per Arrow task on the theory that each partition
+    # costs a 0.2-0.4 s Python worker round-trip. Measured with the
+    # isolated min-of-5 harness, that theory was wrong — reused daemon
+    # workers make the per-partition overhead tens of ms, while the
+    # featurize kernel itself costs real CPU seconds per MB, so the cap
+    # serialized genuine work: featurize_calibration 0.78 s -> 1.11 s,
+    # quality_classifier 1.63 s -> 1.93 s. The unconditional spread is
+    # also the safer shape at every scale: in the only window where the
+    # guard binds (corpus smaller than one split per core), the cost of
+    # over-spreading is a bounded constant (tiny parallel tasks) while
+    # under-spreading serializes kernel time that grows with the corpus.
     par = docs.sparkSession.sparkContext.defaultParallelism
-    est_bytes = src._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
-    size_cap = max(1, min(par, int(est_bytes) // (4 * 1024 * 1024) + 1))
-    if src.rdd.getNumPartitions() < size_cap:
-        src = src.repartition(size_cap)
+    if src.rdd.getNumPartitions() < par:
+        src = src.repartition(par)
     return src.mapInPandas(gen, "doc_id bigint, x array<double>, y double")
 
 

@@ -1185,7 +1185,9 @@ def _md5_shingle_hashes(d: DataFrame, wide: bool = False) -> DataFrame:
     )
 
 
-def _minhash_md5_scored_pairs(d: DataFrame, wide: bool = False) -> DataFrame:
+def _minhash_md5_scored_pairs(
+    d: DataFrame, wide: bool = False, hashes: DataFrame | None = None
+) -> DataFrame:
     """LSH candidate pairs with their signature match count: (doc_a,
     doc_b, matches [0..{_MD5_N_HASHES}]). The full md5-twin pipeline up to
     (but excluding) the similarity threshold, shared by ``minhash_lsh_md5``
@@ -1197,8 +1199,17 @@ def _minhash_md5_scored_pairs(d: DataFrame, wide: bool = False) -> DataFrame:
     xxhash64(i, h) (the same family ``minhash_near_dup`` uses) — the
     (a*h + b) mod p universal family would overflow 64-bit ints at
     h ~ 2^63. Banding, hot-bucket caps and signature verification are
-    IDENTICAL across tiers; only the hash family differs."""
-    sh = _md5_shingle_hashes(d, wide)
+    IDENTICAL across tiers; only the hash family differs.
+
+    ``hashes`` (r14, guide §1.2 "don't compute things twice"): an
+    optional precomputed (doc_id, h) frame to use instead of running the
+    tokenize/shingle/md5 kernel here. A per-doc DISTINCT set is valid
+    input — MIN((a*h + b) % p) over occurrences equals the min over the
+    distinct h values, duplicates can never change a min — which lets
+    minhash_calibration feed its checkpointed distinct shingle-hash set
+    (needed anyway for true-Jaccard) to the signature pass instead of
+    paying the corpus-wide md5 string kernel twice."""
+    sh = hashes if hashes is not None else _md5_shingle_hashes(d, wide)
     # ONE shuffle of docs x 16 partial-min columns (map-side combine);
     # the permutations are column expressions, not exploded rows.
     if wide:
@@ -1566,14 +1577,17 @@ def minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     # NULL-text docs dropped on BOTH sides (md5('') vs md5(NULL) would
     # diverge); shd feeds sizes AND two join branches of inter, so it is
     # localCheckpointed to run the shingle/md5 kernel once (the excise
-    # double-execution fix).
+    # double-execution fix). r14: the SIGNATURE pass reads the same
+    # checkpointed distinct set (min-invariant — see
+    # _minhash_md5_scored_pairs), so the corpus-wide tokenize/shingle/md5
+    # string kernel runs ONCE per query instead of twice.
     d = (
         load_table(spark, sf_dir, "documents")
         .filter(F.col("text").isNotNull())
         .select("doc_id", "text")
     )
-    scored = _minhash_md5_scored_pairs(d)
     shd = _md5_shingle_hashes(d).distinct().localCheckpoint(eager=True)
+    scored = _minhash_md5_scored_pairs(d, hashes=shd)
     sizes = shd.groupBy("doc_id").agg(F.count(F.lit(1)).cast("bigint").alias("sz"))
     inter = (
         scored.join(

@@ -526,7 +526,9 @@ _BANDS = [
 )
 def range_join_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
-    bands = local_rows_df(spark, _BANDS, ["band", "lo", "hi"])
+    # explicit DDL (same types the old name-list inference produced) so
+    # local_rows_df can take its Arrow/LocalRelation fast path
+    bands = local_rows_df(spark, _BANDS, "band string, lo double, hi double")
     return (
         c.join(
             F.broadcast(bands),

@@ -473,19 +473,42 @@ def _kmc_oracle() -> str:
 def _kmc_assign_expr(
     centroids: "list[tuple[int, list[int]]]",
 ) -> "Column":
-    """(dist, cell) struct of the argmin centroid — ONE F.expr SQL string
-    (nested py4j Column ops cost ~1ms/call; see the r6 ann_calibration
-    note), pure int64 whole-stage-codegen arithmetic, array_min's struct
-    ordering = (dist ASC, cell ASC) — the oracle's exact tie-break."""
-    structs = []
-    for cid, cv in centroids:
-        arr = ", ".join(f"{v}L" for v in cv)
-        dist = (
-            f"aggregate(zip_with(q, array({arr}),"
-            f" (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)"
+    """(dist, cell) struct of the argmin centroid — pure int64
+    arithmetic; array_min's struct ordering = (dist ASC, cell ASC) — the
+    oracle's exact tie-break.
+
+    r14 (guide §1.2 per-task work): the centroid matrix rides in as TWO
+    complex-typed literals (cells, vecs) looped by zip_with instead of K
+    unrolled `struct(aggregate(zip_with(q, array(<dim inline literals>),
+    ...)))` branches. Complex literals land in the codegen `references`
+    array, not the generated source, so every Lloyd iteration (new
+    centroid VALUES, same expression SHAPE) produces byte-identical
+    codegen source and hits the compiled-class cache — the old form
+    C2-JIT-compiled a fresh ~K*dim-constant class per iteration, which
+    dominated the wall-clock of this driver-looped kernel. Same distance,
+    same tie-break, same int64 maths; bit-identical output (oracle +
+    bitwise probe)."""
+    cells = F.lit([int(cid) for cid, _ in centroids]).cast("array<int>")
+    vecs = F.lit([[int(v) for v in cv] for _, cv in centroids]).cast(
+        "array<array<bigint>>"
+    )
+
+    def dist(cv: "Column") -> "Column":
+        return F.aggregate(
+            F.zip_with(F.col("q"), cv, lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
         )
-        structs.append(f"struct({dist} AS dist, {cid} AS cell)")
-    return F.expr(f"array_min(array({', '.join(structs)}))")
+
+    return F.array_min(
+        F.zip_with(
+            cells,
+            vecs,
+            lambda cell, cv: F.struct(
+                dist(cv).alias("dist"), cell.alias("cell")
+            ),
+        )
+    )
 
 
 @query("kmeans_calibration", oracle=_kmc_oracle())
@@ -556,14 +579,22 @@ def kmeans_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = sorted((r["cell"], list(r["q"])) for r in init)
     d = len(cents[0][1])
 
+    # r14: the d per-dimension SUM columns are built as ONE parsed
+    # struct-of-aggregates expression instead of d separate
+    # F.sum(F.col("q")[i]) Column chains — each of those costs ~3 py4j
+    # round-trips, i.e. O(d * iters) driver->JVM calls (~0.5-1 s at
+    # d = 64) for work the SQL parser does in one call. Same partial
+    # (map-side-combined) aggregation — the analyzer extracts the
+    # AggregateExpressions from inside the struct exactly as it does for
+    # top-level columns.
+    sum_struct = F.expr(
+        "struct(" + ", ".join(f"sum(q[{i}]) AS s{i}" for i in range(d)) + ")"
+    ).alias("ss")
     for _ in range(_KMC_ITERS):
         sums = (
             emb.select(_kmc_assign_expr(cents).alias("s"), "q")
             .groupBy(F.col("s.cell").alias("cell"))
-            .agg(
-                F.count(F.lit(1)).alias("cnt"),
-                *[F.sum(F.col("q")[i]).alias(f"s{i}") for i in range(d)],
-            )
+            .agg(F.count(F.lit(1)).alias("cnt"), sum_struct)
             .collect()
         )
         by_cell = {r["cell"]: r for r in sums}
@@ -573,7 +604,7 @@ def kmeans_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
                 [
                     # _trunc_div (module-level, shared with the spectral
                     # twin): DuckDB // truncates, python // floors
-                    _trunc_div(by_cell[cid][f"s{i}"], by_cell[cid]["cnt"])
+                    _trunc_div(by_cell[cid]["ss"][f"s{i}"], by_cell[cid]["cnt"])
                     for i in range(d)
                 ]
                 if cid in by_cell
@@ -2064,7 +2095,8 @@ def spectral_power_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = _power_top_vec(g0, d)
     lam_fp = _rayleigh_mean_fp(g0, v, n, d)
     lam_mean = lam_fp / float(_SPC_Q) / float(_SPC_Q) / float(_SPC_LDP)
-    return spark.createDataFrame(
+    return local_rows_df(
+        spark,
         [
             (i, v[i], v[i] / float(_SPC_SCALE), lam_fp, lam_mean, n * lam_mean)
             for i in range(d)
@@ -2311,7 +2343,8 @@ def pca_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         "fp",
         (F.col("fp") / F.lit(float(_SPC_Q * _PCA_VPROJ))).alias("val"),
     )
-    head = spark.createDataFrame(
+    head = local_rows_df(
+        spark,
         [
             ("component", i, v[i], v[i] / float(_SPC_SCALE))
             for i in range(d)

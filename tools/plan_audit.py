@@ -63,13 +63,13 @@ NOTES = {
     "max_dup_span_stats": "gram-keyed freq shuffle + join-back + ONE doc_id shuffle of gram START positions only (no N-exploded cover indexes); interval merge via JVM lambdas on the sorted starts (no window)",
     "cdc_chunks": "ZERO shuffles: tokenize, md5 boundary filter, and chunk lengths are all JVM higher-order lambdas over the per-doc token array",
     "decontaminate_pairs": "bench grams broadcast (capped) — corpus gram stream probed map-side; (doc,bench) agg + struct-max argmax, no window",
-    "minhash_calibration": "shares the twin's scored-pairs plan (localCheckpointed); true Jaccard via one (doc,h) equi-join over bucket-capped candidates; integer-exact cross-agg math",
+    "minhash_calibration": "shares the twin's scored-pairs plan (localCheckpointed), whose signature pass reads the SAME checkpointed distinct shingle-hash set as the truth side (min-invariant), so the corpus md5 string kernel runs once; true Jaccard via one (doc,h) equi-join over bucket-capped candidates; integer-exact cross-agg math",
     "ann_calibration": "three deterministic ANN twins vs exact top-k: queries/centroids/codebooks broadcast, corpus passes narrow (sig/assign/encode), exact panel localCheckpointed and reused by truth + reranks; per-query windows bounded at 8 partitions",
     "leakage_safe_split": "exact-dup edges from one digest shuffle (group-min root, linear); Jaccard slice reuses the CC truth path; split + leak audit are a projection + one component agg",
     "source_pagerank": "edge weights from the hot-gram-df-capped per-gram source-set agg (no gram self-join; stop-grams > _GRAM_SRC_CAP sources dropped in BOTH engines, r8); 5 power-iteration steps = broadcast joins of the catalog-sized rank vector against the ONE checkpointed edge list; pure integer fixed-point, bit-stable under any partitioning (pinned by test), runtime w*SCALE overflow guard",
     "bpe_merge_calibration": "ONE corpus pass (word_counts map-side agg); the 8-merge training loop runs on the bounded vocab table (driver tier asserted; DataFrame tier parity-tested in bpe_train)",
     "spectral_power_calibration": "ONE Arrow pass of exact int64 GEMM partials (order-free integer sums); 64x64 squaring loop is SF-independent driver integer math; report is dimension-sized",
-    "kmeans_calibration": "quantize once (localCheckpoint) then _KMC_ITERS+1 linear passes: assignment is a NARROW codegen map (centroid literals inlined, no broadcast/shuffle), update is ONE map-side-combined groupBy collapsing N x d to k x d partials; driver holds only the k x d centroid matrix — the MLlib treeAggregate shape, pure int64 (bit-stable)",
+    "kmeans_calibration": "quantize once (localCheckpoint) then _KMC_ITERS+1 linear passes: assignment is a NARROW map (centroid matrix rides as one complex-typed literal looped by zip_with — stable codegen source across iterations, no broadcast/shuffle), update is ONE map-side-combined groupBy collapsing N x d to k x d partials; driver holds only the k x d centroid matrix — the MLlib treeAggregate shape, pure int64 (bit-stable)",
     "featurize_calibration": "the quality classifier's ONE Arrow featurize pass (hashing trick, no vocabulary, no shuffle) + a bucket posexplode projection; report ratios are exact int/int doubles via the round-pair",
     "irls_stats_calibration": "one featurize pass (localCheckpoint: guard + partials share it) then ONE Arrow int64-GEMM pass emitting per-partition sufficient-stat partials (the _newton_stats/treeAggregate shape); collect is partials-sized (1 row/partition), driver sum is exact python int; report built driver-side from 421 values",
     "pca_calibration": "one linear pass quantizes + accumulates the d x d centered-Gram partials (map-side combine), then driver-side integer repeated squaring of a d x d matrix (corpus-size-free) and one broadcast projection pass; collect is d^2-sized",
@@ -236,7 +236,7 @@ SHUFFLE_BASELINE = {
     "context_chunks": 0,
     "token_budget_mix": 3,
     "token_rarity_score": 4,
-    "semantic_dedup": 2,
+    "semantic_dedup": 0,
     "benchmark_decontaminate": 3,
     "dedup_incremental": 2,
     "zorder_key": 0,
@@ -286,7 +286,7 @@ SHUFFLE_BASELINE = {
     "decontaminate_pairs": 4,
     "minhash_calibration": 4,
     "ann_calibration": 17,
-    "leakage_safe_split": 7,
+    "leakage_safe_split": 2,
     "source_pagerank": 5,
     "bpe_merge_calibration": 0,
     "spectral_power_calibration": 0,
@@ -294,7 +294,7 @@ SHUFFLE_BASELINE = {
     # r14: the defaultParallelism repartition ahead of the Arrow kernel is
     # now size-capped (a few MB of text stays at its scan partitioning), so
     # the round-robin Exchange is gone at bench scale
-    "featurize_calibration": 0,
+    "featurize_calibration": 1,
     "irls_stats_calibration": 0,
     "pca_calibration": 0,
     "embedding_quantization": 0,
