@@ -547,9 +547,20 @@ def source_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = pairs.groupBy("src", "dst").agg(
         F.count(F.lit(1)).cast("bigint").alias("w")
     )
+    from pyspark.sql import Observation
+
     outw = edges.groupBy("src").agg(F.sum("w").cast("bigint").alias("ow"))
-    # one checkpoint each: edges feed every iteration, nodes every spine
-    edges_ow = edges.join(outw, "src").localCheckpoint(eager=True)
+    # one checkpoint each: edges feed every iteration, nodes every spine.
+    # r14: the overflow guard's max(w) and the node count are OBSERVED
+    # during the two checkpoint jobs (the connected_components obs0
+    # pattern) instead of running one extra driver job each — two fewer
+    # jobs per query, identical values.
+    obs_e = Observation()
+    edges_ow = (
+        edges.join(outw, "src")
+        .observe(obs_e, F.max("w").alias("mw"))
+        .localCheckpoint(eager=True)
+    )
     # Runtime overflow guard (ADVICE r7): the iteration computes
     # (w * r) DIV ow in non-ANSI int64, which wraps SILENTLY on overflow
     # while the DuckDB oracle's BIGINT multiply errors loudly. r never
@@ -557,13 +568,19 @@ def source_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # it), so enforcing max(w) * _PR_SCALE < 2^63 on the materialized
     # edge list makes a too-heavy graph fail identically in both engines
     # (the spectral operator's per-batch GEMM assert, applied here).
-    max_w = edges_ow.agg(F.max("w").alias("m")).collect()[0]["m"]
+    max_w = obs_e.get["mw"]
     assert max_w is None or max_w * _PR_SCALE < 2**63, (
         f"edge weight {max_w} x _PR_SCALE would overflow the int64"
         " contribution product; drop _PR_SCALE a decade (see block comment)"
     )
-    nodes = docs.select("source").distinct().localCheckpoint(eager=True)
-    n_sources = nodes.count()
+    obs_n = Observation()
+    nodes = (
+        docs.select("source")
+        .distinct()
+        .observe(obs_n, F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=True)
+    )
+    n_sources = obs_n.get["n"]
     base = (15 * _PR_SCALE) // (100 * n_sources)
 
     ranks = nodes.select(

@@ -1224,54 +1224,58 @@ def _minhash_md5_scored_pairs(
             ).alias(f"m{i}")
             for i, (a, b) in enumerate(_MH_PERMS)
         ]
-    mins = sh.groupBy("doc_id").agg(*perm_cols)
-    mins.persist()
-    try:
-        band_exprs = ", ".join(
-            "{b}, concat_ws(',', {cols})".format(
-                b=b,
-                cols=", ".join(
-                    f"m{i}"
-                    for i in range(
-                        b * _MD5_ROWS_PER_BAND, (b + 1) * _MD5_ROWS_PER_BAND
-                    )
-                ),
-            )
-            for b in range(_MD5_N_HASHES // _MD5_ROWS_PER_BAND)
-        )
-        bands = mins.select(
-            "doc_id",
-            F.expr(
-                f"stack({_MD5_N_HASHES // _MD5_ROWS_PER_BAND}, {band_exprs})"
-                " AS (band_idx, band_val)"
+    # r14: mins is localCheckpointed (3 consumers: bands, ma, mb) instead
+    # of persist()+finally-unpersist. The old shape forced the FINAL
+    # scored-pairs frame to be eagerly checkpointed before the unpersist,
+    # i.e. the whole band/pair/verify pipeline executed at construction
+    # time and then re-materialized into block storage (the setsim
+    # persist lesson, same round).
+    mins = sh.groupBy("doc_id").agg(*perm_cols).localCheckpoint(eager=True)
+    band_exprs = ", ".join(
+        "{b}, concat_ws(',', {cols})".format(
+            b=b,
+            cols=", ".join(
+                f"m{i}"
+                for i in range(
+                    b * _MD5_ROWS_PER_BAND, (b + 1) * _MD5_ROWS_PER_BAND
+                )
             ),
         )
-        # hot-bucket cap ACTIVE and ENCODED IN THE ORACLE (capped CTE):
-        # both engines drop the same over-cap buckets, so the comparison
-        # stays value-exact at any SF while an exact-dup mega-cluster
-        # can't quadratically dominate the pair join (measured 80s vs 3s
-        # at sf1 uncapped vs capped).
-        pairs = bucket_pairs(bands)
-        ma = mins.select(
-            F.col("doc_id").alias("doc_a"),
-            *[F.col(f"m{i}").alias(f"a{i}") for i in range(_MD5_N_HASHES)],
-        )
-        mb = mins.select(
-            F.col("doc_id").alias("doc_b"),
-            *[F.col(f"m{i}").alias(f"b{i}") for i in range(_MD5_N_HASHES)],
-        )
-        matches = F.expr(
-            " + ".join(f"IF(a{i} = b{i}, 1, 0)" for i in range(_MD5_N_HASHES))
-        )
-        out = (
-            pairs.join(ma, "doc_a")
-            .join(mb, "doc_b")
-            .select("doc_a", "doc_b", matches.cast("int").alias("matches"))
-            .localCheckpoint(eager=True)
-        )
-    finally:
-        mins.unpersist()
-    return out
+        for b in range(_MD5_N_HASHES // _MD5_ROWS_PER_BAND)
+    )
+    bands = mins.select(
+        "doc_id",
+        F.expr(
+            f"stack({_MD5_N_HASHES // _MD5_ROWS_PER_BAND}, {band_exprs})"
+            " AS (band_idx, band_val)"
+        ),
+    )
+    # hot-bucket cap ACTIVE and ENCODED IN THE ORACLE (capped CTE):
+    # both engines drop the same over-cap buckets, so the comparison
+    # stays value-exact at any SF while an exact-dup mega-cluster
+    # can't quadratically dominate the pair join (measured 80s vs 3s
+    # at sf1 uncapped vs capped).
+    pairs = bucket_pairs(bands)
+    ma = mins.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"m{i}").alias(f"a{i}") for i in range(_MD5_N_HASHES)],
+    )
+    mb = mins.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"m{i}").alias(f"b{i}") for i in range(_MD5_N_HASHES)],
+    )
+    matches = F.expr(
+        " + ".join(f"IF(a{i} = b{i}, 1, 0)" for i in range(_MD5_N_HASHES))
+    )
+    # No result checkpoint: both callers consume the scored pairs in ONE
+    # plan branch (the twin's threshold filter; the calibration's inter
+    # join carries matches through its aggregate), and the checkpointed
+    # mins already bounds the recompute depth.
+    return (
+        pairs.join(ma, "doc_a")
+        .join(mb, "doc_b")
+        .select("doc_a", "doc_b", matches.cast("int").alias("matches"))
+    )
 
 
 
@@ -1768,34 +1772,34 @@ def simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"IF(2 * o{b} >= n, {1 << b}L, 0L)" for b in range(_SH_BITS)
     )
     fps = agg.select("doc_id", F.expr(fp_sql).alias("fp"))
-    fps.persist()
-    try:
-        band_exprs = ", ".join(
-            f"{b}, shiftright(fp, {_SH_BAND_BITS * b}) & {(1 << _SH_BAND_BITS) - 1}"
-            for b in range(_SH_BANDS)
+    # r14: fps is localCheckpointed (3 consumers: bands, fa, fb) instead
+    # of persist()+finally-unpersist, which forced the final pair frame
+    # to be eagerly checkpointed at construction time (the setsim
+    # persist lesson); the result filter is single-consumer and lazy.
+    fps = fps.localCheckpoint(eager=True)
+    band_exprs = ", ".join(
+        f"{b}, shiftright(fp, {_SH_BAND_BITS * b}) & {(1 << _SH_BAND_BITS) - 1}"
+        for b in range(_SH_BANDS)
+    )
+    bands = fps.select(
+        "doc_id",
+        F.expr(f"stack({_SH_BANDS}, {band_exprs}) AS (band_idx, band_val)"),
+    )
+    pairs = bucket_pairs(bands)
+    fa = fps.select(F.col("doc_id").alias("doc_a"), F.col("fp").alias("fp_a"))
+    fb = fps.select(F.col("doc_id").alias("doc_b"), F.col("fp").alias("fp_b"))
+    out = (
+        pairs.join(fa, "doc_a")
+        .join(fb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
+            .cast("int")
+            .alias("hamming"),
         )
-        bands = fps.select(
-            "doc_id",
-            F.expr(f"stack({_SH_BANDS}, {band_exprs}) AS (band_idx, band_val)"),
-        )
-        pairs = bucket_pairs(bands)
-        fa = fps.select(F.col("doc_id").alias("doc_a"), F.col("fp").alias("fp_a"))
-        fb = fps.select(F.col("doc_id").alias("doc_b"), F.col("fp").alias("fp_b"))
-        out = (
-            pairs.join(fa, "doc_a")
-            .join(fb, "doc_b")
-            .select(
-                "doc_a",
-                "doc_b",
-                F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
-                .cast("int")
-                .alias("hamming"),
-            )
-            .filter(F.col("hamming") <= _SH_HAMMING)
-            .localCheckpoint(eager=True)
-        )
-    finally:
-        fps.unpersist()
+        .filter(F.col("hamming") <= _SH_HAMMING)
+    )
     return out
 
 
@@ -1890,75 +1894,80 @@ def setsim_join_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
             "prefix",
             F.expr(f"slice(tokens, 1, sz - CAST(ceil({_SETSIM_T} * sz) AS INT) + 1)"),
         )
+        # r14: localCheckpoint instead of persist()+unpersist(). The old
+        # persist forced the FINAL result to be eagerly checkpointed
+        # before the finally-block unpersist — i.e. the whole candidate
+        # join + verify executed at DataFrame-construction time and then
+        # a second materialization wrote the result to block storage.
+        # Checkpointing `ordered` (its three consumers: pref, a, b) keeps
+        # the query lazy, drops the extra result materialization, and
+        # matches the lifetime discipline of every other checkpoint in
+        # this file (blocks freed when the frame is released).
+        .localCheckpoint(eager=True)
     )
-    ordered.persist()
-    try:
-        # Candidate generation with the PPJoin length + positional
-        # filters (see block comment). NO hot-bucket cap here: dropping
-        # a bucket is fine for LSH (lossy by design) but would break
-        # this operator's lossless contract. Prefix tokens are
-        # globally-rare by construction (frequency-ascending order), so
-        # buckets stay small on natural corpora.
-        pref = ordered.select(
-            "doc_id", "sz", F.posexplode("prefix").alias("pos", "w")
-        ).withColumn("pos", F.col("pos") + 1)
-        pa = pref.select(
-            F.col("doc_id").alias("doc_a"),
-            F.col("sz").alias("sz_a"),
-            F.col("pos").alias("pos_a"),
-            "w",
+    # Candidate generation with the PPJoin length + positional
+    # filters (see block comment). NO hot-bucket cap here: dropping
+    # a bucket is fine for LSH (lossy by design) but would break
+    # this operator's lossless contract. Prefix tokens are
+    # globally-rare by construction (frequency-ascending order), so
+    # buckets stay small on natural corpora.
+    pref = ordered.select(
+        "doc_id", "sz", F.posexplode("prefix").alias("pos", "w")
+    ).withColumn("pos", F.col("pos") + 1)
+    pa = pref.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("sz").alias("sz_a"),
+        F.col("pos").alias("pos_a"),
+        "w",
+    )
+    pb = pref.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("sz").alias("sz_b"),
+        F.col("pos").alias("pos_b"),
+        "w",
+    )
+    alpha = F.ceil(
+        F.lit(_SETSIM_T) / (1 + _SETSIM_T) * (F.col("sz_a") + F.col("sz_b"))
+    )
+    cand = (
+        pa.join(pb, "w")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .filter(
+            F.least("sz_a", "sz_b") >= _SETSIM_T * F.greatest("sz_a", "sz_b")
         )
-        pb = pref.select(
-            F.col("doc_id").alias("doc_b"),
-            F.col("sz").alias("sz_b"),
-            F.col("pos").alias("pos_b"),
-            "w",
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.max(
+                1
+                + F.least(
+                    F.col("sz_a") - F.col("pos_a"), F.col("sz_b") - F.col("pos_b")
+                )
+            ).alias("__ub"),
+            F.first(alpha).alias("__alpha"),
         )
-        alpha = F.ceil(
-            F.lit(_SETSIM_T) / (1 + _SETSIM_T) * (F.col("sz_a") + F.col("sz_b"))
+        .filter(F.col("__ub") >= F.col("__alpha"))
+        .select("doc_a", "doc_b")
+    )
+    a = ordered.select(
+        F.col("doc_id").alias("doc_a"), F.col("tokens").alias("t_a"), F.col("sz").alias("sz_a")
+    )
+    b = ordered.select(
+        F.col("doc_id").alias("doc_b"), F.col("tokens").alias("t_b"), F.col("sz").alias("sz_b")
+    )
+    inter = F.size(F.array_intersect("t_a", "t_b")).cast("bigint")
+    jac = inter.cast("decimal(18,6)") / (F.col("sz_a") + F.col("sz_b") - inter)
+    out = (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(jac, 4).cast("double").alias("jaccard"),
+            jac.alias("__j"),
         )
-        cand = (
-            pa.join(pb, "w")
-            .filter(F.col("doc_a") < F.col("doc_b"))
-            .filter(
-                F.least("sz_a", "sz_b") >= _SETSIM_T * F.greatest("sz_a", "sz_b")
-            )
-            .groupBy("doc_a", "doc_b")
-            .agg(
-                F.max(
-                    1
-                    + F.least(
-                        F.col("sz_a") - F.col("pos_a"), F.col("sz_b") - F.col("pos_b")
-                    )
-                ).alias("__ub"),
-                F.first(alpha).alias("__alpha"),
-            )
-            .filter(F.col("__ub") >= F.col("__alpha"))
-            .select("doc_a", "doc_b")
-        )
-        a = ordered.select(
-            F.col("doc_id").alias("doc_a"), F.col("tokens").alias("t_a"), F.col("sz").alias("sz_a")
-        )
-        b = ordered.select(
-            F.col("doc_id").alias("doc_b"), F.col("tokens").alias("t_b"), F.col("sz").alias("sz_b")
-        )
-        inter = F.size(F.array_intersect("t_a", "t_b")).cast("bigint")
-        jac = inter.cast("decimal(18,6)") / (F.col("sz_a") + F.col("sz_b") - inter)
-        out = (
-            cand.join(a, "doc_a")
-            .join(b, "doc_b")
-            .select(
-                "doc_a",
-                "doc_b",
-                F.round(jac, 4).cast("double").alias("jaccard"),
-                jac.alias("__j"),
-            )
-            .filter(F.col("__j") >= _SETSIM_T)
-            .drop("__j")
-            .localCheckpoint(eager=True)
-        )
-    finally:
-        ordered.unpersist()
+        .filter(F.col("__j") >= _SETSIM_T)
+        .drop("__j")
+    )
     return out
 
 

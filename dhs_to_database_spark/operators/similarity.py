@@ -32,12 +32,31 @@ _TOP_K = 5
 
 
 def dot(a: str | Column, b: str | Column) -> Column:
-    """Double-precision dot product of two array<float> columns."""
+    """Double-precision dot product of two array<float> columns.
+
+    String column names take a ONE-parse F.expr fast path: each
+    Python-lambda higher-order build costs ~40-70 ms of py4j round-trips
+    (measured via cProfile on ann_calibration's construction — 12 HOF
+    builds were ~1 s of driver time), while the parsed string is one
+    call producing the IDENTICAL Catalyst tree (same casts, same 0.0D
+    init, same fold order — bit-identical results, pinned by the oracle
+    + bitwise gates)."""
+    if isinstance(a, str) and isinstance(b, str):
+        return F.expr(
+            f"aggregate(zip_with(`{a}`, `{b}`,"
+            f" (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+            f" 0.0D, (acc, x) -> acc + x)"
+        )
     prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
     return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
 
 
 def l2_norm(a: str | Column) -> Column:
+    if isinstance(a, str):
+        return F.expr(
+            f"sqrt(aggregate(`{a}`, 0.0D,"
+            f" (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
+        )
     return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")))
 
 
@@ -473,42 +492,32 @@ def _kmc_oracle() -> str:
 def _kmc_assign_expr(
     centroids: "list[tuple[int, list[int]]]",
 ) -> "Column":
-    """(dist, cell) struct of the argmin centroid — pure int64
-    arithmetic; array_min's struct ordering = (dist ASC, cell ASC) — the
-    oracle's exact tie-break.
+    """(dist, cell) struct of the argmin centroid — ONE F.expr SQL string
+    (nested py4j Column ops cost ~1ms/call; see the r6 ann_calibration
+    note), pure int64 arithmetic, array_min's struct ordering =
+    (dist ASC, cell ASC) — the oracle's exact tie-break.
 
-    r14 (guide §1.2 per-task work): the centroid matrix rides in as TWO
-    complex-typed literals (cells, vecs) looped by zip_with instead of K
-    unrolled `struct(aggregate(zip_with(q, array(<dim inline literals>),
-    ...)))` branches. Complex literals land in the codegen `references`
-    array, not the generated source, so every Lloyd iteration (new
-    centroid VALUES, same expression SHAPE) produces byte-identical
-    codegen source and hits the compiled-class cache — the old form
-    C2-JIT-compiled a fresh ~K*dim-constant class per iteration, which
-    dominated the wall-clock of this driver-looped kernel. Same distance,
-    same tie-break, same int64 maths; bit-identical output (oracle +
-    bitwise probe)."""
-    cells = F.lit([int(cid) for cid, _ in centroids]).cast("array<int>")
-    vecs = F.lit([[int(v) for v in cv] for _, cv in centroids]).cast(
-        "array<array<bigint>>"
-    )
-
-    def dist(cv: "Column") -> "Column":
-        return F.aggregate(
-            F.zip_with(F.col("q"), cv, lambda a, b: (a - b) * (a - b)),
-            F.lit(0).cast("bigint"),
-            lambda acc, x: acc + x,
+    r14 measurement note: an intermediate r14 form built this via
+    F.lit(nested list) + Python-lambda zip_with to keep centroid values
+    out of the codegen source (compiled-class cache stability across
+    Lloyd iterations). Instrumented per-phase timing showed that form
+    spends 1.2-2.5 s PER ITERATION on the driver just CONSTRUCTING the
+    expression — py4j auto-converts a Python list one element-RPC at a
+    time, so the K x dim literal matrix alone costs ~520 round-trips —
+    while the codegen concern it addressed is moot: ConstantFolding
+    collapses the string form's foldable `array(<literals>)` into a
+    single ArrayData literal (references-array, not source text) before
+    codegen anyway. One parsed string = one py4j call; the update agg's
+    struct-of-sums keeps the same economy."""
+    structs = []
+    for cid, cv in centroids:
+        arr = ", ".join(f"{v}L" for v in cv)
+        dist = (
+            f"aggregate(zip_with(q, array({arr}),"
+            f" (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)"
         )
-
-    return F.array_min(
-        F.zip_with(
-            cells,
-            vecs,
-            lambda cell, cv: F.struct(
-                dist(cv).alias("dist"), cell.alias("cell")
-            ),
-        )
-    )
+        structs.append(f"struct({dist} AS dist, {cid} AS cell)")
+    return F.expr(f"array_min(array({', '.join(structs)}))")
 
 
 @query("kmeans_calibration", oracle=_kmc_oracle())
@@ -517,6 +526,13 @@ def kmeans_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     (see block comment): per (cell, pos) rows of the final centroids
     (c_fp, c) plus each cell's n_assigned and inertia under those
     centroids — all hash-compared against the unrolled DuckDB twin."""
+    from pyspark.sql import Observation
+
+    # r14: the overflow-guard stats (n, max|q|, dim) are OBSERVED during
+    # the checkpoint job (the connected_components obs0 pattern) instead
+    # of running a separate agg job over the checkpointed frame — one
+    # fewer job, identical values.
+    obs = Observation()
     emb = (
         load_table(spark, sf_dir, "embeddings")
         .select(
@@ -525,6 +541,14 @@ def kmeans_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f"transform(embedding, x ->"
                 f" CAST(round(CAST(x AS DOUBLE) * {_KMC_Q}.0) AS BIGINT))"
             ).alias("q"),
+        )
+        .observe(
+            obs,
+            F.count(F.lit(1)).alias("n"),
+            F.max(F.expr("array_max(transform(q, x -> abs(x)))")).alias(
+                "maxq"
+            ),
+            F.max(F.size("q")).alias("dim"),
         )
         # scanned _KMC_ITERS + 2 times (count/init + updates + report):
         # quantize once, not per pass
@@ -540,11 +564,7 @@ def kmeans_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     # a too-heavy corpus fails identically in both engines, the same
     # recipe as source_pagerank's max(w) * _PR_SCALE guard
     # (clustering.py) and the spectral twin's per-batch GEMM assert.
-    stats = emb.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.max(F.expr("array_max(transform(q, x -> abs(x)))")).alias("maxq"),
-        F.max(F.size("q")).alias("dim"),
-    ).collect()[0]
+    stats = obs.get
     n, maxq, dim = stats["n"], stats["maxq"] or 0, stats["dim"] or 0
     assert 4 * maxq * maxq * dim < 2**63, (
         f"max|q|={maxq} at dim={dim} would overflow the int64 squared-L2"
@@ -1585,8 +1605,13 @@ def ann_calibration(
 
     # ===== lsh_md5 twin =====
     sig_cols = [_cal_lsh_sig("embedding", t).alias(f"b{t}") for t in range(_CAL_TABLES)]
-    # one signature pass, memoized: buckets AND qprobes read it
-    corpus_sigs = emb.select("vec_id", *sig_cols).localCheckpoint(eager=True)
+    # ONE corpus-scale signature pass either way: buckets is the only
+    # corpus-sized consumer, and qprobes' branch computes signatures for
+    # just the _N_QUERIES rows its vec_id filter pushes into the scan —
+    # so the r14 audit dropped the eager localCheckpoint that used to
+    # "memoize" this (it was an extra materialization job + block
+    # write/read, not a saved pass).
+    corpus_sigs = emb.select("vec_id", *sig_cols)
     buckets = corpus_sigs.select(
         "vec_id",
         F.posexplode(F.array(*[f"b{t}" for t in range(_CAL_TABLES)])).alias(

@@ -810,11 +810,17 @@ def misra_gries_candidates(
 )
 def frequent_terms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact top-{k} terms via sketch-then-verify (see module comment)."""
+    from pyspark.sql import Observation
+
     d = load_table(spark, sf_dir, "documents")
     cands = misra_gries_candidates(d).select("term").distinct()
+    # r14: the guard's total token count is OBSERVED on the token stream
+    # during the verify pass (pre-join, so it sees every token) instead
+    # of re-running the corpus-wide scan+split+explode as a second job.
+    obs = Observation()
     toks = d.select(
         F.explode(F.split(F.trim(F.col("text")), r"[ \t\n\x0b\f\r]+")).alias("term")
-    )
+    ).observe(obs, F.count(F.lit(1)).alias("nt"))
     counted = (
         toks.join(F.broadcast(cands), "term")
         .groupBy("term")
@@ -825,7 +831,7 @@ def frequent_terms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # count > N/capacity; if the k-th reported count is inside that noise
     # floor the top-k could be wrong — fail loudly, never approximate.
     rows = top.collect()
-    n_total = toks.count()
+    n_total = obs.get["nt"]
     floor = n_total / _MG_CAPACITY
     if rows and rows[-1]["n"] <= floor:
         raise RuntimeError(
@@ -1018,40 +1024,41 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf = toks.groupBy("doc_id", "term").agg(
         F.count(F.lit(1)).cast("bigint").alias("tf")
     )
-    tf.persist()
-    try:
-        dl = tf.groupBy("doc_id").agg(F.sum("tf").cast("bigint").alias("dl"))
-        # 1-row stats frame cross-joined (broadcast) instead of a driver
-        # collect: the whole query is ONE action, so the persisted tf is
-        # materialized once and every derived table reads the cache.
-        stats = dl.agg(
-            F.count(F.lit(1)).cast("double").alias("n_docs"),
-            F.avg(F.col("dl").cast("double")).alias("avgdl"),
+    # r14: tf is localCheckpointed (3 consumers: dl, dfreq, qtf) instead of
+    # persist()+finally-unpersist, which forced the final result to be
+    # eagerly checkpointed at construction time (the setsim persist
+    # lesson): the whole query executed while BUILDING the DataFrame
+    # and then re-materialized into block storage.
+    tf = tf.localCheckpoint(eager=True)
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").cast("bigint").alias("dl"))
+    # 1-row stats frame cross-joined (broadcast) instead of a driver
+    # collect: the whole query is ONE action, so the persisted tf is
+    # materialized once and every derived table reads the cache.
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.avg(F.col("dl").cast("double")).alias("avgdl"),
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    qtf = tf.filter(F.col("term").isin(*_BM25_QUERY))
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    contrib = idf * (F.col("tf") * (_BM25_K1 + 1.0)) / (
+        F.col("tf")
+        + _BM25_K1 * (1.0 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
+    )
+    out = (
+        qtf.join(F.broadcast(dfreq), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_terms_hit"),
+            F.round(F.sum(contrib), 4).cast("double").alias("bm25"),
         )
-        dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
-        qtf = tf.filter(F.col("term").isin(*_BM25_QUERY))
-        idf = F.log(
-            (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
-        )
-        contrib = idf * (F.col("tf") * (_BM25_K1 + 1.0)) / (
-            F.col("tf")
-            + _BM25_K1 * (1.0 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
-        )
-        out = (
-            qtf.join(F.broadcast(dfreq), "term")
-            .join(dl, "doc_id")
-            .crossJoin(F.broadcast(stats))
-            .groupBy("doc_id")
-            .agg(
-                F.count(F.lit(1)).cast("bigint").alias("n_terms_hit"),
-                F.round(F.sum(contrib), 4).cast("double").alias("bm25"),
-            )
-            .orderBy(F.desc("bm25"), F.asc("doc_id"))
-            .limit(_BM25_TOPK)
-            .localCheckpoint(eager=True)  # <= 20 rows; lets tf release below
-        )
-    finally:
-        tf.unpersist()
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(_BM25_TOPK)
+    )
     return out
 
 
@@ -1186,45 +1193,46 @@ def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("p.w1", "p.w2")
     )
-    bigrams.persist()
-    try:
-        uni = (
-            toks.select(F.explode("t").alias("w"))
-            .filter(F.col("w") != "")
-            .groupBy("w")
-            .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    # r14: bigrams is localCheckpointed (2 consumers: pair_counts, tot) instead of
+    # persist()+finally-unpersist, which forced the final result to be
+    # eagerly checkpointed at construction time (the setsim persist
+    # lesson): the whole query executed while BUILDING the DataFrame
+    # and then re-materialized into block storage.
+    bigrams = bigrams.localCheckpoint(eager=True)
+    uni = (
+        toks.select(F.explode("t").alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    pair_counts = bigrams.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c_ab")
+    )
+    tot = bigrams.agg(F.count(F.lit(1)).cast("double").alias("nb")).crossJoin(
+        uni.agg(F.sum("c").cast("double").alias("tu"))
+    )
+    ua = uni.select(F.col("w").alias("w1"), F.col("c").alias("c_a"))
+    ub = uni.select(F.col("w").alias("w2"), F.col("c").alias("c_b"))
+    # + 0.0 pins the rounded-to-zero sign in both engines (r12 class)
+    pmi = (
+        F.round(
+            F.log(
+                (F.col("c_ab").cast("double") * F.col("tu") * F.col("tu"))
+                / (F.col("nb") * F.col("c_a") * F.col("c_b"))
+            ),
+            4,
         )
-        pair_counts = bigrams.groupBy("w1", "w2").agg(
-            F.count(F.lit(1)).cast("bigint").alias("c_ab")
-        )
-        tot = bigrams.agg(F.count(F.lit(1)).cast("double").alias("nb")).crossJoin(
-            uni.agg(F.sum("c").cast("double").alias("tu"))
-        )
-        ua = uni.select(F.col("w").alias("w1"), F.col("c").alias("c_a"))
-        ub = uni.select(F.col("w").alias("w2"), F.col("c").alias("c_b"))
-        # + 0.0 pins the rounded-to-zero sign in both engines (r12 class)
-        pmi = (
-            F.round(
-                F.log(
-                    (F.col("c_ab").cast("double") * F.col("tu") * F.col("tu"))
-                    / (F.col("nb") * F.col("c_a") * F.col("c_b"))
-                ),
-                4,
-            )
-            + F.lit(0.0)
-        ).cast("double")
-        out = (
-            pair_counts.filter(F.col("c_ab") >= _PMI_MIN_COUNT)
-            .join(F.broadcast(ua), "w1")
-            .join(F.broadcast(ub), "w2")
-            .crossJoin(F.broadcast(tot))
-            .select("w1", "w2", "c_ab", pmi.alias("pmi"))
-            .orderBy(F.desc("pmi"), "w1", "w2")
-            .limit(_PMI_TOPK)
-            .localCheckpoint(eager=True)
-        )
-    finally:
-        bigrams.unpersist()
+        + F.lit(0.0)
+    ).cast("double")
+    out = (
+        pair_counts.filter(F.col("c_ab") >= _PMI_MIN_COUNT)
+        .join(F.broadcast(ua), "w1")
+        .join(F.broadcast(ub), "w2")
+        .crossJoin(F.broadcast(tot))
+        .select("w1", "w2", "c_ab", pmi.alias("pmi"))
+        .orderBy(F.desc("pmi"), "w1", "w2")
+        .limit(_PMI_TOPK)
+    )
     return out
 
 
@@ -1533,53 +1541,54 @@ def doc_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     dbg = bigrams.groupBy("doc_id", "w1", "w2").agg(
         F.count(F.lit(1)).cast("bigint").alias("k")
     )
-    dbg.persist()
-    try:
-        uni = (
-            toks.select(F.explode("t").alias("w"))
-            .filter(F.col("w") != "")
-            .groupBy("w")
-            .agg(F.count(F.lit(1)).cast("bigint").alias("c1"))
-        )
-        tot = uni.agg(
-            F.sum("c1").cast("bigint").alias("t_tokens"),
-            F.count(F.lit(1)).cast("bigint").alias("v"),
-        )
-        model = dbg.groupBy("w1", "w2").agg(
-            F.sum("k").cast("bigint").alias("c2")
-        )
-        ua = uni.select(F.col("w").alias("w1"), F.col("c1").alias("c1_a"))
-        ub = uni.select(F.col("w").alias("w2"), F.col("c1").alias("c1_b"))
-        nll = F.round(
-            -F.log(
-                F.lit(_PPL_LAMBDA) * F.col("c2").cast("double") / F.col("c1_a")
-                + F.lit(1 - _PPL_LAMBDA)
-                * (F.col("c1_b") + 1.0)
-                / (F.col("t_tokens") + F.col("v"))
-            ),
-            8,
-        ).cast("decimal(28,8)")
-        probs = (
-            model.join(F.broadcast(ua), "w1")
-            .join(F.broadcast(ub), "w2")
-            .crossJoin(F.broadcast(tot))
-            .select("w1", "w2", nll.alias("nll"))
-        )
-        out = (
-            dbg.join(probs, ["w1", "w2"])
-            .groupBy("doc_id")
-            .agg(
-                F.sum("k").cast("bigint").alias("n_bigrams"),
-                F.round(
-                    F.sum(F.col("nll") * F.col("k")).cast("double") / F.sum("k"), 4
-                )
-                .cast("double")
-                .alias("xent_nats"),
+    # r14: dbg is localCheckpointed (2 consumers: model, scoring join) instead of
+    # persist()+finally-unpersist, which forced the final result to be
+    # eagerly checkpointed at construction time (the setsim persist
+    # lesson): the whole query executed while BUILDING the DataFrame
+    # and then re-materialized into block storage.
+    dbg = dbg.localCheckpoint(eager=True)
+    uni = (
+        toks.select(F.explode("t").alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c1"))
+    )
+    tot = uni.agg(
+        F.sum("c1").cast("bigint").alias("t_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("v"),
+    )
+    model = dbg.groupBy("w1", "w2").agg(
+        F.sum("k").cast("bigint").alias("c2")
+    )
+    ua = uni.select(F.col("w").alias("w1"), F.col("c1").alias("c1_a"))
+    ub = uni.select(F.col("w").alias("w2"), F.col("c1").alias("c1_b"))
+    nll = F.round(
+        -F.log(
+            F.lit(_PPL_LAMBDA) * F.col("c2").cast("double") / F.col("c1_a")
+            + F.lit(1 - _PPL_LAMBDA)
+            * (F.col("c1_b") + 1.0)
+            / (F.col("t_tokens") + F.col("v"))
+        ),
+        8,
+    ).cast("decimal(28,8)")
+    probs = (
+        model.join(F.broadcast(ua), "w1")
+        .join(F.broadcast(ub), "w2")
+        .crossJoin(F.broadcast(tot))
+        .select("w1", "w2", nll.alias("nll"))
+    )
+    out = (
+        dbg.join(probs, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.sum("k").cast("bigint").alias("n_bigrams"),
+            F.round(
+                F.sum(F.col("nll") * F.col("k")).cast("double") / F.sum("k"), 4
             )
-            .localCheckpoint(eager=True)
+            .cast("double")
+            .alias("xent_nats"),
         )
-    finally:
-        dbg.unpersist()
+    )
     return out
 
 

@@ -63,12 +63,22 @@ def test_bucket_pairs_caps_hot_buckets(spark):
 def test_near_dup_queries_release_their_caches(spark):
     """minhash/simhash must not leak full-corpus signature/band caches into
     a shared session: their reuse path is a materialized parquet artifact
-    (the stored-table pattern), so block-manager storage stays untouched."""
-    before = len(spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray())
+    (the stored-table pattern), so block-manager storage stays untouched.
+
+    Compared as ID SETS, not counts: in a shared session the async
+    ContextCleaner may release OTHER queries' dropped localCheckpoint
+    blocks between the two reads, which would shrink a raw count and
+    flake the equality — the invariant here is only that THESE two
+    queries pin nothing new."""
+    before = {
+        k for k in spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray()
+    }
     minhash_near_dup(spark, SF_DIR).count()
     simhash_near_dup(spark, SF_DIR).count()
-    after = len(spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray())
-    assert after == before  # nothing pinned at all
+    after = {
+        k for k in spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray()
+    }
+    assert after <= before  # nothing NEW pinned by these queries
 
 
 def test_ann_recall_vs_brute_force(spark):

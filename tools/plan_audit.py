@@ -241,7 +241,7 @@ SHUFFLE_BASELINE = {
     "dedup_incremental": 2,
     "zorder_key": 0,
     "tfidf_topk": 4,
-    "bm25_search": 0,
+    "bm25_search": 5,
     "duplicate_spans": 2,
     "importance_weights": 4,
     "cohort_retention": 3,
@@ -250,11 +250,11 @@ SHUFFLE_BASELINE = {
     "moving_average_daily": 0,
     "scd2_asof_lookup": 0,
     "content_reconcile": 2,
-    "setsim_join_prefix": 0,
+    "setsim_join_prefix": 1,
     "word_entropy": 4,
     "weighted_sample_langs": 1,
-    "pmi_collocations": 0,
-    "hybrid_search_rrf": 1,
+    "pmi_collocations": 6,
+    "hybrid_search_rrf": 5,
     "profile_orders_columns": 12,
     "moment_stats": 1,
     "term_drift_kl": 4,
@@ -266,7 +266,7 @@ SHUFFLE_BASELINE = {
     "interval_join_attribution": 1,
     "range_frame_trailing": 0,
     "wow_growth": 0,
-    "doc_perplexity": 0,
+    "doc_perplexity": 6,
     "bpe_pair_counts": 2,
     "bpe_compression": 0,
     "pca_embedding_reduce": 0,
@@ -284,7 +284,7 @@ SHUFFLE_BASELINE = {
     "max_dup_span_stats": 2,
     "cdc_chunks": 0,
     "decontaminate_pairs": 4,
-    "minhash_calibration": 4,
+    "minhash_calibration": 6,
     "ann_calibration": 17,
     "leakage_safe_split": 2,
     "source_pagerank": 5,
