@@ -47,7 +47,7 @@ from .dedup import (
     ngram_jaccard_pairs,
 )
 from .registry import query
-from .util import local_rows_df
+from .util import eager_checkpoints, local_rows_df
 
 
 #: Edge sets at or below this size are solved on the driver (union-find).
@@ -556,10 +556,15 @@ def source_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pattern) instead of running one extra driver job each — two fewer
     # jobs per query, identical values.
     obs_e = Observation()
-    edges_ow = (
-        edges.join(outw, "src")
-        .observe(obs_e, F.max("w").alias("mw"))
-        .localCheckpoint(eager=True)
+    obs_n = Observation()
+    # edges_ow (corpus-derived gram pass) and nodes (catalog distinct) share
+    # no dependency: materialize both with their jobs in flight together
+    # (guide §2.6) instead of back-to-back.
+    edges_ow, nodes = eager_checkpoints(
+        edges.join(outw, "src").observe(obs_e, F.max("w").alias("mw")),
+        docs.select("source")
+        .distinct()
+        .observe(obs_n, F.count(F.lit(1)).alias("n")),
     )
     # Runtime overflow guard (ADVICE r7): the iteration computes
     # (w * r) DIV ow in non-ANSI int64, which wraps SILENTLY on overflow
@@ -572,13 +577,6 @@ def source_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     assert max_w is None or max_w * _PR_SCALE < 2**63, (
         f"edge weight {max_w} x _PR_SCALE would overflow the int64"
         " contribution product; drop _PR_SCALE a decade (see block comment)"
-    )
-    obs_n = Observation()
-    nodes = (
-        docs.select("source")
-        .distinct()
-        .observe(obs_n, F.count(F.lit(1)).alias("n"))
-        .localCheckpoint(eager=True)
     )
     n_sources = obs_n.get["n"]
     base = (15 * _PR_SCALE) // (100 * n_sources)

@@ -31,7 +31,7 @@ import tempfile
 
 from ..sources.tables import load_table
 from .registry import query
-from .util import local_rows_df
+from .util import local_rows_df, spread_narrow_cpu
 from .text_analysis import normalized_fingerprint
 
 # ---------------------------------------------------------------------------
@@ -1016,7 +1016,9 @@ def remove_boilerplate_grams(
     cleaned_text); NULL-text docs are dropped, docs shorter than ``n``
     tokens pass through uncut."""
     docs = docs.filter(F.col("text").isNotNull())
-    toks = docs.select("doc_id", F.split(F.trim("text"), r"[ \t\n\x0b\f\r]+").alias("__ws"))
+    toks = spread_narrow_cpu(docs.select("doc_id", "text")).select(
+        "doc_id", F.split(F.trim("text"), r"[ \t\n\x0b\f\r]+").alias("__ws")
+    )
     # long_enough feeds BOTH the DF count and the occurrence probe: without
     # a cut the scan+split kernel runs twice (the excise dual-consumer
     # lesson) — localCheckpoint materializes the token arrays once.
@@ -1170,9 +1172,13 @@ def _md5_shingle_hashes(d: DataFrame, wide: bool = False) -> DataFrame:
     and skewing true-Jaccard. The 28-bit twin stays the ORACLE surface
     (DuckDB shares md5, not xxhash64); the tier-parity test pins that at
     sandbox vocab the two tiers see identical distinct-set sizes (the
-    twin's truth side is collision-free where it is graded)."""
+    twin's truth side is collision-free where it is graded).
+
+    Input spread before the tokenize/shingle/hash kernel (r14, guide
+    §2.5): size-gated no-op at corpus scale, see ``spread_narrow_cpu``."""
     return (
-        d.select("doc_id", tokenize_words("text").alias("ws"))
+        spread_narrow_cpu(d.select("doc_id", "text"))
+        .select("doc_id", tokenize_words("text").alias("ws"))
         .select("doc_id", F.explode(word_shingles("ws", 3)).alias("shingle"))
         .select(
             "doc_id",
@@ -1412,7 +1418,8 @@ def containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # never joins (the pinned NULL-text gotcha)
     d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     toks = (
-        d.select("doc_id", tokenize_words("text").alias("ws"))
+        spread_narrow_cpu(d.select("doc_id", "text"))
+        .select("doc_id", tokenize_words("text").alias("ws"))
         .select("doc_id", F.explode(word_shingles("ws", 3)).alias("w"))
         .distinct()
     )
@@ -1863,8 +1870,12 @@ def setsim_join_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     (see block comment; the oracle is the naive all-pairs join — results
     must be identical because the filter is lossless)."""
     d = load_table(spark, sf_dir, "documents")
+    # spread the single-row-group scan before the tokenize/shingle kernel
+    # (guide §2.5): one scan task would otherwise serialize the whole
+    # CPU-heavy explode; size-gated no-op at corpus scale (util helper)
     toks = (
-        d.select("doc_id", tokenize_words("text").alias("ws"))
+        spread_narrow_cpu(d.select("doc_id", "text"))
+        .select("doc_id", tokenize_words("text").alias("ws"))
         .select("doc_id", F.explode(word_shingles("ws", 3)).alias("w"))
         .distinct()
     )
@@ -2290,9 +2301,9 @@ def shared_gram_source_sets(
     the same pass, no extra job — the ``bucket_pairs`` /
     ``dropped_bucket_rows`` discipline."""
     n = _EXCISE_N
-    toks = docs.filter(F.col("text").isNotNull()).select(
-        "source", F.split(F.trim("text"), r"[ \t\n\x0b\f\r]+").alias("__ws")
-    )
+    toks = spread_narrow_cpu(
+        docs.filter(F.col("text").isNotNull()).select("source", "text")
+    ).select("source", F.split(F.trim("text"), r"[ \t\n\x0b\f\r]+").alias("__ws"))
     # size filter first: word_shingles' short-doc guard is inert, windows
     # match the oracle's generate_series exactly
     grams = toks.filter(F.size("__ws") >= n).select(

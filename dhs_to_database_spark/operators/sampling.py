@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 
 from ..sources.tables import load_table
 from .registry import query
+from .util import spread_narrow_cpu
 
 _BUCKETS = 65536  # first 4 hex chars of md5
 
@@ -403,11 +404,15 @@ def explode_ngrams(
     Narrow map: no shuffle, any partitioning, and — unlike the former
     Arrow kernel — transparent to column pruning and predicate pushdown
     at the scan. NULL/empty/short docs yield no rows (explode of an
-    empty/NULL array), exactly as the Python kernel did."""
-    toks = df.select(
-        F.col(id_col).alias(out_id),
-        F.split(F.trim(F.col(text_col)), _WS_SPLIT).alias("__toks"),
-    )
+    empty/NULL array), exactly as the Python kernel did.
+
+    r14 (guide §2.5): the (id, text) input is size-gate spread before the
+    split/gram kernel — a single-row-group table scans as ONE task and
+    serializes the whole CPU-heavy explode; corpus-scale inputs pass
+    through untouched (see ``spread_narrow_cpu``)."""
+    toks = spread_narrow_cpu(
+        df.select(F.col(id_col).alias(out_id), F.col(text_col).alias("__tx"))
+    ).select(out_id, F.split(F.trim(F.col("__tx")), _WS_SPLIT).alias("__toks"))
     arr = _gram_array(F.col("__toks"), n)
     if distinct:
         arr = F.array_distinct(arr)
@@ -446,11 +451,10 @@ def explode_ngrams_pos(
     positions back into Spark's ``F.split`` output: the two must agree
     token-for-token (leading non-space whitespace yields a leading ''
     token in both; Python split would silently shift every position by
-    one)."""
-    toks = df.select(
-        F.col(id_col),
-        F.split(F.trim(F.col(text_col)), _WS_SPLIT).alias("__toks"),
-    )
+    one). Input spread per ``explode_ngrams``'s r14 note (size-gated)."""
+    toks = spread_narrow_cpu(
+        df.select(F.col(id_col), F.col(text_col).alias("__tx"))
+    ).select(id_col, F.split(F.trim(F.col("__tx")), _WS_SPLIT).alias("__toks"))
     return toks.select(
         id_col,
         F.posexplode(_gram_array(F.col("__toks"), n)).alias("pos", "gram"),
@@ -503,13 +507,23 @@ def _gram_matches(
     train_grams = explode_ngrams(train, n, id_col, text_col, out_id="doc_id")
     bench_grams = explode_ngrams(benchmark, n, id_col, text_col, out_id="bench_doc")
     if max_gram_bench_docs is not None:
-        counts = bench_grams.groupBy("gram").agg(
-            F.count(F.lit(1)).alias("__nbd")
-        )
+        # r14 (guide §2.3/§2.4): the cap used to be a COUNT-per-gram agg
+        # joined back onto a SECOND explode of the benchmark side — two
+        # full bench-gram passes plus a join, all executed while BUILDING
+        # the broadcast. One collect_set agg is the same cap decision
+        # (bench_grams rows are distinct (bench_doc, gram) per
+        # explode_ngrams, so set size == row count) from ONE pass, the
+        # broadcast carries one row per gram instead of one per (gram,
+        # doc), and the doc set explodes AFTER the join (guide §3.3:
+        # explode past the join, never before it).
         bench_grams = (
-            bench_grams.join(counts, "gram")
-            .filter(F.col("__nbd") <= max_gram_bench_docs)
-            .drop("__nbd")
+            bench_grams.groupBy("gram")
+            .agg(F.collect_set("bench_doc").alias("__bd"))
+            .filter(F.size("__bd") <= max_gram_bench_docs)
+        )
+        return (
+            train_grams.join(F.broadcast(bench_grams), "gram")
+            .select("doc_id", "gram", F.explode("__bd").alias("bench_doc"))
         )
     return train_grams.join(F.broadcast(bench_grams), "gram")
 

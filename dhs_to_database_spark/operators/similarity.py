@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 
 from ..sources.tables import load_table
 from .registry import query
-from .util import local_rows_df
+from .util import eager_checkpoints, local_rows_df
 
 _N_QUERIES = 8  # vec_id < 8 are the query vectors
 _TOP_K = 5
@@ -1585,7 +1585,9 @@ def ann_calibration(
         F.col("embedding").alias("qe"),
         F.col("nrm").alias("qnrm"),
     )
-    # exact panel: computed ONCE, reused by truth + both reranks (3 branches)
+    # exact panel: computed ONCE, reused by truth + both reranks (3 branches).
+    # Materialized TOGETHER with pq_pairs below (eager_checkpoints) — the two
+    # panels share no data dependency, so their jobs overlap (guide §2.6).
     ex_pairs = (
         emb.select(F.col("vec_id").alias("neighbor_id"), "embedding", "nrm")
         .join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
@@ -1594,13 +1596,6 @@ def ann_calibration(
             "neighbor_id",
             (dot("qe", "embedding") / (F.col("qnrm") * F.col("nrm"))).alias("cos"),
         )
-        .localCheckpoint(eager=True)
-    )
-    wq = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
-    ex_top = (
-        ex_pairs.withColumn("rnk", F.row_number().over(wq))
-        .filter(F.col("rnk") <= _TOP_K)
-        .select("query_id", "neighbor_id")
     )
 
     # ===== lsh_md5 twin =====
@@ -1728,7 +1723,16 @@ def ann_calibration(
             F.col("vec_id").alias("neighbor_id"),
             (dot("qe", "rv") / (F.col("qnrm") * F.col("rnrm"))).alias("score"),
         )
-        .localCheckpoint(eager=True)  # consumed by count + top-k branches
+    )
+    # Both multi-consumer panels (exact: truth + 2 reranks + count; pq:
+    # count + top-k) materialize here, with their two independent jobs
+    # in flight together instead of back-to-back.
+    ex_pairs, pq_pairs = eager_checkpoints(ex_pairs, pq_pairs)
+    wq = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    ex_top = (
+        ex_pairs.withColumn("rnk", F.row_number().over(wq))
+        .filter(F.col("rnk") <= _TOP_K)
+        .select("query_id", "neighbor_id")
     )
     wqs = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
     pq_top = (

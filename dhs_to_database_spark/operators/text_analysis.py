@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 
 from ..sources.tables import load_table
 from .registry import query
-from .util import local_rows_df
+from .util import local_rows_df, spread_narrow_cpu
 
 # ---------------------------------------------------------------------------
 # Token counting: whitespace tokenization + a BPE-ish proxy (4 chars/token).
@@ -818,7 +818,7 @@ def frequent_terms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # during the verify pass (pre-join, so it sees every token) instead
     # of re-running the corpus-wide scan+split+explode as a second job.
     obs = Observation()
-    toks = d.select(
+    toks = spread_narrow_cpu(d.select("text")).select(
         F.explode(F.split(F.trim(F.col("text")), r"[ \t\n\x0b\f\r]+")).alias("term")
     ).observe(obs, F.count(F.lit(1)).alias("nt"))
     counted = (
@@ -911,9 +911,13 @@ def _ws_terms(col: Column) -> Column:
 
 def _doc_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    return d.select(
-        "doc_id", F.explode(_ws_terms(F.col("text"))).alias("term")
-    ).filter(F.col("term") != "")
+    # spread the single-row-group scan before the tokenize/explode kernel
+    # (r14, guide §2.5; size-gated no-op at corpus scale)
+    return (
+        spread_narrow_cpu(d.select("doc_id", "text"))
+        .select("doc_id", F.explode(_ws_terms(F.col("text"))).alias("term"))
+        .filter(F.col("term") != "")
+    )
 
 
 _TOKS_CTE = """
@@ -1098,7 +1102,8 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 def word_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     toks = (
-        d.select(
+        spread_narrow_cpu(d.select("doc_id", "text"))
+        .select(
             "doc_id",
             F.explode(
                 F.split(F.regexp_replace(F.lower(F.trim("text")), r"[ \t\n\x0b\f\r]+", " "), " ")
@@ -1178,7 +1183,7 @@ _PMI_TOPK = 30
 )
 def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    toks = d.select(
+    toks = spread_narrow_cpu(d.select("text")).select(
         F.split(F.regexp_replace(F.lower(F.trim("text")), r"[ \t\n\x0b\f\r]+", " "), " ").alias("t")
     )
     bigrams = (
@@ -1518,7 +1523,7 @@ def doc_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     the CCNet perplexity-filter shape (docs with no bigram are excluded,
     matching the oracle's inner joins)."""
     d = load_table(spark, sf_dir, "documents")
-    toks = d.select(
+    toks = spread_narrow_cpu(d.select("doc_id", "text")).select(
         "doc_id",
         F.split(F.regexp_replace(F.lower(F.trim("text")), r"[ \t\n\x0b\f\r]+", " "), " ").alias("t"),
     )

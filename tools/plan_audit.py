@@ -237,12 +237,12 @@ SHUFFLE_BASELINE = {
     "token_budget_mix": 3,
     "token_rarity_score": 4,
     "semantic_dedup": 0,
-    "benchmark_decontaminate": 3,
+    "benchmark_decontaminate": 5,
     "dedup_incremental": 2,
     "zorder_key": 0,
-    "tfidf_topk": 4,
+    "tfidf_topk": 6,
     "bm25_search": 5,
-    "duplicate_spans": 2,
+    "duplicate_spans": 3,
     "importance_weights": 4,
     "cohort_retention": 3,
     "rollup_maintenance": 2,
@@ -251,9 +251,9 @@ SHUFFLE_BASELINE = {
     "scd2_asof_lookup": 0,
     "content_reconcile": 2,
     "setsim_join_prefix": 1,
-    "word_entropy": 4,
+    "word_entropy": 6,
     "weighted_sample_langs": 1,
-    "pmi_collocations": 6,
+    "pmi_collocations": 9,
     "hybrid_search_rrf": 5,
     "profile_orders_columns": 12,
     "moment_stats": 1,
@@ -266,7 +266,7 @@ SHUFFLE_BASELINE = {
     "interval_join_attribution": 1,
     "range_frame_trailing": 0,
     "wow_growth": 0,
-    "doc_perplexity": 6,
+    "doc_perplexity": 9,
     "bpe_pair_counts": 2,
     "bpe_compression": 0,
     "pca_embedding_reduce": 0,
@@ -283,7 +283,7 @@ SHUFFLE_BASELINE = {
     "span_dedup_report": 3,
     "max_dup_span_stats": 2,
     "cdc_chunks": 0,
-    "decontaminate_pairs": 4,
+    "decontaminate_pairs": 6,
     "minhash_calibration": 6,
     "ann_calibration": 17,
     "leakage_safe_split": 2,
@@ -303,7 +303,7 @@ SHUFFLE_BASELINE = {
     "boilerplate_prune": 4,
     "training_shuffle_order": 0,
     "json_props_extract": 1,
-    "source_overlap_matrix": 2,
+    "source_overlap_matrix": 3,
     "pii_redact": 0,
     "approx_distinct_calibration": 4,
     "approx_quantile_calibration": 2,
