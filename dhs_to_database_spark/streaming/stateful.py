@@ -51,20 +51,17 @@ def sessionize(
     key: tuple, pdfs: Iterator[pd.DataFrame], state: Any
 ) -> Iterator[pd.DataFrame]:
     (user_id,) = key
+    # r14 (guide §4.2): emitted sessions stay as primitive tuples; the
+    # yielded frame is assembled ONCE from typed numpy columns at the
+    # bottom. The old per-yield pd.DataFrame(list-of-tuples with
+    # pd.Timestamp cells) went through pandas' object-array inference —
+    # ~1.3 ms per KEY, i.e. the dominant cost of the whole drain once
+    # the state store was right-sized (profiled: 2.3 ms/key Python vs
+    # ~0.4 ms/key everything-else). Same values bit-for-bit: int64
+    # microseconds -> datetime64[us] is exactly what pd.Timestamp(unit=
+    # "us") encoded, floats pass through np.float64 unchanged.
     closed: list[tuple] = []
-
-    def emit(s: tuple) -> None:
-        closed.append(
-            (
-                user_id,
-                pd.Timestamp(s[0], unit="us"),
-                pd.Timestamp(s[1], unit="us"),
-                s[2],
-                s[3],
-                s[4],
-                s[5],
-            )
-        )
+    emit = closed.append
 
     if state.hasTimedOut:
         if state.exists:
@@ -78,13 +75,20 @@ def sessionize(
             batch = pd.concat(parts, ignore_index=True) if len(parts) > 1 else parts[0]
             # Sort by (ts, event_type, value) exactly like the scalar fold's
             # tuple sort; stable multi-key lexsort gives the same order.
+            # Arrow always decodes ts as datetime64, so the to_numpy view
+            # is free; the to_datetime fallback keeps any exotic input on
+            # the old (identical-value) path.
+            ts_col = batch["ts"]
+            if ts_col.dtype.kind != "M":
+                ts_col = pd.to_datetime(ts_col)
             u_raw = (
-                pd.to_datetime(batch["ts"])
-                .to_numpy()
-                .astype("datetime64[us]")
-                .astype(np.int64)
+                ts_col.to_numpy()
+                .astype("datetime64[us]", copy=False)
+                .astype(np.int64, copy=False)
             )
-            et_raw = batch["event_type"].astype(str).to_numpy()
+            # values are already Python str from Arrow; lexsort compares
+            # object-dtype str cells exactly like the former astype(str)
+            et_raw = batch["event_type"].to_numpy()
             v_raw = batch["value"].to_numpy(dtype=np.float64)
             order = np.lexsort((v_raw, et_raw, u_raw))
             u, et, v = u_raw[order], et_raw[order], v_raw[order]
@@ -142,17 +146,25 @@ def sessionize(
             state.setTimeoutTimestamp(max((open_s[1] + GAP_US) // 1000, wm_ms + 1))
 
     if closed:
+        k = len(closed)
         yield pd.DataFrame(
-            closed,
-            columns=[
-                "user_id",
-                "session_start",
-                "session_end",
-                "n_events",
-                "total_value",
-                "first_type",
-                "last_type",
-            ],
+            {
+                "user_id": np.full(k, user_id, dtype=np.int64),
+                "session_start": np.fromiter(
+                    (s[0] for s in closed), dtype=np.int64, count=k
+                ).astype("datetime64[us]"),
+                "session_end": np.fromiter(
+                    (s[1] for s in closed), dtype=np.int64, count=k
+                ).astype("datetime64[us]"),
+                "n_events": np.fromiter(
+                    (s[2] for s in closed), dtype=np.int64, count=k
+                ),
+                "total_value": np.fromiter(
+                    (s[3] for s in closed), dtype=np.float64, count=k
+                ),
+                "first_type": [s[4] for s in closed],
+                "last_type": [s[5] for s in closed],
+            }
         )
 
 
