@@ -215,7 +215,7 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .text_analysis import n_tokens, normalized_fingerprint
 
     d = load_table(spark, sf_dir, "documents")
-    passed = d.filter(
+    passed = spread_narrow_cpu(d.select("doc_id", "lang", "text")).filter(
         (F.length("text") >= 100)
         & (F.length("text") <= 20000)
         & (n_tokens(F.col("text")) >= 20)
@@ -767,7 +767,8 @@ def importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     # token, each re-splitting the full text: measured 2.6s -> 0.5s at
     # sf0.1 for this stage).
     toks = (
-        d.select(
+        spread_narrow_cpu(d.select("doc_id", "text"))
+        .select(
             "doc_id",
             _quality_gate(F.col("text")).alias("is_target"),
             F.split(
@@ -936,7 +937,8 @@ def term_drift_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
     # importance_weights: co-locating a computed column with a generator
     # re-evaluates it per output row).
     toks = (
-        d.select(
+        spread_narrow_cpu(d.select("doc_id", "lang", "text"))
+        .select(
             "lang",
             (split_assignment(F.col("doc_id"), 0.8) == "train").alias("is_train"),
             F.split(
@@ -1063,11 +1065,15 @@ def curation_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .sampling import importance_weights  # self-module import for clarity
 
     d = load_table(spark, sf_dir, "documents")
-    passed = d.filter(_quality_gate(F.col("text"))).select(
-        "doc_id",
-        "lang",
-        _n_tokens(F.col("text")).cast("bigint").alias("n_tokens"),
-        normalized_fingerprint(F.col("text")).alias("fingerprint"),
+    passed = (
+        spread_narrow_cpu(d.select("doc_id", "lang", "text"))
+        .filter(_quality_gate(F.col("text")))
+        .select(
+            "doc_id",
+            "lang",
+            _n_tokens(F.col("text")).cast("bigint").alias("n_tokens"),
+            normalized_fingerprint(F.col("text")).alias("fingerprint"),
+        )
     )
     first_ids = passed.groupBy("fingerprint").agg(F.min("doc_id").alias("doc_id"))
     deduped = passed.join(first_ids.select("doc_id"), "doc_id", "left_semi")

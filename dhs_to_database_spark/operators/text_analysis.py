@@ -237,7 +237,9 @@ def winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
 
     d = load_table(spark, sf_dir, "documents")
-    return d.select("doc_id", "text").mapInPandas(
+    # spread the single-row-group scan so the Arrow kernel runs on more
+    # than one Python worker (r14, guide §2.5; size-gated no-op at scale)
+    return spread_narrow_cpu(d.select("doc_id", "text")).mapInPandas(
         winnow, schema="doc_id bigint, fp_hash bigint"
     )
 
@@ -502,7 +504,9 @@ _REPETITION_THRESHOLD = 0.2
 def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     ws = F.split(F.regexp_replace(F.lower(F.trim("text")), r"[ \t\n\x0b\f\r]+", " "), " ")
-    with_bg = d.select("doc_id", ws.alias("__ws")).select(
+    with_bg = spread_narrow_cpu(d.select("doc_id", "text")).select(
+        "doc_id", ws.alias("__ws")
+    ).select(
         "doc_id",
         F.when(
             F.size("__ws") >= 2,
@@ -566,7 +570,8 @@ def context_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     ws = F.split(F.regexp_replace(F.lower(F.trim("text")), r"[ \t\n\x0b\f\r]+", " "), " ")
     return (
-        d.select("doc_id", ws.alias("__ws"))
+        spread_narrow_cpu(d.select("doc_id", "text"))
+        .select("doc_id", ws.alias("__ws"))
         .select(
             "doc_id",
             "__ws",
@@ -644,9 +649,11 @@ def cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     bits mod {_CDC_MOD} == 0, closes a chunk at i."""
     d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     # 1-based boundary end positions; the doc end always closes the last
-    # chunk. All pure JVM lambdas over the token array — no shuffle.
+    # chunk. All pure JVM lambdas over the token array — no shuffle
+    # beyond the size-gated input spread (guide §2.5).
     return (
-        d.select("doc_id", F.split(F.trim("text"), r"[ \t\n\x0b\f\r]+").alias("__ws"))
+        spread_narrow_cpu(d.select("doc_id", "text"))
+        .select("doc_id", F.split(F.trim("text"), r"[ \t\n\x0b\f\r]+").alias("__ws"))
         .select(
             "doc_id",
             F.size("__ws").alias("__n"),
@@ -723,7 +730,7 @@ def cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def token_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    toks = d.select(
+    toks = spread_narrow_cpu(d.select("doc_id", "text")).select(
         "doc_id",
         F.explode(
             F.split(F.regexp_replace(F.lower(F.trim("text")), r"[ \t\n\x0b\f\r]+", " "), " ")
@@ -795,7 +802,12 @@ def misra_gries_candidates(
             {"term": list(counts), "weight": list(counts.values())}
         )
 
-    return df.select(text_col).mapInPandas(sketch, "term string, weight long")
+    # spread before the Arrow kernel (r14, guide §2.5): the MG superset
+    # guarantee is partitioning-independent (pigeonhole over ANY layout),
+    # and the exact verify pass makes the final counts layout-invariant
+    return spread_narrow_cpu(df.select(text_col)).mapInPandas(
+        sketch, "term string, weight long"
+    )
 
 
 @query(

@@ -34,7 +34,7 @@ NOTES = {
     "asof_join": "union + ordered window (last ignoreNulls): one shuffle on user_id, no join",
     "rollup_agg": "all grouping sets in one shuffle (Expand + partial agg)",
     "token_count": "narrow scan + projection",
-    "winnowing_fingerprint": "narrow map (vectorized numpy rolling hash), zero shuffles",
+    "winnowing_fingerprint": "narrow map (vectorized numpy rolling hash); the only exchange is the size-gated input spread (r14 — absent at corpus scale)",
     "tumbling_window": "one shuffle on (window, event_type)",
     "cube_agg": "all 4 grouping sets via one Expand + one shuffle",
     "vocab_stats": "explode + two-phase distinct agg ((term,doc) partial then term); shuffle volume ~vocab-sized after map-side collapse",
@@ -49,8 +49,8 @@ NOTES = {
     "curation_pipeline": "quality filter fused into the scan; dedup digest shuffle is the only wide stage before the tiny summary agg",
     "curation_pipeline_v2": "gate fused into the scan, one digest shuffle for dedup, DSIR scores join in from one corpus shuffle + broadcast ratios, split is a narrow hash — no stage rescans history",
     "embedding_centroids": "posexplode is a narrow per-row expansion; the single (label, pos) partial agg is the only shuffle and carries label*dim rows",
-    "repetition_stats": "narrow scan + higher-order array ops (bigram transform/distinct) — zero shuffles",
-    "context_chunks": "narrow scan + sequence/explode/slice — zero shuffles; chunk ids are arithmetic, stable under any partitioning",
+    "repetition_stats": "narrow scan + higher-order array ops (bigram transform/distinct); only the size-gated input spread exchanges (r14 — absent at corpus scale)",
+    "context_chunks": "narrow scan + sequence/explode/slice; only the size-gated input spread exchanges (r14 — absent at corpus scale); chunk ids are arithmetic, stable under any partitioning",
     "token_budget_mix": "one partial-agg shuffle for lang totals; thresholds broadcast-joined back; keep-filter is a narrow hash compare",
     "token_rarity_score": "model phase = one partial-agg shuffle (vocab); scoring = term join (AQE handles Zipf skew) + per-doc agg; integer rarity keeps the oracle bit-exact",
     "semantic_dedup": "quadratic work confined to k-means cells (one numpy gram per cell in applyInPandas); CC runs on the sparse within-cell pair graph only — linear corpus passes otherwise",
@@ -61,7 +61,7 @@ NOTES = {
     "bm25_search": "tf table persisted and reused for lengths + query slice; df and corpus stats broadcast; query-term filter cuts the scored side before any join",
     "duplicate_spans": "one narrow gram pass + one gram-keyed map-side-combined shuffle; production groups by xxhash64(gram) to shrink the shuffle key",
     "max_dup_span_stats": "gram-keyed freq shuffle + join-back + ONE doc_id shuffle of gram START positions only (no N-exploded cover indexes); interval merge via JVM lambdas on the sorted starts (no window)",
-    "cdc_chunks": "ZERO shuffles: tokenize, md5 boundary filter, and chunk lengths are all JVM higher-order lambdas over the per-doc token array",
+    "cdc_chunks": "tokenize, md5 boundary filter, and chunk lengths are all JVM higher-order lambdas over the per-doc token array; only the size-gated input spread exchanges (r14 — absent at corpus scale)",
     "decontaminate_pairs": "bench grams broadcast (capped) — corpus gram stream probed map-side; (doc,bench) agg + struct-max argmax, no window",
     "minhash_calibration": "shares the twin's scored-pairs plan (localCheckpointed), whose signature pass reads the SAME checkpointed distinct shingle-hash set as the truth side (min-invariant), so the corpus md5 string kernel runs once; true Jaccard via one (doc,h) equi-join over bucket-capped candidates; integer-exact cross-agg math",
     "ann_calibration": "three deterministic ANN twins vs exact top-k: queries/centroids/codebooks broadcast, corpus passes narrow (sig/assign/encode), exact panel localCheckpointed and reused by truth + reranks; per-query windows bounded at 8 partitions",
@@ -217,7 +217,7 @@ SHUFFLE_BASELINE = {
     "asof_join": 1,
     "rollup_agg": 1,
     "token_count": 0,
-    "winnowing_fingerprint": 0,
+    "winnowing_fingerprint": 1,
     "tumbling_window": 1,
     "cube_agg": 1,
     "vocab_stats": 2,
@@ -229,13 +229,13 @@ SHUFFLE_BASELINE = {
     "decile_stats": 0,
     "funnel_stages": 2,
     "sequence_pack": 1,
-    "curation_pipeline": 2,
-    "curation_pipeline_v2": 6,
+    "curation_pipeline": 3,
+    "curation_pipeline_v2": 11,
     "embedding_centroids": 1,
-    "repetition_stats": 0,
-    "context_chunks": 0,
+    "repetition_stats": 1,
+    "context_chunks": 1,
     "token_budget_mix": 3,
-    "token_rarity_score": 4,
+    "token_rarity_score": 7,
     "semantic_dedup": 0,
     "benchmark_decontaminate": 5,
     "dedup_incremental": 2,
@@ -243,7 +243,7 @@ SHUFFLE_BASELINE = {
     "tfidf_topk": 6,
     "bm25_search": 5,
     "duplicate_spans": 3,
-    "importance_weights": 4,
+    "importance_weights": 7,
     "cohort_retention": 3,
     "rollup_maintenance": 2,
     "value_histogram": 1,
@@ -257,7 +257,7 @@ SHUFFLE_BASELINE = {
     "hybrid_search_rrf": 5,
     "profile_orders_columns": 12,
     "moment_stats": 1,
-    "term_drift_kl": 4,
+    "term_drift_kl": 6,
     "spearman_length_tokens": 0,
     "dedup_incremental_bloom": 1,
     "survey_update_check": 3,
@@ -282,7 +282,7 @@ SHUFFLE_BASELINE = {
     "corpus_dataset_card": 3,
     "span_dedup_report": 3,
     "max_dup_span_stats": 2,
-    "cdc_chunks": 0,
+    "cdc_chunks": 1,
     "decontaminate_pairs": 6,
     "minhash_calibration": 6,
     "ann_calibration": 17,
