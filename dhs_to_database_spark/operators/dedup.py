@@ -138,10 +138,10 @@ def char_shingles(col_name: str = "t", n: int = 4) -> Column:
 )
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    docs = (
+    docs = spread_narrow_cpu(
         d.filter((F.col("doc_id") < _JACCARD_LIMIT) & (F.length("text") >= 4))
-        .select("doc_id", F.lower("text").alias("t"))
-    )
+        .select("doc_id", "text")
+    ).select("doc_id", F.lower("text").alias("t"))
     sh = docs.select("doc_id", F.explode(char_shingles("t")).alias("sh")).distinct()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "sh")
@@ -1765,7 +1765,8 @@ def simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``simhash_near_dup`` (see block comment for the r4 redesign)."""
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     hashes = (
-        d.select("doc_id", F.explode(tokenize_words("text")).alias("w"))
+        spread_narrow_cpu(d)
+        .select("doc_id", F.explode(tokenize_words("text")).alias("w"))
         .filter(F.col("w") != "")
         .select(
             "doc_id",

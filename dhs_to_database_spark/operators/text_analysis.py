@@ -274,7 +274,7 @@ def winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    toks = d.select(
+    toks = spread_narrow_cpu(d.select("doc_id", "text")).select(
         "doc_id",
         F.explode(
             F.split(F.regexp_replace(F.lower(F.trim("text")), r"[ \t\n\x0b\f\r]+", " "), " ")
@@ -448,8 +448,16 @@ def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     injection, detection, and masking fuse into one narrow per-row scan
     projection, embarrassingly parallel at any corpus size. Redacted text
     is byte-identical across engines; per-family counts prove the detector
-    found exactly the planted items (plus any organic hits)."""
-    d = _pii_injected(load_table(spark, sf_dir, "documents"))
+    found exactly the planted items (plus any organic hits). The regex
+    pack is heavy per row, so the single-row-group input is size-gate
+    spread first (r14, guide §2.5) — still no shuffle at corpus scale."""
+    d = _pii_injected(
+        spread_narrow_cpu(
+            load_table(spark, sf_dir, "documents").select(
+                "doc_id", "source", "text"
+            )
+        )
+    )
     c = pii_counts(F.col("text"))
     return d.select(
         "doc_id",

@@ -80,7 +80,7 @@ NOTES = {
     "training_shuffle_order": "seeded md5 permutation ranked by the distributed global rank (range-partitioned sort, no single-partition window); round-robin shard/pos are pure column math off the rank",
     "json_props_extract": "get_json_object inlined in the scan projection (JVM-side, no UDF) -> ONE map-side-combined conditional agg",
     "source_overlap_matrix": "NO gram self-join: gram -> sorted source-set agg is the only corpus-scale shuffle; hot-gram df-cap (r8) drops stop-grams shared by > _GRAM_SRC_CAP sources in BOTH engines, bounding the map-side pair expansion at cap^2 per gram; final pair agg tiny",
-    "pii_redact": "ZERO shuffles: deterministic PII injection + regex detect/mask are one narrow per-row projection fused into the scan (JVM regexp, common Java/RE2 subset); embarrassingly parallel at any scale",
+    "pii_redact": "injection, detection, and masking fuse into one narrow per-row projection; only the size-gated input spread exchanges (r14 — absent at corpus scale)",
     "approx_distinct_calibration": "auditor query: pays the exact COUNT(DISTINCT) cost by design; KMV side is one (pri,hash) distinct shuffle + a 5-group window; report math is pure integer division (bit-stable across layouts)",
     "approx_quantile_calibration": "auditor query: exact + 10%-md5-sample percentile aggs (two group shuffles over 5 keys), joined on the tiny priority axis; production reads stay on the O(1)-memory GK sketch",
     "cms_calibration": "portable d x w CMS: gram stream shuffles only as a map-side-combined (row,bucket) agg bounded at d*w=1024 cells; exact top-K side is the auditor's ground-truth agg; probe panel broadcast onto the cells",
@@ -220,7 +220,7 @@ SHUFFLE_BASELINE = {
     "winnowing_fingerprint": 1,
     "tumbling_window": 1,
     "cube_agg": 1,
-    "vocab_stats": 2,
+    "vocab_stats": 3,
     "train_test_split": 0,
     "dedup_components": 3,
     "top_unshipped_orders": 1,
@@ -304,7 +304,7 @@ SHUFFLE_BASELINE = {
     "training_shuffle_order": 0,
     "json_props_extract": 1,
     "source_overlap_matrix": 3,
-    "pii_redact": 0,
+    "pii_redact": 1,
     "approx_distinct_calibration": 4,
     "approx_quantile_calibration": 2,
     "cms_calibration": 2,
