@@ -31,7 +31,7 @@ _N_QUERIES = 8  # vec_id < 8 are the query vectors
 _TOP_K = 5
 
 
-def dot(a: str | Column, b: str | Column) -> Column:
+def dot(a: str | Column, b: str | Column, dim: int | None = None) -> Column:
     """Double-precision dot product of two array<float> columns.
 
     String column names take a ONE-parse F.expr fast path: each
@@ -40,7 +40,30 @@ def dot(a: str | Column, b: str | Column) -> Column:
     builds were ~1 s of driver time), while the parsed string is one
     call producing the IDENTICAL Catalyst tree (same casts, same 0.0D
     init, same fold order — bit-identical results, pinned by the oracle
-    + bitwise gates)."""
+    + bitwise gates).
+
+    ``dim`` (r14, guide §1.2 per-task work): when the caller KNOWS the
+    vector width, the fold is UNROLLED into a flat codegen'd sum —
+    higher-order lambdas are interpreted per element (~0.35 us per
+    lambda eval, measured on the zorder fold), so a 64-dim pair panel
+    burns real seconds in closure dispatch. The unrolled form is
+    ``0.0D + t0 + t1 + ...`` — the exact left-associated operation
+    sequence of the aggregate fold, so results are bit-identical —
+    guarded by a runtime size check that falls back to the generic fold
+    for any row whose arrays are not ``dim`` wide (so the helper stays
+    total; the guard is one comparison inside codegen)."""
+    if dim is not None and isinstance(a, str) and isinstance(b, str):
+        terms = " + ".join(
+            f"CAST(`{a}`[{i}] AS DOUBLE) * CAST(`{b}`[{i}] AS DOUBLE)"
+            for i in range(dim)
+        )
+        return F.expr(
+            f"IF(size(`{a}`) = {dim} AND size(`{b}`) = {dim},"
+            f" 0.0D + {terms},"
+            f" aggregate(zip_with(`{a}`, `{b}`,"
+            f" (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+            f" 0.0D, (acc, x) -> acc + x))"
+        )
     if isinstance(a, str) and isinstance(b, str):
         return F.expr(
             f"aggregate(zip_with(`{a}`, `{b}`,"
@@ -51,7 +74,17 @@ def dot(a: str | Column, b: str | Column) -> Column:
     return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
 
 
-def l2_norm(a: str | Column) -> Column:
+def l2_norm(a: str | Column, dim: int | None = None) -> Column:
+    if dim is not None and isinstance(a, str):
+        terms = " + ".join(
+            f"CAST(`{a}`[{i}] AS DOUBLE) * CAST(`{a}`[{i}] AS DOUBLE)"
+            for i in range(dim)
+        )
+        return F.expr(
+            f"sqrt(IF(size(`{a}`) = {dim}, 0.0D + {terms},"
+            f" aggregate(`{a}`, 0.0D,"
+            f" (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+        )
     if isinstance(a, str):
         return F.expr(
             f"sqrt(aggregate(`{a}`, 0.0D,"
@@ -60,8 +93,8 @@ def l2_norm(a: str | Column) -> Column:
     return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")))
 
 
-def cosine(a: str | Column, b: str | Column) -> Column:
-    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+def cosine(a: str | Column, b: str | Column, dim: int | None = None) -> Column:
+    return dot(a, b, dim) / (l2_norm(a, dim) * l2_norm(b, dim))
 
 
 @query(
@@ -98,7 +131,7 @@ def embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = (
         emb.select(F.col("vec_id").alias("neighbor_id"), "embedding")
         .join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "neighbor_id", cosine("qe", "embedding").alias("cos"))
+        .select("query_id", "neighbor_id", cosine("qe", "embedding", _DIM).alias("cos"))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (
@@ -196,7 +229,7 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (
-        cand.select("query_id", "neighbor_id", cosine("qe", "embedding").alias("cos"))
+        cand.select("query_id", "neighbor_id", cosine("qe", "embedding", _DIM).alias("cos"))
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= _TOP_K)
         .select("query_id", "neighbor_id", "rank", F.round("cos", 6).cast("double").alias("cosine_sim"))
@@ -681,7 +714,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qe"),
         "cell",
-        cosine("embedding", "centroid").alias("ccos"),
+        cosine("embedding", "centroid", _DIM).alias("ccos"),
     )
     wp = Window.partitionBy("query_id").orderBy(F.desc("ccos"), F.asc("cell"))
     probes = qc.withColumn("p", F.row_number().over(wp)).filter(F.col("p") <= _IVF_PROBES)
@@ -693,7 +726,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     out = (
-        cand.select("query_id", "neighbor_id", cosine("qe", "embedding").alias("cos"))
+        cand.select("query_id", "neighbor_id", cosine("qe", "embedding", _DIM).alias("cos"))
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= _TOP_K)
         .select(
@@ -1006,7 +1039,7 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     dense = _rank_tiny(
         emb.filter(F.col("vec_id") != _RRF_DENSE_QUERY)
         .crossJoin(F.broadcast(qe))
-        .select(F.col("vec_id").alias("doc_id"), cosine("qe", "embedding").alias("cos"))
+        .select(F.col("vec_id").alias("doc_id"), cosine("qe", "embedding", _DIM).alias("cos"))
         .orderBy(F.desc("cos"), F.asc("doc_id"))
         .limit(_RRF_TOPK),
         "cos",
@@ -1894,10 +1927,10 @@ def embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("double")
         .alias("max_abs_err"),
-        F.round(dot("diff", "diff") / F.lit(64), 8).cast("double").alias("mse"),
+        F.round(dot("diff", "diff", _DIM) / F.lit(64), 8).cast("double").alias("mse"),
         F.round(
             F.when(zero, F.lit(1.0)).otherwise(
-                dot("embd", "recon") / (l2_norm("embd") * l2_norm("recon"))
+                dot("embd", "recon", _DIM) / (l2_norm("embd", _DIM) * l2_norm("recon", _DIM))
             ),
             6,
         )
