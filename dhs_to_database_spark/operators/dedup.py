@@ -1423,14 +1423,12 @@ def containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.explode(word_shingles("ws", 3)).alias("w"))
         .distinct()
     )
-    # one `w` exchange for the frequency order, not two (see the setsim
-    # window-count note — same rewrite, same O(1) per-group window state)
-    from pyspark.sql import Window as _W
-
+    # map-side-combined freq agg + AQE-skew-splittable join-back (the
+    # setsim formulation — see its r14 note for why the window-count
+    # variant was rejected at corpus scale)
+    freq = toks.groupBy("w").agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
     ordered = (
-        toks.withColumn(
-            "freq", F.count(F.lit(1)).over(_W.partitionBy("w")).cast("bigint")
-        )
+        toks.join(freq, "w")
         .groupBy("doc_id")
         .agg(
             F.expr(
@@ -1885,23 +1883,25 @@ def setsim_join_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.explode(word_shingles("ws", 3)).alias("w"))
         .distinct()
     )
-    # Attach the per-shingle corpus frequency with ONE exchange on `w`
-    # (r14, guide §2.4): COUNT(*) OVER (PARTITION BY w) on the distinct
-    # (doc_id, w) rows is exactly the former groupBy(w)-count + re-join —
-    # same value, but the token stream crosses the `w` exchange once
-    # instead of twice (join left side + freq partials) and the join
-    # machinery disappears. The window buffers one shingle group at a
-    # time (count only, no collect), so per-group state is O(1) and the
-    # shape survives 100 TB exactly like the join did. Crucially the
-    # shingle vocabulary still never sits on the driver. The prefix
+    # Attach the per-shingle corpus frequency with a plain shuffle join:
+    # the freq side collapses to one row per distinct shingle via a
+    # map-side-combined agg, both sides exchange on `w`, and AQE picks
+    # the join strategy from runtime sizes (broadcast at bench SF, SMJ
+    # at corpus scale). Crucially there is no F.broadcast hint — the
+    # distinct-shingle "vocabulary" is corpus-scale at 100 TB (billions
+    # of rows), so pinning it driver-side would OOM long before the
+    # prefix filter runs. r14 note: a COUNT() OVER (PARTITION BY w)
+    # variant saves the (tiny) partials exchange locally but was
+    # REJECTED on review — WindowExec buffers each shingle group in a
+    # spillable row array with no map-side combine and no AQE skew
+    # splitting, so one Zipf-hot stop-shingle would serialize the pass
+    # on a single task at corpus scale; the groupBy keeps O(1) state
+    # per key and the join-back stays AQE-skew-splittable. The prefix
     # logic only needs a globally consistent total order; (freq, w) is
     # exactly that.
-    from pyspark.sql import Window as _W
-
+    freq = toks.groupBy("w").agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
     ordered = (
-        toks.withColumn(
-            "freq", F.count(F.lit(1)).over(_W.partitionBy("w")).cast("bigint")
-        )
+        toks.join(freq, "w")
         .groupBy("doc_id")
         .agg(
             F.expr("transform(array_sort(collect_list(struct(freq, w))), x -> x.w)").alias(

@@ -515,7 +515,14 @@ def _gram_matches(
         # explode_ngrams, so set size == row count) from ONE pass, the
         # broadcast carries one row per gram instead of one per (gram,
         # doc), and the doc set explodes AFTER the join (guide §3.3:
-        # explode past the join, never before it).
+        # explode past the join, never before it). State bound: a hot
+        # gram's set accumulates BEFORE the size filter drops it, so
+        # per-group memory is bounded by the BENCHMARK's doc count —
+        # benchmarks are curated eval suites (thousands-to-millions of
+        # docs), never the 100 TB corpus, which is also why this whole
+        # side broadcasts at all. A deployment whose "benchmark" is
+        # itself corpus-scale must fall back to the count-then-join
+        # formulation this replaced (and give up the broadcast too).
         bench_grams = (
             bench_grams.groupBy("gram")
             .agg(F.collect_set("bench_doc").alias("__bd"))

@@ -87,8 +87,14 @@ def sessionize(
                 .astype(np.int64, copy=False)
             )
             # values are already Python str from Arrow; lexsort compares
-            # object-dtype str cells exactly like the former astype(str)
-            et_raw = batch["event_type"].to_numpy()
+            # object-dtype str cells exactly like the former astype(str).
+            # NULL cells are not comparable under lexsort, so a batch
+            # containing any falls back to the old astype(str) coercion
+            # (None -> 'None') — same ordering the original code gave.
+            et_col = batch["event_type"]
+            if et_col.isna().any():
+                et_col = et_col.astype(str)
+            et_raw = et_col.to_numpy()
             v_raw = batch["value"].to_numpy(dtype=np.float64)
             order = np.lexsort((v_raw, et_raw, u_raw))
             u, et, v = u_raw[order], et_raw[order], v_raw[order]
@@ -149,7 +155,14 @@ def sessionize(
         k = len(closed)
         yield pd.DataFrame(
             {
-                "user_id": np.full(k, user_id, dtype=np.int64),
+                # object fallback keeps a NULL grouping key a NULL output
+                # cell (np.full would raise on None), as the old
+                # object-dtype frame did
+                "user_id": (
+                    np.full(k, user_id, dtype=np.int64)
+                    if user_id is not None
+                    else [None] * k
+                ),
                 "session_start": np.fromiter(
                     (s[0] for s in closed), dtype=np.int64, count=k
                 ).astype("datetime64[us]"),
